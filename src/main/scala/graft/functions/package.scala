@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.{Column, GraftShims}
+
+/** Column-level facade over graft's custom Catalyst expressions. */
+package object functions {
+  private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    GraftShims.column(e)
+  private def ex(c: Column) = GraftShims.expression(c)
+
+  /** FNV-1a-32 of a string/binary column, widened to long (0..2^32-1). */
+  def fnv1a32(c: Column): Column = toCol(Fnv1a32(ex(c)))
+
+  /** Confluent wire-format frame: magic 0x00 + BE-uint32 schema id
+    * (+ 0x00 proto message-index) + payload. */
+  def wire_encode(schemaId: Column, payload: Column, proto: Boolean = false): Column =
+    toCol(WireEncode(ex(schemaId), ex(payload), proto))
+
+  /** Parse a Confluent frame → struct<schema_id:int, payload:binary>;
+    * null for malformed frames. */
+  def wire_decode(frame: Column, proto: Boolean = false): Column =
+    toCol(WireDecode(ex(frame), proto))
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.{fnv1a32, wire_decode, wire_encode}
+
+/** Queries derived from the reference's own operator surface (SURVEY.md §2
+  * Part A). Each is a plain `Column`-expression plan so Catalyst gets full
+  * pushdown/pruning/codegen; each ends in a canonical `orderBy` of a unique
+  * key for oracle determinism.
+  */
+object ReferenceOps {
+
+  /** Sum money-typed doubles exactly: per-value cast to DECIMAL(18,2) (the
+    * data is 2-decimal), exact decimal accumulation (order-insensitive),
+    * then back to double — bit-identical across engines and partitionings.
+    * At 100 TB this matters doubly: double-sum results would differ run to
+    * run with shuffle order, breaking retries/audits.
+    */
+  def moneySum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** A1+A11+A16: the sales pipeline as one query — purchases only,
+    * per-customer revenue (reference: golang/chapter_4/sales/
+    * sales_consumer_client.go:91-95 computes quantity*price per record;
+    * aggregation is the Spark-native closure of that projection).
+    */
+  def salesTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(
+        moneySum($"value").as("revenue"),
+        count(lit(1)).as("n_purchases"))
+      .orderBy($"user_id")
+  }
+
+  /** A11+A12: projection + derived columns + key extraction
+    * (reference: sales_producer_client.go:59 key=CustomerName;
+    * sales_consumer_client.go:91-95 total=quantity*price).
+    */
+  def recordProjection(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        concat($"l_returnflag", lit("|"), $"l_linestatus").as("record_key"),
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("net_revenue"),
+        ($"l_quantity" * $"l_extendedprice").as("gross"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** A13: malformed-record guard — drop records shorter than the minimum
+    * frame or with a wrong leading byte (reference:
+    * golang/cmd/consumer/main.go:43-46).
+    */
+  def malformedFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter(length($"props") >= 5 && substring($"props", 1, 1) === "{")
+      .select($"event_id", $"props")
+      .orderBy($"event_id")
+  }
+
+  /** A14: multi-way event dispatch — classify by event type; counts and
+    * totals per branch (reference: multi_event_proto_consumer_client.go:
+    * 100-126 routes purchases/logins/searches to separate collections).
+    */
+  def eventDispatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        moneySum($"value").as("total_value"))
+      .orderBy($"event_type")
+  }
+
+  /** A15: the custom FNV-1a partitioner — partition = fnv1a32(key) % N with
+    * the "CUSTOM"→0 override (reference: custom_order_partitioner.go:15-36).
+    * Exposed as a computed column (usable directly as a Kafka sink
+    * `partition` column or as a `repartition(n, col)` key).
+    */
+  def customPartition(spark: SparkSession, dir: String, numPartitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id".cast(StringType).as("key"))
+      .withColumn("part_id",
+        when($"key" === "CUSTOM", lit(0L))
+          .otherwise(pmod(fnv1a32($"key"), lit(numPartitions.toLong))))
+      .orderBy($"event_id")
+  }
+
+  /** A16+A17: per-group commit offset = max(offset)+1
+    * (reference: concurrent_record_processor.go:79-89).
+    */
+  def offsetCommit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg((max($"event_id") + 1).as("commit_offset"))
+      .orderBy($"user_id")
+  }
+
+  /** A21+A22: JSON serde roundtrip — parse the props payload, re-encode it
+    * (reference: sales_producer_client.go:56 json.Marshal /
+    * sales_consumer_client.go:89-90 json.Unmarshal).
+    */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_id",
+        from_json($"props", StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k"))
+      .withColumn("reencoded", to_json(struct($"k")))
+      .orderBy($"event_id")
+  }
+
+  /** A26+A27: Confluent wire-format encode ∘ decode roundtrip over a
+    * projected payload column, surfacing the header bytes for the oracle
+    * (reference: golang/util/index.go:16-36; golang/cmd/consumer/main.go:48-51).
+    */
+  def wireFormatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val framed = Tables.events(spark, dir)
+      .select(
+        $"event_id",
+        ($"user_id" % 1000).cast(IntegerType).as("schema_id"),
+        $"props".cast(BinaryType).as("payload"))
+      .withColumn("frame", wire_encode($"schema_id", $"payload"))
+      .withColumn("decoded", wire_decode($"frame"))
+    framed.select(
+        $"event_id",
+        $"schema_id",
+        hex(substring($"frame", 1, 5)).as("header_hex"),
+        $"decoded.schema_id".as("decoded_id"),
+        ($"decoded.payload" <=> $"payload").as("payload_ok"),
+        length($"payload").as("payload_len"))
+      .orderBy($"event_id")
+  }
+
+  /** A4-adjacent: prove predicate pushdown + column pruning reach the
+    * parquet scan (`PushedFilters`/`ReadSchema` in .explain).
+    */
+  def filterPushdownScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1995-06-01").cast(TimestampType))
+      .select(
+        $"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_shipdate".cast(DateType).as("ship_date"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+}
