@@ -30,6 +30,20 @@ object SparkEntry {
     "json_roundtrip"       -> (ReferenceOps.jsonRoundtrip(_, _)),
     "wire_format"          -> (ReferenceOps.wireFormatRoundtrip(_, _)),
     "filter_pushdown_scan" -> (ReferenceOps.filterPushdownScan(_, _)),
+    // — Part B: relational closure —
+    "equi_join"            -> (Relational.equiJoin(_, _)),
+    "multi_join_agg"       -> (Relational.multiJoinAgg(_, _)),
+    "semi_anti_join"       -> (Relational.semiAntiJoin(_, _)),
+    "windowed_agg"         -> (Relational.windowedAgg(_, _)),
+    "sliding_window"       -> (Relational.slidingWindow(_, _)),
+    "session_window"       -> (Relational.sessionWindow(_, _)),
+    "ranking_window"       -> (Relational.rankingWindow(_, _)),
+    "topk_sort"            -> (Relational.topkSort(_, _)),
+    "set_ops"              -> (Relational.setOps(_, _)),
+    "distinct_users"       -> (Relational.distinctUsers(_, _)),
+    "distinct_users_approx" -> (Relational.distinctUsersApprox(_, _)),
+    "rollup_report"        -> (Relational.rollupReport(_, _)),
+    "dedup"                -> (Relational.dedup(_, _)),
   )
 
   /** DuckDB oracle twins (driver runs these on the same parquet dirs). */
@@ -89,5 +103,100 @@ object SparkEntry {
         |       CAST(l_shipdate AS DATE) AS ship_date
         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-06-01'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "equi_join" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "multi_join_agg" ->
+      """SELECT n_name, r_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |            AS DOUBLE) AS revenue,
+        |       count(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY n_name, r_name ORDER BY n_name""".stripMargin,
+    "semi_anti_join" ->
+      """SELECT c_custkey, 'has_orders' AS status FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS status FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "windowed_agg" ->
+      """SELECT epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS w_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "sliding_window" ->
+      """SELECT epoch_us(CAST(time_bucket(INTERVAL '15 minutes', ts) AS TIMESTAMP))
+        |         - CAST(900000000 AS BIGINT) * ks.k AS w_start,
+        |       event_type, count(*) AS n
+        |FROM events, (SELECT unnest([0,1,2,3]) AS k) ks
+        |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   < INTERVAL '30 minutes' THEN 0 ELSE 1 END AS brk
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, ts, value,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM o
+        |)
+        |SELECT user_id, epoch_ns(min(ts)) // 1000 AS session_start,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, session_start""".stripMargin,
+    "ranking_window" ->
+      """SELECT user_id, CAST(rnk AS INTEGER) AS rnk, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY value DESC, event_id) AS rnk
+        |  FROM events WHERE event_type = 'purchase') t
+        |WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin,
+    "topk_sort" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY value DESC, event_id LIMIT 10""".stripMargin,
+    "set_ops" ->
+      """SELECT user_id, 'both' AS status FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'view')
+        |UNION ALL
+        |SELECT user_id, 'purchase_only' AS status FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'view')
+        |UNION ALL
+        |SELECT user_id, 'view_only' AS status FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'view'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |ORDER BY status, user_id""".stripMargin,
+    "distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // distinct_users_approx: engine-specific HLL++ estimate — no SQL oracle.
+    "rollup_report" ->
+      """SELECT event_type, d, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (SELECT event_type, CAST(ts AS DATE) AS d, value FROM events)
+        |GROUP BY ROLLUP(event_type, d)
+        |ORDER BY event_type NULLS FIRST, d NULLS FIRST""".stripMargin,
+    "dedup" ->
+      """SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS ts_us FROM (
+        |  SELECT user_id, event_type, event_id, ts,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY epoch_ns(ts) // 1000, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
   )
 }

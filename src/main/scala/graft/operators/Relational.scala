@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.operators.ReferenceOps.moneySum
+
+/** Relational capability closure (SURVEY.md §2 Part B): joins, window
+  * functions, time windows, set ops, rollup, top-k, dedup. All plans are
+  * pure `Column` expressions; scale notes per operator. Canonical
+  * `orderBy` of a unique key everywhere for oracle determinism.
+  */
+object Relational {
+
+  /** Exact revenue Σ extendedprice·(1−discount): both factors go through
+    * DECIMAL(18,2) so the product and sum are exact decimals (order- and
+    * partitioning-insensitive), then one cast back to double. */
+  def revenueExact(price: Column, discount: Column): Column =
+    sum(price.cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) - discount.cast(DecimalType(18, 2))))
+      .cast(DoubleType)
+
+  /** NS: the KStream–KTable equi-join. Fact-fact shuffle join on the key —
+    * at 100 TB both sides partition on the join key; AQE handles skew. */
+  def equiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey", "inner")
+      .select($"o_orderkey", $"o_custkey", $"c_name", $"c_mktsegment", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  /** NS: TPC-H Q5-shaped multi-join + aggregate — revenue by customer
+    * nation. `nation`/`region` are bounded dims → explicit broadcast;
+    * the fact-fact joins (lineitem⋈orders⋈customer) shuffle on their keys.
+    */
+  def multiJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir)
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name", $"r_name")
+      .agg(
+        revenueExact($"l_extendedprice", $"l_discount").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy($"n_name")
+  }
+
+  /** NS: semi/anti join — customers with and without orders, tagged. */
+  def semiAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val semi = c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", lit("has_orders").as("status"))
+    val anti = c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", lit("no_orders").as("status"))
+    semi.unionAll(anti).orderBy($"c_custkey")
+  }
+
+  /** NS (Kafka Streams tumbling window): 1-hour tumbling aggregate.
+    * Streaming twin adds a watermark on `ts` (see graft.streaming). */
+  def windowedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), moneySum($"value").as("total_value"))
+      .select(unix_micros($"w.start").as("w_start"), $"event_type", $"n", $"total_value")
+      .orderBy($"w_start", $"event_type")
+  }
+
+  /** NS (hopping window): 1-hour window sliding every 15 minutes. */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour", "15 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros($"w.start").as("w_start"), $"event_type", $"n")
+      .orderBy($"w_start", $"event_type")
+  }
+
+  /** NS (session window): 30-minute-gap sessions per user. Batch uses the
+    * built-in `session_window`; the streaming twin keeps state via
+    * watermark-driven merge (same logical plan under readStream). */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), moneySum($"value").as("session_value"))
+      .select($"user_id", unix_micros($"w.start").as("session_start"),
+        $"n_events", $"session_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  /** NS: top-3 purchases per user — rank inside a key partition. One
+    * shuffle on user_id; rank+filter is map-side after that. */
+  def rankingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"value".desc, $"event_id")
+    Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"user_id", $"rnk", $"event_id", $"value")
+      .orderBy($"user_id", $"rnk")
+  }
+
+  /** NS: global top-10 by value — plans to TakeOrderedAndProject (per-
+    * partition top-k then a k-row driver merge; no global sort even at
+    * 100 TB). */
+  def topkSort(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .orderBy($"value".desc, $"event_id")
+      .limit(10)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+  }
+
+  /** NS: set operations over per-event-type user-id sets. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    def ids(t: String) = ev.filter($"event_type" === t).select($"user_id")
+    val p = ids("purchase")
+    val l = ids("view")
+    p.intersect(l).withColumn("status", lit("both"))
+      .unionAll(p.except(l).withColumn("status", lit("purchase_only")))
+      .unionAll(l.except(p).withColumn("status", lit("view_only")))
+      .orderBy($"status", $"user_id")
+  }
+
+  /** NS: exact distinct users per event type (shuffle-on-key distinct with
+    * partial aggregation). */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
+  /** NS: HLL++ approximate distinct — the 100 TB path (no per-key exact
+    * shuffle; fixed-size sketch per group). Not DuckDB-oracle-able (engine-
+    * specific estimator) → registered without oracleSql, rows-only check.
+    */
+  def distinctUsersApprox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        approx_count_distinct($"user_id", 0.01).as("approx_users"),
+        approx_count_distinct($"event_id", 0.01).as("approx_events"))
+      .orderBy($"event_type")
+  }
+
+  /** NS: rollup report — (event_type, day) sums with subtotals + grand
+    * total via Expand; null ordering pinned (Spark and DuckDB disagree on
+    * the default). */
+  def rollupReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("d", to_date($"ts"))
+      .rollup($"event_type", $"d")
+      .agg(count(lit(1)).as("n"), moneySum($"value").as("total_value"))
+      .orderBy($"event_type".asc_nulls_first, $"d".asc_nulls_first)
+  }
+
+  /** NS (LLM pipeline): exact dedup with a deterministic keeper — first
+    * event per (user_id, event_type) by (ts, event_id). Same single
+    * shuffle as groupBy; `dropDuplicates` semantics but reproducible, which
+    * is what a 100 TB training-data pipeline actually needs (re-runs must
+    * keep the same rows). */
+  def dedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"event_id", unix_micros($"ts").as("ts_us"))
+      .orderBy($"user_id", $"event_type")
+  }
+}
