@@ -1,0 +1,191 @@
+package graft
+
+/** DuckDB oracle SQL for the LLM-pipeline operators. The repetitive
+  * bit-level SQL (simhash bit sums, LSH hyperplane dots) is generated here
+  * so the SQL provably mirrors the Scala constants (same hash prefixes,
+  * same primes, same band layout).
+  */
+object Oracles {
+
+  /** Shared CTE: distinct word-3-gram shingles per document. */
+  private val gramsCte =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, list_distinct(list_transform(
+      |        generate_series(1, len(w) - 2),
+      |        i -> array_to_string(w[i:i+2], ' '))) AS grams FROM d)""".stripMargin
+
+  /** MinHash signature CTE (16 perms over 28-bit md5 base hash). */
+  private val minhashCte = gramsCte +
+    """,
+      |x AS (SELECT doc_id, list_transform(grams,
+      |        s -> CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT)) AS xs FROM g),
+      |s AS (SELECT doc_id, list_transform(range(0, 16),
+      |        i -> list_min(list_transform(xs,
+      |               v -> (v * (2*i + 1) + 7919*i + 1) % 268435399))) AS sig FROM x)""".stripMargin
+
+  private val simhashBitSums = (0 until 32)
+    .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+    .mkString(", ")
+  private val simhashAssemble = (0 until 32)
+    .map(b => s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    .mkString(" + ")
+
+  /** doc_id, simhash CTE chain shared by the two simhash queries. */
+  private val simhashCte =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
+       |s AS (SELECT doc_id, $simhashBitSums FROM h GROUP BY doc_id),
+       |m AS (SELECT doc_id, $simhashAssemble AS simhash FROM s)""".stripMargin
+
+  private def lshDot(j: Int, v: String) =
+    s"list_sum(list_transform(range(0, 64), d -> " +
+      s"(CAST(concat('0x', substr(md5(concat('hp:$j:', d)), 1, 7)) AS BIGINT) % 2001 - 1000)" +
+      s" * CAST($v[d+1] AS DOUBLE)))"
+
+  private def lshBucket(planes: Int, v: String) = (0 until planes)
+    .map(j => s"CASE WHEN ${lshDot(j, v)} > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    .mkString(" + ")
+
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def cosSql(a: String, b: String) =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  val llm: Map[String, String] = Map(
+    "text_analysis" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_types,
+        |       CAST(length(text) AS INTEGER) AS n_chars_actual,
+        |       length(text) = n_chars AS chars_ok,
+        |       CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |         / len(string_split(text, ' ')) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_word_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "quality_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |q AS (SELECT doc_id,
+        |        CAST(len(toks) AS INTEGER) AS n_tokens,
+        |        CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS INTEGER) AS n_stop,
+        |        len(list_distinct(toks)) AS n_types
+        |      FROM t)
+        |SELECT doc_id, n_tokens, n_stop,
+        |       CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+        |       CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+        |       least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS len_score,
+        |       least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |         (CAST(n_types AS DOUBLE) / n_tokens * 0.3 +
+        |          (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3) AS quality
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang AS labeled_lang,
+        |  CAST(len(list_filter(toks, t -> t='the' OR t='a' OR t='of' OR t='and')) AS INTEGER) AS n_en,
+        |  CAST(len(list_filter(toks, t -> t='der' OR t='die' OR t='und' OR t='das')) AS INTEGER) AS n_de,
+        |  CAST(len(list_filter(toks, t -> t='el' OR t='la' OR t='de' OR t='y')) AS INTEGER) AS n_es,
+        |  CAST(len(list_filter(toks, t -> t='le' OR t='la' OR t='et' OR t='les')) AS INTEGER) AS n_fr
+        | FROM t)
+        |SELECT doc_id, labeled_lang, n_en, n_de, n_es, n_fr,
+        |  CASE WHEN greatest(n_en, n_de, n_es, n_fr) = 0 THEN 'und'
+        |       WHEN n_en = greatest(n_en, n_de, n_es, n_fr) THEN 'en'
+        |       WHEN n_de = greatest(n_en, n_de, n_es, n_fr) THEN 'de'
+        |       WHEN n_es = greatest(n_en, n_de, n_es, n_fr) THEN 'es'
+        |       ELSE 'fr' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, list_transform(generate_series(1, len(w) - 4),
+        |        i -> array_to_string(w[i:i+4], ' ')) AS grams FROM t)
+        |SELECT doc_id, CAST(len(grams) AS INTEGER) AS n_grams,
+        |       list_min(list_transform(grams,
+        |         g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT))) AS fingerprint
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "doc_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_doc_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin,
+    "minhash_signatures" -> (minhashCte +
+      """
+        |SELECT doc_id,
+        |  array_to_string(sig[1:4], ',') AS b0,
+        |  array_to_string(sig[5:8], ',') AS b1,
+        |  array_to_string(sig[9:12], ',') AS b2,
+        |  array_to_string(sig[13:16], ',') AS b3
+        |FROM s ORDER BY doc_id""".stripMargin),
+    "minhash_dedup_pairs" -> (minhashCte +
+      """,
+        |b AS (SELECT doc_id, ks.k, array_to_string(sig[4*ks.k+1:4*ks.k+4], ',') AS bv, sig
+        |      FROM s, (SELECT unnest([0,1,2,3]) AS k) ks)
+        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |  CAST(list_sum(list_transform(range(1, 17),
+        |    i -> CASE WHEN x.sig[i] = y.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 AS est_jaccard
+        |FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "simhash_docs" -> (simhashCte +
+      """
+        |SELECT doc_id, simhash,
+        |       simhash % 256 AS band0,
+        |       (simhash >> 8) % 256 AS band1,
+        |       (simhash >> 16) % 256 AS band2,
+        |       (simhash >> 24) % 256 AS band3
+        |FROM m ORDER BY doc_id""".stripMargin),
+    "simhash_neardup_pairs" -> (simhashCte +
+      """,
+        |b AS (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
+        |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks)
+        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+        |FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "ngram_jaccard" -> (gramsCte +
+      """,
+        |p AS (SELECT grams AS pg FROM g WHERE doc_id = 0)
+        |SELECT doc_id, CAST(len(grams) AS INTEGER) AS n_grams,
+        |  CAST(len(list_filter(grams, x -> list_contains(pg, x))) AS INTEGER) AS n_inter,
+        |  CAST(len(grams) + len(pg)
+        |       - len(list_filter(grams, x -> list_contains(pg, x))) AS INTEGER) AS n_union,
+        |  CAST(len(list_filter(grams, x -> list_contains(pg, x))) AS DOUBLE)
+        |    / (len(grams) + len(pg) - len(list_filter(grams, x -> list_contains(pg, x)))) AS jaccard
+        |FROM g, p ORDER BY doc_id""".stripMargin),
+    "similarity_search" ->
+      s"""WITH p AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, ${cosSql("embedding", "p")} AS score
+         |FROM embeddings, p WHERE vec_id <> 0
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "ann_lsh_buckets" ->
+      s"""WITH b AS (SELECT vec_id, ${lshBucket(8, "embedding")} AS bucket FROM embeddings)
+         |SELECT bucket, count(*) AS n_vectors,
+         |       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "ann_lsh_search" ->
+      s"""WITH b AS (SELECT vec_id, label, embedding,
+         |             ${lshBucket(4, "embedding")} AS bucket FROM embeddings),
+         |p AS (SELECT embedding AS pe, bucket AS pbucket FROM b WHERE vec_id = 0)
+         |SELECT vec_id, label, bucket, ${cosSql("embedding", "pe")} AS score
+         |FROM b, p WHERE bucket = pbucket AND vec_id <> 0
+         |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+    "embedding_neardup" ->
+      s"""WITH b AS (SELECT vec_id, ${lshBucket(4, "embedding")} AS bucket, embedding
+         |           FROM embeddings)
+         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |       ${cosSql("x.embedding", "y.embedding")} AS score
+         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE ${cosSql("x.embedding", "y.embedding")} > 0.30
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "multimodal_cols" ->
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS payload_len,
+        |       substr(md5(text), 1, 16) AS payload_head,
+        |       'lang' AS meta_key, lang AS meta_value FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(length(text) AS INTEGER), substr(md5(text), 1, 16),
+        |       'source', source FROM documents
+        |ORDER BY doc_id, meta_key""".stripMargin,
+    // media_decode_stub: typed mapPartitions pipeline — rows-only check.
+  )
+}

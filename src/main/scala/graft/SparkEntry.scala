@@ -44,10 +44,32 @@ object SparkEntry {
     "distinct_users_approx" -> (Relational.distinctUsersApprox(_, _)),
     "rollup_report"        -> (Relational.rollupReport(_, _)),
     "dedup"                -> (Relational.dedup(_, _)),
+    // — LLM-data-pipeline operators —
+    "text_analysis"        -> (TextAnalysis.textAnalysis(_, _)),
+    "token_count"          -> (TextAnalysis.tokenCount(_, _)),
+    "quality_score"        -> (TextAnalysis.qualityScore(_, _)),
+    "lang_id"              -> (TextAnalysis.langId(_, _)),
+    "fingerprint"          -> (TextAnalysis.fingerprint(_, _)),
+    "doc_dedup_exact"      -> (DocDedup.docDedupExact(_, _)),
+    "minhash_signatures"   -> (DocDedup.minhashSignatures(_, _)),
+    "minhash_dedup_pairs"  -> (DocDedup.minhashDedupPairs(_, _)),
+    "simhash_docs"         -> (DocDedup.simhashDocs(_, _)),
+    "simhash_neardup_pairs" -> (DocDedup.simhashNearDupPairs(_, _)),
+    "ngram_jaccard"        -> (DocDedup.ngramJaccardProbe(_, _)),
+    "similarity_search"    -> (Similarity.similaritySearch(_, _)),
+    "ann_lsh_buckets"      -> (Similarity.annLshBuckets(_, _)),
+    "ann_lsh_search"       -> (Similarity.annLshSearch(_, _)),
+    "embedding_neardup"    -> (Similarity.embeddingNearDupPairs(_, _)),
+    "multimodal_cols"      -> (Multimodal.multimodalCols(_, _)),
+    "media_decode_stub"    -> (Multimodal.mediaDecodeStub(_, _)),
   )
 
-  /** DuckDB oracle twins (driver runs these on the same parquet dirs). */
-  def oracleSql: Map[String, String] = Map(
+  /** DuckDB oracle twins (driver runs these on the same parquet dirs).
+    * LLM-operator oracles (incl. generated simhash/LSH SQL) live in
+    * [[Oracles.llm]]; `distinct_users_approx` (HLL++) and
+    * `media_decode_stub` (typed mapPartitions) are intentionally
+    * oracle-less → rows-only check. */
+  def oracleSql: Map[String, String] = Oracles.llm ++ Map(
     "sales_totals" ->
       """SELECT user_id,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns
+  * with typed metadata, batch-shaped decode via `mapPartitions`.
+  *
+  * The actual image/audio decode is STUBBED (no codec libraries in this
+  * environment) behind [[MediaDecoder]]; everything Spark-side — schema,
+  * binary columns, struct/map shaping, partition-wise batch decode, the
+  * operator's position in the plan — is real and tested. At 100 TB the
+  * binary payloads stay columnar in parquet (never materialized as strings)
+  * and decode runs once per partition with amortized codec setup.
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, payload: Array[Byte], meta: Map[String, String])
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, head_hash: String, n_frames: Int)
+
+  /** Decoder contract a real deployment would back with image/audio codecs.
+    * `decodeBatch` is partition-scoped so implementations can amortize
+    * codec/model initialization across a whole batch of payloads. */
+  trait MediaDecoder extends Serializable {
+    def decodeBatch(records: Iterator[MediaRecord]): Iterator[MediaFeatures]
+  }
+
+  /** STUB decoder: deterministic fake features (payload length, md5-head
+    * of the bytes, a fake frame count). A real one would go:
+    * bytes → BufferedImage/av frames → resize/sample → feature vector. */
+  object StubDecoder extends MediaDecoder {
+    def decodeBatch(records: Iterator[MediaRecord]): Iterator[MediaFeatures] =
+      records.map { r =>
+        val md = java.security.MessageDigest.getInstance("MD5").digest(r.payload)
+        MediaFeatures(
+          doc_id = r.doc_id,
+          n_bytes = r.payload.length,
+          head_hash = md.take(8).map(b => f"$b%02x").mkString,
+          n_frames = r.payload.length / 100 + 1)
+      }
+  }
+
+  /** `documents` rows shaped as media records: text bytes standing in for
+    * the opaque payload, (lang, source) as typed metadata. */
+  def mediaRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        $"text".cast(BinaryType).as("payload"),
+        map(lit("lang"), $"lang", lit("source"), $"source").as("meta"))
+      .as[MediaRecord]
+  }
+
+  /** Partition-wise batch decode through the (stub) decoder — the
+    * mapPartitions seam where a Pandas-UDF/codec batch would run. */
+  def decodeFeatures(records: Dataset[MediaRecord],
+      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(decoder.decodeBatch(_))
+  }
+
+  /** Oracle-checked multimodal shaping query: pack each document into
+    * struct<payload:binary, meta:map>, then unpack — payload stats +
+    * exploded metadata rows. Exercises struct/map/binary/explode. */
+  def multimodalCols(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", struct(
+        $"text".cast(BinaryType).as("payload"),
+        map(lit("lang"), $"lang", lit("source"), $"source").as("meta")).as("packed"))
+      .select(
+        $"doc_id",
+        length($"packed.payload").as("payload_len"),
+        substring(md5($"packed.payload"), 1, 16).as("payload_head"),
+        explode($"packed.meta").as(Seq("meta_key", "meta_value")))
+      .orderBy($"doc_id", $"meta_key")
+  }
+
+  /** Rows-only-checked decode query via the mapPartitions stub pipeline
+    * (not SQL-expressible — it exercises the typed Dataset seam). */
+  def mediaDecodeStub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeFeatures(mediaRecords(spark, dir)).toDF().orderBy($"doc_id")
+  }
+}

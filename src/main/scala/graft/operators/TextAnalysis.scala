@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Text-analysis operators for LLM-data pipelines over `documents`:
+  * token counting, quality scoring, language-ID heuristic, shingle
+  * fingerprinting. All are per-row `Column` expression pipelines — no
+  * shuffle at all until an aggregate asks for one, so they scale linearly
+  * and stay inside whole-stage codegen at 100 TB.
+  */
+object TextAnalysis {
+
+  /** First 60 bits of md5 as a non-negative long — the deterministic
+    * cross-engine string hash used by fingerprint/minhash/simhash
+    * (DuckDB twin: CAST('0x' || substr(md5(s),1,15) AS BIGINT)). */
+  def md5Long60(c: Column): Column =
+    conv(substring(md5(c.cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
+
+  /** First 28 bits of md5 — small enough that (a*x+b) stays in int64. */
+  def md5Long28(c: Column): Column =
+    conv(substring(md5(c.cast(BinaryType)), 1, 7), 16, 10).cast(LongType)
+
+  /** Whitespace tokens of `text` (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles as strings, e.g. n=3 → "w1 w2 w3". Guarded:
+    * `sequence(0, size-n)` would count DOWN for docs shorter than n tokens
+    * — those yield an empty shingle list instead. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Per-document token statistics (SURVEY §2B `text_analysis`). */
+  def textAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens($"text"))
+      .select(
+        $"doc_id",
+        size($"toks").as("n_tokens"),
+        size(array_distinct($"toks")).as("n_types"),
+        length($"text").as("n_chars_actual"),
+        (length($"text") === $"n_chars").as("chars_ok"),
+        // mean token length without an array fold: chars minus separators
+        ((length($"text") - (size($"toks") - 1)).cast(DoubleType) /
+          size($"toks")).as("avg_token_len"))
+      .orderBy($"doc_id")
+  }
+
+  /** Token counting: whitespace split vs a BPE-ish regex segmentation
+    * (letters / digits / single non-alnum), per document. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        size(tokens($"text")).as("n_ws_tokens"),
+        regexp_count($"text", lit("[a-z]+")).as("n_word_tokens"),
+        regexp_count($"text", lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  private val StopWords = Seq("the", "a")
+
+  /** Quality scoring: length score, stopword ratio, type/token ratio →
+    * weighted composite. The expression tree is mirrored exactly in the
+    * oracle so double arithmetic stays bit-identical. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val isStop: Column => Column = t => t.isin(StopWords: _*)
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens($"text"))
+      .withColumn("n_tokens", size($"toks"))
+      .withColumn("n_stop", size(filter($"toks", isStop)))
+      .withColumn("stop_ratio", $"n_stop".cast(DoubleType) / $"n_tokens")
+      .withColumn("ttr", size(array_distinct($"toks")).cast(DoubleType) / $"n_tokens")
+      .withColumn("len_score", least($"n_tokens".cast(DoubleType) / 100.0, lit(1.0)))
+      .select(
+        $"doc_id", $"n_tokens", $"n_stop", $"stop_ratio", $"ttr", $"len_score",
+        ($"len_score" * 0.4 + ($"ttr" * 0.3 + (lit(1.0) - $"stop_ratio") * 0.3))
+          .as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** Language-ID: marker-token n-gram heuristic — count hits against small
+    * per-language marker profiles, argmax with deterministic tie-break
+    * (profile order), 'und' when nothing matches. The synthetic corpus
+    * shares one vocabulary across langs, so this demonstrates mechanics
+    * (and the oracle checks them), not accuracy. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "of", "and"),
+      "de" -> Seq("der", "die", "und", "das"),
+      "es" -> Seq("el", "la", "de", "y"),
+      "fr" -> Seq("le", "la", "et", "les"))
+    val withScores = Tables.documents(spark, dir)
+      .withColumn("toks", tokens($"text"))
+      .withColumns(profiles.map { case (l, ws) =>
+        s"n_$l" -> size(filter($"toks", t => t.isin(ws: _*)))
+      }.toMap)
+    val best = greatest(profiles.map { case (l, _) => col(s"n_$l") }: _*)
+    // ties break in profile order: en beats de beats es beats fr
+    val outCols: Seq[Column] =
+      Seq($"doc_id", $"lang".as("labeled_lang")) ++
+        profiles.map { case (l, _) => col(s"n_$l") } :+
+        when(best === 0, "und")
+          .when($"n_en" === best, "en")
+          .when($"n_de" === best, "de")
+          .when($"n_es" === best, "es")
+          .otherwise("fr").as("pred_lang")
+    withScores.select(outCols: _*).orderBy($"doc_id")
+  }
+
+  /** Document fingerprinting: rolling word-5-gram shingles hashed with the
+    * cross-engine md5-60 hash; fingerprint = min shingle hash (winnowing-
+    * style content signature, stable under reordering of equal content). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens($"text"))
+      .withColumn("grams", shingles($"toks", 5))
+      .select(
+        $"doc_id",
+        size($"grams").as("n_grams"),
+        array_min(transform($"grams", g => md5Long60(g))).as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+}
