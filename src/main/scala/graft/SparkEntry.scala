@@ -30,6 +30,8 @@ object SparkEntry {
     "json_roundtrip"       -> (ReferenceOps.jsonRoundtrip(_, _)),
     "wire_format"          -> (ReferenceOps.wireFormatRoundtrip(_, _)),
     "filter_pushdown_scan" -> (ReferenceOps.filterPushdownScan(_, _)),
+    "avro_roundtrip"       -> (ReferenceOps.avroRoundtrip(_, _)),
+    "proto_roundtrip"      -> (ReferenceOps.protoRoundtrip(_, _)),
     // — Part B: relational closure —
     "equi_join"            -> (Relational.equiJoin(_, _)),
     "multi_join_agg"       -> (Relational.multiJoinAgg(_, _)),
@@ -125,6 +127,18 @@ object SparkEntry {
         |       CAST(l_shipdate AS DATE) AS ship_date
         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-06-01'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "avro_roundtrip" ->
+      """SELECT event_id, event_type AS name, CAST(user_id AS VARCHAR) AS real_name,
+        |       props AS movie0,
+        |       CAST(1 + length(event_type) + 1 + length(CAST(user_id AS VARCHAR))
+        |            + 1 + 1 + length(props) + 1 AS INTEGER) AS frame_len
+        |FROM events ORDER BY event_id""".stripMargin,
+    "proto_roundtrip" ->
+      """SELECT event_id, event_type AS name, CAST(user_id AS VARCHAR) AS real_name,
+        |       props AS movie0,
+        |       CAST(2 + length(event_type) + 2 + length(CAST(user_id AS VARCHAR))
+        |            + 2 + length(props) AS INTEGER) AS frame_len
+        |FROM events ORDER BY event_id""".stripMargin,
     "equi_join" ->
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -20,4 +20,12 @@ package object functions {
     * null for malformed frames. */
   def wire_decode(frame: Column, proto: Boolean = false): Column =
     toCol(WireDecode(ex(frame), proto))
+
+  /** struct<name,real_name,movies> ↔ Avro binary (reference avenger.avsc). */
+  def avro_record_encode(c: Column): Column = toCol(AvroRecordEncode(ex(c)))
+  def avro_record_decode(c: Column): Column = toCol(AvroRecordDecode(ex(c)))
+
+  /** struct<name,real_name,movies> ↔ proto3 binary (avenegers.proto). */
+  def proto_record_encode(c: Column): Column = toCol(ProtoRecordEncode(ex(c)))
+  def proto_record_decode(c: Column): Column = toCol(ProtoRecordDecode(ex(c)))
 }

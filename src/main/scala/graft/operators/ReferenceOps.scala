@@ -142,6 +142,51 @@ object ReferenceOps {
       .orderBy($"event_id")
   }
 
+  /** A23+A24: Avro binary serde roundtrip through the custom codec
+    * expressions — encode an Avenger-schema record built from events
+    * columns, decode it back, surface the decoded fields + frame length
+    * (SQL-computable: every string here is < 64 bytes ⇒ 1-byte zigzag
+    * length prefixes). */
+  def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{avro_record_decode, avro_record_encode}
+    Tables.events(spark, dir)
+      .select($"event_id", struct(
+        $"event_type".as("name"),
+        $"user_id".cast(StringType).as("real_name"),
+        array($"props").as("movies")).as("rec"))
+      .withColumn("frame", avro_record_encode($"rec"))
+      .withColumn("dec", avro_record_decode($"frame"))
+      .select(
+        $"event_id",
+        $"dec.name".as("name"),
+        $"dec.real_name".as("real_name"),
+        element_at($"dec.movies", 1).as("movie0"),
+        length($"frame").as("frame_len"))
+      .orderBy($"event_id")
+  }
+
+  /** A25: proto3 serde roundtrip through the custom codec expressions
+    * (tag-length-value; 1-byte tags and lengths at these string sizes). */
+  def protoRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{proto_record_decode, proto_record_encode}
+    Tables.events(spark, dir)
+      .select($"event_id", struct(
+        $"event_type".as("name"),
+        $"user_id".cast(StringType).as("real_name"),
+        array($"props").as("movies")).as("rec"))
+      .withColumn("frame", proto_record_encode($"rec"))
+      .withColumn("dec", proto_record_decode($"frame"))
+      .select(
+        $"event_id",
+        $"dec.name".as("name"),
+        $"dec.real_name".as("real_name"),
+        element_at($"dec.movies", 1).as("movie0"),
+        length($"frame").as("frame_len"))
+      .orderBy($"event_id")
+  }
+
   /** A4-adjacent: prove predicate pushdown + column pruning reach the
     * parquet scan (`PushedFilters`/`ReadSchema` in .explain).
     */

@@ -1,0 +1,149 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamReader, DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming surface of the engine.
+  *
+  * The reference is a set of Kafka client applications (SURVEY.md §0); its
+  * topologies map here:
+  *  - produce/consume loops → readStream → transform → writeStream
+  *    (MicroBatchExecution runs the loop; reference:
+  *    golang/chapter_4/sales/sales_produce_consume_application.go:13-62),
+  *  - manual offset commit → checkpointLocation WAL (at-least-once →
+  *    exactly-once into tracked sinks; reference:
+  *    golang/chapter_4/pipelining/pipelining_consumer_client.go:98-108),
+  *  - bounded-queue backpressure → maxOffsetsPerTrigger (reference:
+  *    golang/chapter_4/pipelining/produce_pipelining_consume_application.go:18-19),
+  *  - 3-second produce cadence → ProcessingTime trigger; run-once →
+  *    AvailableNow (reference: sales_producer_client.go:69;
+  *    multi_event_avro_producer_client.go:98-103).
+  *
+  * Every transform below takes a DataFrame and works identically under
+  * `read` and `readStream` — the streaming twin IS the batch logical plan.
+  * No Kafka broker (or connector jar) exists in this sandbox, so the Kafka
+  * builders assemble and expose the full option surface and are covered by
+  * unit tests at that level; transforms are tested on MemoryStream.
+  */
+object StreamOps {
+
+  /** Kafka-record schema produced by Spark's Kafka source — the engine's
+    * record model (SURVEY.md §1.1). */
+  val KafkaRecordSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType), StructField("value", BinaryType),
+    StructField("topic", StringType), StructField("partition", IntegerType),
+    StructField("offset", LongType), StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  /** A4/A5: consumer-group source config. `maxOffsetsPerTrigger` plays the
+    * reference's bounded-queue backpressure (cap 25 batches). */
+  final case class KafkaSourceConfig(
+      brokers: Seq[String],
+      topics: Seq[String],
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None,
+      failOnDataLoss: Boolean = true) {
+    def options: Map[String, String] = Map(
+      "kafka.bootstrap.servers" -> brokers.mkString(","),
+      "subscribe" -> topics.mkString(","),
+      "startingOffsets" -> startingOffsets,
+      "failOnDataLoss" -> failOnDataLoss.toString) ++
+      maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString)
+    def reader(spark: SparkSession): DataStreamReader =
+      spark.readStream.format("kafka").options(options)
+  }
+
+  /** A8/A9: producer sink config — acks=1 + 10 retries are the reference's
+    * settings (sales_producer_client.go:22-23); the checkpoint plays A19's
+    * offset commit. */
+  final case class KafkaSinkConfig(
+      brokers: Seq[String],
+      topic: String,
+      checkpointLocation: String,
+      acks: String = "1",
+      retries: Int = 10) {
+    def options: Map[String, String] = Map(
+      "kafka.bootstrap.servers" -> brokers.mkString(","),
+      "topic" -> topic,
+      "kafka.acks" -> acks,
+      "kafka.retries" -> retries.toString,
+      "checkpointLocation" -> checkpointLocation)
+    def writer(df: DataFrame): DataStreamWriter[Row] =
+      df.writeStream.format("kafka").options(options)
+  }
+
+  /** The sales topology's record transform (A12+A21 producer side): key =
+    * customer name, value = JSON of the record — ready for a Kafka sink. */
+  def toKafkaRecords(records: DataFrame, keyCol: String): DataFrame =
+    records.select(
+      col(keyCol).cast(StringType).cast(BinaryType).as("key"),
+      to_json(struct(records.columns.map(col): _*)).cast(BinaryType).as("value"))
+
+  /** Streaming twin of `ReferenceOps.salesTotals` — running per-customer
+    * totals (update mode; unwindowed KTable-style aggregation). */
+  def salesTotals(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(col("value")).as("revenue"), count(lit(1)).as("n_purchases"))
+
+  /** Streaming twin of `Relational.windowedAgg`: watermarked 1-hour
+    * tumbling windows; late events beyond 10 minutes are dropped and state
+    * is evicted — bounded memory at any scale. */
+  def windowedAgg(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Streaming twin of `Relational.sessionWindow` (30-minute gap sessions,
+    * watermark-driven merge + eviction). */
+  def sessionWindow(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("session_value"))
+
+  /** Streaming dedup within the watermark horizon — the streaming twin of
+    * `Relational.dedup` (state for each key is dropped once the watermark
+    * passes, so state size is bounded by the horizon, not the stream). */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** A14: multi-way event dispatch as a foreachBatch fan-out — each event
+    * type's branch is handed to `route` exactly once per micro-batch
+    * (reference: multi_event_proto_consumer_client.go:100-126 routes
+    * purchase/login/search into separate collections). */
+  def dispatchFanout(
+      events: DataFrame,
+      eventTypes: Seq[String],
+      checkpointDir: String,
+      route: (String, DataFrame) => Unit): DataStreamWriter[Row] =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try eventTypes.foreach { t =>
+          route(t, batch.filter(col("event_type") === t))
+        } finally batch.unpersist()
+      }
+
+  /** A32 run-once mode: drain whatever is available, then stop — the
+    * AvailableNow trigger against any sink. */
+  def runOnceToMemory(df: DataFrame, queryName: String, outputMode: String): StreamingQuery =
+    df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

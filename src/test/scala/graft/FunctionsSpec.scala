@@ -1,0 +1,111 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Unit tests for the custom Catalyst expressions: FNV-1a vectors,
+  * Confluent wire-format roundtrips (seeded-random property loops
+  * mirroring the reference's encoder/decoder), uvarint overflow guard,
+  * Avro/proto3 record codec roundtrips. */
+class FunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // Published FNV-1a-32 test vectors + the reference partitioner's override
+  // input (custom_order_partitioner.go:22-24).
+  test("fnv1a32 matches published vectors") {
+    assert(Fnv1a32.hash("".getBytes("UTF-8")) === 0x811c9dc5L)
+    assert(Fnv1a32.hash("a".getBytes("UTF-8")) === 0xe40c292cL)
+    assert(Fnv1a32.hash("foobar".getBytes("UTF-8")) === 0xbf9cf968L)
+    val row = spark.range(1)
+      .select(fnv1a32(lit("a")).as("h"), fnv1a32(lit("").cast("string")).as("e"))
+      .head()
+    assert(row.getLong(0) === 0xe40c292cL)
+    assert(row.getLong(1) === 0x811c9dc5L)
+  }
+
+  test("wire format roundtrips for arbitrary payloads (avro + proto)") {
+    val rnd = new Random(42)
+    for (_ <- 1 to 200) {
+      val schemaId = rnd.nextInt(Int.MaxValue)
+      val payload = Array.fill[Byte](rnd.nextInt(64))(rnd.nextInt().toByte)
+      for (proto <- Seq(false, true)) {
+        val frame = WireFormat.encode(schemaId, payload, proto)
+        assert(frame(0) === 0x00.toByte)
+        val decoded = WireFormat.decode(frame, proto)
+        assert(decoded != null)
+        assert(decoded._1 === schemaId)
+        assert(decoded._2.toSeq === payload.toSeq)
+      }
+    }
+  }
+
+  test("wire decode rejects malformed frames") {
+    assert(WireFormat.decode(Array[Byte](1, 2, 3), proto = false) === null)
+    assert(WireFormat.decode(Array[Byte](9, 0, 0, 0, 9, 65), proto = false) === null)
+    assert(WireFormat.decode(null, proto = false) === null)
+    // truncated uvarint: proto frame ending mid-varint
+    assert(WireFormat.decode(Array[Byte](0, 0, 0, 0, 9, -1), proto = true) === null)
+  }
+
+  test("uvarint matches the reference semantics incl. overflow guard") {
+    assert(WireFormat.readUVarint(Array[Byte](0x07), 0) === ((7L, 1)))
+    // multi-byte: 300 = 0xAC 0x02
+    assert(WireFormat.readUVarint(Array[Byte](0xac.toByte, 0x02), 0) === ((300L, 2)))
+    // overflow: ten 0xff continuation bytes (> 64 bits) must be rejected
+    val over = Array.fill[Byte](9)(0xff.toByte) :+ 0x02.toByte
+    val (_, n) = WireFormat.readUVarint(over, 0)
+    assert(n < 0)
+    // truncation: continuation bit set, no terminator
+    assert(WireFormat.readUVarint(Array[Byte](0x80.toByte), 0)._2 === 0)
+  }
+
+  private def randStr(rnd: Random): String =
+    Iterator.fill(rnd.nextInt(20))(rnd.nextPrintableChar()).mkString
+
+  test("avro record codec roundtrips (incl. empty movies / unicode)") {
+    val rnd = new Random(7)
+    for (_ <- 1 to 200) {
+      val t = (randStr(rnd), randStr(rnd), Seq.fill(rnd.nextInt(5))(randStr(rnd)))
+      assert(RecordCodecs.avroDecode(RecordCodecs.avroEncode(t._1, t._2, t._3)) === t)
+    }
+    val uni = RecordCodecs.avroEncode("héro", "名前", Seq("ünïcode"))
+    assert(RecordCodecs.avroDecode(uni) === (("héro", "名前", Seq("ünïcode"))))
+  }
+
+  test("proto record codec roundtrips") {
+    val rnd = new Random(11)
+    for (_ <- 1 to 200) {
+      val t = (randStr(rnd), randStr(rnd), Seq.fill(rnd.nextInt(5))(randStr(rnd)))
+      assert(RecordCodecs.protoDecode(RecordCodecs.protoEncode(t._1, t._2, t._3)) === t)
+    }
+  }
+
+  test("avro codec matches the reference's canonical record bytes") {
+    // ("Captain America","Steve Rogers",[3 movies]) — cmd/producer/main.go:59-63.
+    // Byte layout: zigzag-len + utf8 per string; array = block count, items, 0.
+    val bytes = RecordCodecs.avroEncode("Captain America", "Steve Rogers",
+      Seq("The First Avenger", "The Winter Soldier", "Civil War"))
+    assert(bytes(0) === 30.toByte) // zigzag(15) = 30
+    assert(new String(bytes, 1, 15, "UTF-8") === "Captain America")
+    assert(bytes(16) === 24.toByte) // zigzag(12)
+    val decoded = RecordCodecs.avroDecode(bytes)
+    assert(decoded._3.size === 3)
+  }
+
+  test("codec expressions work as Columns with null-safety") {
+    val df = Seq(("Hulk", "Bruce Banner", Seq("The Avengers", "Age of Ultron")))
+      .toDF("name", "real_name", "movies")
+      .select(struct($"name", $"real_name", $"movies").as("rec"))
+      .select(
+        avro_record_decode(avro_record_encode($"rec")).as("avro"),
+        proto_record_decode(proto_record_encode($"rec")).as("proto"),
+        avro_record_decode(lit(Array[Byte](-1))).as("bad"))
+    val r = df.head()
+    assert(r.getStruct(0).getString(0) === "Hulk")
+    assert(r.getStruct(1).getSeq[String](2) === Seq("The Avengers", "Age of Ultron"))
+    assert(r.isNullAt(2))
+  }
+}
