@@ -28,4 +28,10 @@ package object functions {
   /** struct<name,real_name,movies> ↔ proto3 binary (avenegers.proto). */
   def proto_record_encode(c: Column): Column = toCol(ProtoRecordEncode(ex(c)))
   def proto_record_decode(c: Column): Column = toCol(ProtoRecordDecode(ex(c)))
+
+  /** First n hex digits of md5 as a long (codegen'd cross-engine hash). */
+  def md5_long(c: Column, hexDigits: Int): Column = toCol(Md5Long(ex(c), hexDigits))
+
+  /** Ordered-fold double dot product of two numeric arrays (codegen'd). */
+  def vector_dot(a: Column, b: Column): Column = toCol(VectorDot(ex(a), ex(b)))
 }

@@ -33,20 +33,31 @@ object DocDedup {
   }
 
   /** doc_id + 16-element MinHash signature over distinct word-3-gram
-    * shingles, plus the 4 LSH band keys. */
+    * shingles, plus the 4 LSH band keys.
+    *
+    * Shape: explode shingles → hash once per shingle → groupBy(doc_id)
+    * with 16 min() aggregates. The array-expression formulation
+    * (transform+array_min over a shared `xs` column) looks natural but
+    * Catalyst's projection collapse re-inlines `xs` into each of the 16
+    * signature slots — md5 per shingle ran 16×. The explode form hashes
+    * each shingle exactly once, gets map-side partial aggregation, and is
+    * what you'd run at 100 TB anyway.
+    */
   private def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sig = array((0 until NumHashes).map { i =>
-      array_min(transform($"xs", v => (v * (2 * i + 1) + (7919 * i + 1)) % MinHashP))
-    }: _*)
-    val withSig = Tables.documents(spark, dir)
-      .withColumn("grams", array_distinct(shingles(tokens($"text"), 3)))
-      .withColumn("xs", transform($"grams", g => md5Long28(g)))
-      .withColumn("sig", sig)
+    val hashed = Tables.documents(spark, dir)
+      .select($"doc_id", explode(array_distinct(shingles($"text", 3))).as("g"))
+      .select($"doc_id", md5Long28($"g").as("x"))
+    val aggs = (0 until NumHashes).map { i =>
+      min(($"x" * (2 * i + 1) + (7919 * i + 1)) % MinHashP).as(s"m$i")
+    }
+    val sums = hashed.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+    val withSig = sums
+      .withColumn("sig", array((0 until NumHashes).map(i => col(s"m$i")): _*))
     (0 until NumHashes / BandSize).foldLeft(withSig) { case (df, k) =>
       df.withColumn(s"b$k", concat_ws(",",
-        (0 until BandSize).map(j => element_at($"sig", k * BandSize + j + 1).cast(StringType)): _*))
-    }
+        (0 until BandSize).map(j => col(s"m${k * BandSize + j}").cast(StringType)): _*))
+    }.select($"doc_id", $"sig", $"b0", $"b1", $"b2", $"b3")
   }
 
   /** MinHash signatures + band keys per document (the dedup index one
@@ -129,14 +140,26 @@ object DocDedup {
     * is exactly `minhashDedupPairs`' candidate set scored the same way). */
   def ngramJaccardProbe(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val g3 = Tables.documents(spark, dir)
-      .withColumn("grams", array_distinct(shingles(tokens($"text"), 3)))
-    val probe = g3.filter($"doc_id" === 0).select($"grams".as("pg"))
-    g3.crossJoin(broadcast(probe))
-      .withColumn("n_inter", size(filter($"grams", g => array_contains($"pg", g))))
-      .withColumn("n_union", size($"grams") + size($"pg") - $"n_inter")
+    // Shape matters twice here: (1) explode + broadcast hash join beats the
+    // per-row array_contains scan (an O(|grams|·|probe|) CodegenFallback
+    // HOF); (2) the corpus is shingled exactly ONCE — n_grams and n_inter
+    // both come out of the same exploded side via a left join + one
+    // aggregate (count(pgm) counts only matches), because every extra DAG
+    // branch over the docs would re-run the shingle transform end to end.
+    def probeSide = Tables.documents(spark, dir).filter($"doc_id" === 0)
+      .select(explode(array_distinct(shingles($"text", 3))).as("pgm"))
+    val exploded = Tables.documents(spark, dir)
+      .select($"doc_id", explode(array_distinct(shingles($"text", 3))).as("g"))
+    val agg = exploded.join(broadcast(probeSide), $"g" === $"pgm", "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams_raw"), count($"pgm").as("n_inter_raw"))
+    val pSize = probeSide.select(count(lit(1)).cast(IntegerType).as("p_size"))
+    agg.crossJoin(broadcast(pSize))
+      .withColumn("n_grams", $"n_grams_raw".cast(IntegerType))
+      .withColumn("n_inter", $"n_inter_raw".cast(IntegerType))
+      .withColumn("n_union", ($"n_grams" + $"p_size" - $"n_inter").cast(IntegerType))
       .select(
-        $"doc_id", size($"grams").as("n_grams"), $"n_inter", $"n_union",
+        $"doc_id", $"n_grams", $"n_inter", $"n_union",
         ($"n_inter".cast(DoubleType) / $"n_union").as("jaccard"))
       .orderBy($"doc_id")
   }

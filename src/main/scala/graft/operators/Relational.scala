@@ -157,8 +157,8 @@ object Relational {
     Tables.events(spark, dir)
       .groupBy($"event_type")
       .agg(
-        approx_count_distinct($"user_id", 0.01).as("approx_users"),
-        approx_count_distinct($"event_id", 0.01).as("approx_events"))
+        approx_count_distinct($"user_id", 0.02).as("approx_users"),
+        approx_count_distinct($"event_id", 0.02).as("approx_events"))
       .orderBy($"event_type")
   }
 

