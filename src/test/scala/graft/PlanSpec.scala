@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan audit: locks in the plan shapes the 100 TB design relies
+  * on. Correctness specs prove the small-SF answers; these prove the plan
+  * would still be the right plan at 1000 executors — filters reach the
+  * parquet scan, bounded dims broadcast, top-k never global-sorts, and no
+  * query ever degenerates to a cartesian product.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Final AQE plan — codegen spans only exist after execution. collect()
+    * (not write: a writer plans its own QueryExecution) finalizes this one.
+    */
+  private def executedPhysical(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter_pushdown_scan pushes the shipdate predicate into the parquet scan") {
+    val ex = formatted(graft.operators.ReferenceOps.filterPushdownScan(spark, Sf0001))
+    assert(ex.contains("PushedFilters:") &&
+      ex.contains("GreaterThanOrEqual(l_shipdate"),
+      s"predicate did not reach the scan:\n$ex")
+  }
+
+  test("filter_pushdown_scan prunes to exactly the projected columns") {
+    val ex = formatted(graft.operators.ReferenceOps.filterPushdownScan(spark, Sf0001))
+    val readSchema = ex.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_shipdate"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_extendedprice"),
+      s"scan reads columns the query never uses: $readSchema")
+  }
+
+  test("multi_join_agg broadcasts the bounded dims (nation, region)") {
+    val p = physical(graft.operators.Relational.multiJoinAgg(spark, Sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("multi_join_agg uses two-phase (partial+final) aggregation") {
+    val p = physical(graft.operators.Relational.multiJoinAgg(spark, Sf0001))
+    assert(p.contains("partial_"), s"no map-side partial aggregation in:\n$p")
+  }
+
+  test("topk_sort plans as TakeOrderedAndProject, never a global sort") {
+    val p = physical(graft.operators.Relational.topkSort(spark, Sf0001))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a sort:\n$p")
+  }
+
+  test("similarity_search top-k is TakeOrderedAndProject (scan + k-row merge)") {
+    val p = physical(graft.operators.Similarity.similaritySearch(spark, Sf0001))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a sort:\n$p")
+  }
+
+  test("sales_totals aggregates map-side first (partial sum before the shuffle)") {
+    val p = physical(graft.operators.ReferenceOps.salesTotals(spark, Sf0001))
+    assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
+  }
+
+  test("hot projections run inside whole-stage codegen") {
+    val p = executedPhysical(graft.operators.ReferenceOps.recordProjection(spark, Sf0001))
+    assert(p.contains("*("), s"projection fell out of codegen:\n$p")
+  }
+
+  test("custom expressions (fnv1a32, wire codec) stay inside whole-stage codegen") {
+    val p = executedPhysical(graft.operators.ReferenceOps.customPartition(spark, Sf0001))
+    assert(p.contains("*("), s"fnv1a32 broke the codegen span:\n$p")
+    val w = executedPhysical(graft.operators.ReferenceOps.wireFormatRoundtrip(spark, Sf0001))
+    assert(w.contains("*("), s"wire codec broke the codegen span:\n$w")
+  }
+
+  test("no declared query plans a cartesian product or nested-loop join") {
+    // The one deliberate exception: brute-force ANN probes join a 1-row
+    // probe table against every embedding — a broadcast nested loop of a
+    // single row is the intended linear scan, not a blow-up.
+    val allowNestedLoop = Set("similarity_search", "ngram_jaccard", "ann_lsh_search")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val p = physical(fn(spark, Sf0001))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
+      if (!allowNestedLoop(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join:\n$p")
+    }
+  }
+}
