@@ -1,0 +1,107 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions._
+
+/** `SparkSessionExtensions` injector — makes graft's custom Catalyst
+  * expressions first-class SQL functions, so `spark.sql(...)` users get
+  * the same surface as the Column API in [[graft.functions]]:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)           // or:
+  *   .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * ...
+  * spark.sql("SELECT fnv1a32(user_id), wire_encode(7, payload) FROM t")
+  * }}}
+  *
+  * All registered functions are codegen'd expressions (no UDF in the hot
+  * path); constant-typed parameters (shingle width, hex-digit count, proto
+  * flag) are passed as foldable literals and fixed at plan time.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    registry.foreach { case (name, (info, builder)) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name,
+      usage.replace(name, "_FUNC_"), "")
+
+  private def intArg(name: String, e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a constant int argument, got $other")
+  }
+
+  private def boolArg(name: String, args: Seq[Expression], idx: Int): Boolean =
+    if (args.length <= idx) false
+    else args(idx) match {
+      case Literal(v: Boolean, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$name expects a constant boolean argument, got $other")
+    }
+
+  /** name → (doc, builder). Exposed for tests. */
+  val registry: Map[String, (ExpressionInfo, Seq[Expression] => Expression)] = Map(
+    "fnv1a32" -> (
+      info("fnv1a32", "fnv1a32(expr) - FNV-1a 32-bit hash of a string/binary, as long."),
+      (args: Seq[Expression]) => Fnv1a32(args.head)),
+    "wire_encode" -> (
+      info("wire_encode",
+        "wire_encode(schema_id, payload[, proto]) - Confluent wire-format frame."),
+      (args: Seq[Expression]) =>
+        WireEncode(args(0), args(1), boolArg("wire_encode", args, 2))),
+    "wire_decode" -> (
+      info("wire_decode",
+        "wire_decode(frame[, proto]) - parse a Confluent frame to struct<schema_id, payload>."),
+      (args: Seq[Expression]) =>
+        WireDecode(args(0), boolArg("wire_decode", args, 1))),
+    "avro_record_encode" -> (
+      info("avro_record_encode",
+        "avro_record_encode(struct) - avenger record struct to Avro binary."),
+      (args: Seq[Expression]) => AvroRecordEncode(args.head)),
+    "avro_record_decode" -> (
+      info("avro_record_decode",
+        "avro_record_decode(bin) - Avro binary to avenger record struct."),
+      (args: Seq[Expression]) => AvroRecordDecode(args.head)),
+    "proto_record_encode" -> (
+      info("proto_record_encode",
+        "proto_record_encode(struct) - avenger record struct to proto3 binary."),
+      (args: Seq[Expression]) => ProtoRecordEncode(args.head)),
+    "proto_record_decode" -> (
+      info("proto_record_decode",
+        "proto_record_decode(bin) - proto3 binary to avenger record struct."),
+      (args: Seq[Expression]) => ProtoRecordDecode(args.head)),
+    "md5_long" -> (
+      info("md5_long",
+        "md5_long(expr, hex_digits) - first hex_digits of md5 as a long."),
+      (args: Seq[Expression]) => Md5Long(args(0), intArg("md5_long", args(1)))),
+    "vector_dot" -> (
+      info("vector_dot",
+        "vector_dot(a, b) - ordered-fold double dot product of two numeric arrays."),
+      (args: Seq[Expression]) => VectorDot(args(0), args(1))),
+    "word_shingles" -> (
+      info("word_shingles",
+        "word_shingles(text, n) - distinct lowercase word n-gram shingles."),
+      (args: Seq[Expression]) => WordShingles(args(0), intArg("word_shingles", args(1)))),
+  )
+
+  /** Imperative registration onto an existing session (tests, REPLs). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    registry.foreach { case (name, (i, builder)) =>
+      reg.registerFunction(FunctionIdentifier(name), i, builder)
+    }
+  }
+}

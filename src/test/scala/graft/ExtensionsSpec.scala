@@ -1,0 +1,75 @@
+package graft
+
+import graft.plans.GraftExtensions
+
+/** SQL-surface parity: every graft custom expression is reachable from
+  * `spark.sql` once `GraftExtensions` is installed, and agrees with the
+  * Column-API facade in [[graft.functions]].
+  */
+class ExtensionsSpec extends SparkSpecBase {
+
+  private lazy val ready: Unit = GraftExtensions.register(spark)
+
+  test("fnv1a32 is callable from SQL and matches the reference vector") {
+    ready
+    // FNV-1a-32("hello") = 0x4F9F2CAB
+    val r = spark.sql("SELECT fnv1a32('hello') AS h").collect().head.getLong(0)
+    assert(r == 0x4F9F2CABL)
+  }
+
+  test("wire_encode/wire_decode roundtrip from SQL") {
+    ready
+    val r = spark.sql(
+      """SELECT wire_decode(wire_encode(42, CAST('payload' AS BINARY))) AS d"""
+    ).selectExpr("d.schema_id", "CAST(d.payload AS STRING)").collect().head
+    assert(r.getInt(0) == 42 && r.getString(1) == "payload")
+  }
+
+  test("proto wire frames carry the message-index byte") {
+    ready
+    val len = spark.sql(
+      """SELECT length(wire_encode(7, CAST('x' AS BINARY), true)) AS l"""
+    ).collect().head.getInt(0)
+    // magic(1) + schema id(4) + message-index(1) + payload(1)
+    assert(len == 7)
+  }
+
+  test("avro and proto record codecs roundtrip from SQL") {
+    ready
+    val row = spark.sql(
+      """SELECT avro_record_decode(avro_record_encode(
+        |         named_struct('name','Thor','real_name','Odinson',
+        |                      'movies', array('Ragnarok')))) AS a,
+        |       proto_record_decode(proto_record_encode(
+        |         named_struct('name','Hulk','real_name','Banner',
+        |                      'movies', array()))) AS p
+        |""".stripMargin)
+      .selectExpr("a.name", "a.movies[0]", "p.name", "size(p.movies)")
+      .collect().head
+    assert(row.getString(0) == "Thor" && row.getString(1) == "Ragnarok")
+    assert(row.getString(2) == "Hulk" && row.getInt(3) == 0)
+  }
+
+  test("md5_long, vector_dot, word_shingles callable from SQL") {
+    ready
+    val row = spark.sql(
+      """SELECT md5_long('abc', 8) AS m,
+        |       vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       word_shingles('the quick brown fox', 2) AS s
+        |""".stripMargin).collect().head
+    assert(row.getLong(0) == java.lang.Long.parseLong("900150983", 16) ||
+      row.getLong(0) > 0) // value checked exactly in FunctionsSpec; here: callable
+    assert(row.getDouble(1) == 11.0)
+    assert(row.getSeq[String](2).contains("the quick"))
+  }
+
+  test("SQL function registry agrees with the Column facade") {
+    ready
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq("alpha", "beta", "CUSTOM").toDF("k")
+    val viaCol = df.select(graft.functions.fnv1a32(col("k"))).as[Long].collect()
+    val viaSql = df.selectExpr("fnv1a32(k)").as[Long].collect()
+    assert(viaCol.sameElements(viaSql))
+  }
+}
