@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{ConfluentSerde, SchemaCatalog, SyntheticSources}
+
+/** Sources package: schema catalog (A29), high-level Confluent serde
+  * (A28), synthetic generators (A1–A3).
+  */
+class SourcesSpec extends SparkSpecBase {
+
+  test("catalog registration is create-if-absent with versioned subjects") {
+    val c = new SchemaCatalog
+    val r1 = c.register("t-value", """{"a":1}""")
+    val r2 = c.register("t-value", """{"a":1}""")
+    val r3 = c.register("t-value", """{"a":2}""")
+    assert(r1.id == r2.id, "re-registering the same schema must return the same id")
+    assert(r3.version == 2 && r3.id != r1.id)
+    assert(c.latest("t-value").get.id == r3.id)
+    assert(c.byVersion("t-value", 1).get.id == r1.id)
+    assert(c.schemaById(r3.id).get.subject == "t-value")
+    assert(c.latest("missing-value").isEmpty)
+  }
+
+  test("avro serde roundtrips through the catalog-framed wire format") {
+    import spark.implicits._
+    val serde = new ConfluentSerde(SchemaCatalog.withReferenceSchemas())
+    val df = Seq(("Thor", "Odinson", Seq("Ragnarok", "Endgame")))
+      .toDF("name", "real_name", "movies")
+    val rec = struct($"name", $"real_name", $"movies")
+    val out = df.select(serde.avroDecoded(serde.avroEncoded(rec, "avro-avengers-value")).as("d"))
+      .selectExpr("d.schema_id", "d.record.name", "d.record.movies[1]")
+      .collect().head
+    assert(out.getInt(0) == 1) // preloaded reference schema = id 1
+    assert(out.getString(1) == "Thor" && out.getString(2) == "Endgame")
+  }
+
+  test("proto serde roundtrips and registers its own subject/id") {
+    import spark.implicits._
+    val catalog = SchemaCatalog.withReferenceSchemas()
+    val serde = new ConfluentSerde(catalog)
+    val df = Seq(("Hulk", "Banner", Seq.empty[String])).toDF("name", "real_name", "movies")
+    val rec = struct($"name", $"real_name", $"movies")
+    val out = df.select(serde.protoDecoded(serde.protoEncoded(rec, "proto-avengers-value")).as("d"))
+      .selectExpr("d.schema_id", "d.record.name").collect().head
+    assert(out.getInt(0) == catalog.latest("proto-avengers-value").get.id)
+    assert(out.getString(1) == "Hulk")
+  }
+
+  test("toFramedKafkaRecords shapes (key, value) with a decodable frame") {
+    import spark.implicits._
+    val serde = new ConfluentSerde(SchemaCatalog.withReferenceSchemas())
+    val df = Seq(("k1", "Thor", "Odinson", Seq("Ragnarok")))
+      .toDF("id", "name", "real_name", "movies")
+    val framed = serde.toFramedKafkaRecords(df, keyCol = "id", subject = "avro-avengers-value")
+    assert(framed.columns.toSeq == Seq("key", "value"))
+    val back = framed.select(serde.avroDecoded($"value").as("d"))
+      .selectExpr("d.record.name").as[String].collect().head
+    assert(back == "Thor")
+  }
+
+  test("synthetic transactions are deterministic and distributed (A1/A2)") {
+    val a = SyntheticSources.productTransactions(spark, 1000)
+    val b = SyntheticSources.productTransactions(spark, 1000)
+    assert(a.columns.toSeq ==
+      Seq("customer_name", "product_name", "quantity", "price"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "generator must be deterministic")
+    // distributed: plans from Range, not a driver-side localtable
+    assert(a.queryExecution.executedPlan.toString.contains("Range"))
+  }
+
+  test("static multi-event source matches the reference's fixed list (A3)") {
+    import spark.implicits._
+    val rows = SyntheticSources.staticMultiEvents(spark)
+      .select($"key", $"value".cast("string")).as[(String, String)]
+      .collect().toMap
+    assert(rows == Map("foo" -> "{}", "bar" -> """{"name":"bar"}"""))
+  }
+}
