@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Scale
+
+/** Scale tooling: salting correctness + bucketed co-located joins. */
+class ScaleSpec extends SparkSpecBase {
+
+  test("salted join returns exactly the unsalted join's rows") {
+    import spark.implicits._
+    // Heavy skew: key 1 holds 10k of 10.2k rows.
+    val left = spark.range(10000).select(lit(1L).as("k"), $"id".as("lv"))
+      .unionAll(spark.range(200).select(($"id" % 50 + 2).as("k"), $"id".as("lv")))
+    val right = spark.range(60).select($"id".as("k"), ($"id" * 100).as("rv"))
+
+    val plain = left.join(right, "k").select($"k", $"lv", $"rv")
+    val salted = Scale.saltedEquiJoin(left, right, "k", saltFactor = 8, leftSaltBy = "lv")
+      .select($"k", $"lv", $"rv")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    assert(salted.count() == plain.count())
+  }
+
+  test("salted join spreads a hot key over saltFactor reducers deterministically") {
+    import spark.implicits._
+    val left = spark.range(1000).select(lit(1L).as("k"), $"id".as("lv"))
+    val salts = left.withColumn("__salt",
+      pmod(xxhash64($"lv"), lit(8)).cast("int"))
+      .select(countDistinct($"__salt")).as[Long].collect().head
+    assert(salts == 8, s"hot key only spread over $salts of 8 salts")
+    // determinism: same input → same salt assignment (no rand())
+    val a = Scale.saltedEquiJoin(left, left.select($"k").distinct(), "k", 8, "lv")
+    val b = Scale.saltedEquiJoin(left, left.select($"k").distinct(), "k", 8, "lv")
+    assert(a.exceptAll(b).isEmpty)
+  }
+
+  test("skewProfile surfaces the hot keys with their share") {
+    import spark.implicits._
+    val df = spark.range(900).select(lit(7L).as("k"))
+      .unionAll(spark.range(100).select(($"id" % 10 + 100).as("k")))
+    val top = Scale.skewProfile(df, "k", k = 1).collect().head
+    assert(top.getLong(0) == 7L)
+    assert(top.getLong(1) == 900L && math.abs(top.getDouble(2) - 0.9) < 1e-9)
+  }
+
+  test("identically-bucketed tables join with zero shuffle") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val facts = spark.range(10000).select($"id".as("k"), ($"id" * 2).as("a"))
+      val dims = spark.range(10000).select($"id".as("k"), ($"id" * 3).as("b"))
+      Scale.writeBucketed(facts, "bkt_left", "k", numBuckets = 4)
+      Scale.writeBucketed(dims, "bkt_right", "k", numBuckets = 4)
+      val joined = Scale.bucketedJoin(spark, "bkt_left", "bkt_right", "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == 10000)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_left")
+      spark.sql("DROP TABLE IF EXISTS bkt_right")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+}
