@@ -170,6 +170,33 @@ object Oracles {
          |SELECT vec_id, label, bucket, ${cosSql("embedding", "pe")} AS score
          |FROM b, p WHERE bucket = pbucket AND vec_id <> 0
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+    "ann_ivf_cells" ->
+      s"""WITH c AS (SELECT vec_id AS cell_id, embedding AS ce
+         |           FROM embeddings WHERE vec_id < 16),
+         |s AS (SELECT e.vec_id, c.cell_id,
+         |        ${cosSql("e.embedding", "c.ce")} AS score FROM embeddings e, c),
+         |r AS (SELECT vec_id, cell_id, score, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY score DESC, cell_id) AS rnk FROM s),
+         |a AS (SELECT vec_id, cell_id, score FROM r WHERE rnk = 1)
+         |SELECT cell_id, count(*) AS n_vectors, min(vec_id) AS min_vec_id,
+         |       max(vec_id) AS max_vec_id,
+         |       CAST(sum(CAST(score AS DECIMAL(27,12))) AS DOUBLE) AS sum_cos
+         |FROM a GROUP BY cell_id ORDER BY cell_id""".stripMargin,
+    "ann_ivf_search" ->
+      s"""WITH c AS (SELECT vec_id AS cell_id, embedding AS ce
+         |           FROM embeddings WHERE vec_id < 16),
+         |s AS (SELECT e.vec_id, e.label, e.embedding, c.cell_id,
+         |        ${cosSql("e.embedding", "c.ce")} AS score FROM embeddings e, c),
+         |r AS (SELECT vec_id, label, embedding, cell_id, score, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY score DESC, cell_id) AS rnk FROM s),
+         |a AS (SELECT vec_id, label, embedding, cell_id FROM r WHERE rnk = 1),
+         |pc AS (SELECT cell_id AS pcell FROM r WHERE vec_id = 0 AND rnk <= 2),
+         |p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
+         |SELECT a.vec_id, a.label, a.cell_id,
+         |       ${cosSql("a.embedding", "p.pe")} AS score
+         |FROM a JOIN pc ON a.cell_id = pc.pcell, p
+         |WHERE a.vec_id <> 0
+         |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin,
     "embedding_neardup" ->
       s"""WITH b AS (SELECT vec_id, ${lshBucket(4, "embedding")} AS bucket, embedding
          |           FROM embeddings)

@@ -61,6 +61,8 @@ object SparkEntry {
     "similarity_search"    -> (Similarity.similaritySearch(_, _)),
     "ann_lsh_buckets"      -> (Similarity.annLshBuckets(_, _)),
     "ann_lsh_search"       -> (Similarity.annLshSearch(_, _)),
+    "ann_ivf_cells"        -> (Similarity.annIvfCells(_, _)),
+    "ann_ivf_search"       -> (Similarity.annIvfSearch(_, _)),
     "embedding_neardup"    -> (Similarity.embeddingNearDupPairs(_, _)),
     "multimodal_cols"      -> (Multimodal.multimodalCols(_, _)),
     "media_decode_stub"    -> (Multimodal.mediaDecodeStub(_, _)),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -84,6 +85,81 @@ object Similarity {
     emb.join(broadcast(probe), $"bucket" === $"pbucket")
       .where($"vec_id" =!= 0)
       .select($"vec_id", $"label", $"bucket", cosine($"embedding", $"p").as("score"))
+      .orderBy($"score".desc, $"vec_id")
+      .limit(5)
+  }
+
+  /** IVF (inverted-file) cell assignment: nearest of 16 seed centroids by
+    * cosine, ties broken toward the lowest cell id. Centroids here are the
+    * first 16 vectors by `vec_id` — deterministic and oracle-able; a
+    * production deployment would k-means-train them offline and broadcast
+    * the trained codebook exactly the same way (a 16..64k-row dim table).
+    * Shape at 100 TB: one broadcast of the codebook, one linear scan, one
+    * 16-way ranked choice per row — no shuffle until the cell groupBy.
+    */
+  private val IvfCells = 16
+
+  /** Every vector scored against every centroid:
+    * (vec_id, label, embedding, cell_id, score). 16 rows out per row in,
+    * all map-side (broadcast codebook, no shuffle). */
+  private def ivfScored(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb.filter($"vec_id" < IvfCells)
+      .select($"vec_id".as("cell_id"), $"embedding".as("ce"))
+    emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"label", $"embedding", $"cell_id",
+        cosine($"embedding", $"ce").as("score"))
+  }
+
+  /** Cell assignment = argmax-by-score (ties → lowest cell) via `max_by`
+    * over a struct ordering — partial-aggregated, so the shuffle moves one
+    * pre-reduced row per vector, not the 16× scored fan-out a
+    * `row_number` window would shuffle. */
+  private def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ivfScored(spark, dir)
+      .groupBy($"vec_id")
+      .agg(max_by(
+        struct($"label", $"embedding", $"cell_id", $"score"),
+        struct($"score", (-$"cell_id").as("tie"))).as("w"))
+      .select($"vec_id", $"w.label", $"w.embedding", $"w.cell_id", $"w.score")
+  }
+
+  /** IVF index statistics: vectors per cell + summed assignment cosine
+    * (cell cohesion, decimal-summed for order-insensitive exactness) —
+    * the histogram that tells you whether the codebook needs retraining
+    * (empty/overfull cells). */
+  def annIvfCells(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ivfAssigned(spark, dir)
+      .groupBy($"cell_id")
+      .agg(count(lit(1)).as("n_vectors"),
+        min($"vec_id").as("min_vec_id"), max($"vec_id").as("max_vec_id"),
+        sum($"score".cast(DecimalType(27, 12))).cast(DoubleType).as("sum_cos"))
+      .orderBy($"cell_id")
+  }
+
+  /** IVF query path: rank the probe (vec_id 0) against the codebook, take
+    * its nprobe=2 nearest cells, scan ONLY vectors assigned to those cells,
+    * cosine top-5. At 100 TB with a trained codebook this reads
+    * nprobe/cells of the corpus instead of all of it; recall is tuned by
+    * nprobe exactly as in FAISS-style IVF-Flat. */
+  def annIvfSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"score".desc, $"cell_id")
+    val probeCells = ivfScored(spark, dir).filter($"vec_id" === 0)
+      .select($"cell_id", $"score")
+      .withColumn("rnk", row_number().over(w))   // 16 rows total: trivial
+      .filter($"rnk" <= 2)
+      .select($"cell_id".as("pcell"))
+    val probe = Tables.embeddings(spark, dir)
+      .filter($"vec_id" === 0).select($"embedding".as("p"))
+    ivfAssigned(spark, dir)
+      .join(broadcast(probeCells), $"cell_id" === $"pcell")
+      .crossJoin(broadcast(probe))
+      .where($"vec_id" =!= 0)
+      .select($"vec_id", $"label", $"cell_id", cosine($"embedding", $"p").as("score"))
       .orderBy($"score".desc, $"vec_id")
       .limit(5)
   }

@@ -78,10 +78,11 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("no declared query plans a cartesian product or nested-loop join") {
-    // The one deliberate exception: brute-force ANN probes join a 1-row
-    // probe table against every embedding — a broadcast nested loop of a
-    // single row is the intended linear scan, not a blow-up.
-    val allowNestedLoop = Set("similarity_search", "ngram_jaccard", "ann_lsh_search")
+    // Deliberate exceptions: ANN probes join a 1-row probe table (and IVF
+    // a 16-row codebook) against every embedding — a broadcast nested loop
+    // of a bounded tiny side is the intended linear scan, not a blow-up.
+    val allowNestedLoop = Set("similarity_search", "ngram_jaccard",
+      "ann_lsh_search", "ann_ivf_cells", "ann_ivf_search")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = physical(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
