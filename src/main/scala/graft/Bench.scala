@@ -24,7 +24,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.range(1000000).selectExpr("sum(id)").collect() // warmup
+    // Warmup: exercise the machinery every timed query relies on — parquet
+    // scan, exchange+sort, hash agg, window, HOF/codegen — on the tiny
+    // sf0.001 data, so first-JIT and scan-init cost doesn't land on
+    // whichever query the Map happens to order first.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val warmDir = "/root/testdata/sf0.001"
+    Seq("sales_totals", "ranking_window", "multi_join_agg", "similarity_search")
+      .foreach { q =>
+        try SparkEntry.queries(q)(spark, warmDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -45,7 +45,9 @@ object SparkEntry {
     "distinct_users"       -> (Relational.distinctUsers(_, _)),
     "distinct_users_approx" -> (Relational.distinctUsersApprox(_, _)),
     "rollup_report"        -> (Relational.rollupReport(_, _)),
+    "quantile_report"      -> (Relational.quantileReport(_, _)),
     "dedup"                -> (Relational.dedup(_, _)),
+    "salted_join"          -> (Scale.saltedJoinQuery(_, _)),
     // — LLM-data-pipeline operators —
     "text_analysis"        -> (TextAnalysis.textAnalysis(_, _)),
     "token_count"          -> (TextAnalysis.tokenCount(_, _)),
@@ -229,6 +231,18 @@ object SparkEntry {
         |FROM (SELECT event_type, CAST(ts AS DATE) AS d, value FROM events)
         |GROUP BY ROLLUP(event_type, d)
         |ORDER BY event_type NULLS FIRST, d NULLS FIRST""".stripMargin,
+    "quantile_report" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.25) AS q25,
+        |       quantile_cont(l_quantity, 0.5) AS q50,
+        |       quantile_cont(l_quantity, 0.75) AS q75,
+        |       min(l_quantity) AS q_min, max(l_quantity) AS q_max,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "salted_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "dedup" ->
       """SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS ts_us FROM (
         |  SELECT user_id, event_type, event_id, ts,

@@ -174,6 +174,26 @@ object Relational {
       .orderBy($"event_type".asc_nulls_first, $"d".asc_nulls_first)
   }
 
+  /** NS: exact quantile report — quartiles of order quantity per return
+    * flag. Quantiles are pinned to dyadic fractions (.25/.5/.75) over
+    * integral doubles, so linear interpolation is FP-exact and
+    * engine-independent (DuckDB `quantile_cont` twin matches bit-for-bit).
+    * At 100 TB the same report runs through `approx_percentile` (KLL-style
+    * sketch, fixed memory, partial-aggregated) — exact `percentile` holds
+    * each group's values; keep it for bounded group cardinalities only. */
+  def quantileReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile($"l_quantity", lit(0.25)).as("q25"),
+        percentile($"l_quantity", lit(0.5)).as("q50"),
+        percentile($"l_quantity", lit(0.75)).as("q75"),
+        min($"l_quantity").as("q_min"), max($"l_quantity").as("q_max"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   /** NS (LLM pipeline): exact dedup with a deterministic keeper — first
     * event per (user_id, event_type) by (ts, event_id). Same single
     * shuffle as groupBy; `dropDuplicates` semantics but reproducible, which

@@ -49,6 +49,21 @@ object Scale {
       .drop("__salt").drop(replicated(key))
   }
 
+  /** Declared-query form of [[saltedEquiJoin]]: lineitem ⋈ orders on the
+    * order key with saltFactor=8. Salting must be semantically transparent
+    * — the DuckDB oracle for this query is the PLAIN join, so the oracle
+    * gate proves the salted plan returns exactly the unsalted result. */
+  def saltedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = graft.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+    val o = graft.Tables.orders(spark, dir)
+      .select($"o_orderkey".as("l_orderkey"), $"o_totalprice")
+    saltedEquiJoin(li, o, "l_orderkey", saltFactor = 8, leftSaltBy = "l_linenumber")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"o_totalprice")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
   /** Write `df` bucketed+sorted by `key` into `numBuckets` buckets as a
     * managed table. Two tables bucketed the same way join with ZERO
     * shuffle — at 100 TB this turns every repeated fact–fact join on the
