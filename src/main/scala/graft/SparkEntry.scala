@@ -45,6 +45,8 @@ object SparkEntry {
     "distinct_users"       -> (Relational.distinctUsers(_, _)),
     "distinct_users_approx" -> (Relational.distinctUsersApprox(_, _)),
     "rollup_report"        -> (Relational.rollupReport(_, _)),
+    "pivot_report"         -> (Relational.pivotReport(_, _)),
+    "vocab_topk"           -> (Relational.vocabTopk(_, _)),
     "quantile_report"      -> (Relational.quantileReport(_, _)),
     "dedup"                -> (Relational.dedup(_, _)),
     "salted_join"          -> (Scale.saltedJoinQuery(_, _)),
@@ -231,6 +233,18 @@ object SparkEntry {
         |FROM (SELECT event_type, CAST(ts AS DATE) AS d, value FROM events)
         |GROUP BY ROLLUP(event_type, d)
         |ORDER BY event_type NULLS FIRST, d NULLS FIRST""".stripMargin,
+    "pivot_report" ->
+      """SELECT CAST(ts AS DATE) AS d,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+        |FROM events GROUP BY 1 ORDER BY d""".stripMargin,
+    "vocab_topk" ->
+      """SELECT t AS token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |GROUP BY t ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "quantile_report" ->
       """SELECT l_returnflag,
         |       quantile_cont(l_quantity, 0.25) AS q25,

@@ -174,6 +174,35 @@ object Relational {
       .orderBy($"event_type".asc_nulls_first, $"d".asc_nulls_first)
   }
 
+  /** NS: pivot report — daily revenue matrix, event types as columns. The
+    * pivot value domain is pinned explicitly: an inferred domain would add
+    * a driver-side distinct scan AND make the output schema data-dependent
+    * (schema drift at 100 TB); sums are decimal-exact per cell. */
+  def pivotReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("d", to_date($"ts"))
+      .groupBy($"d")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(moneySum($"value"))
+      .orderBy($"d")
+  }
+
+  /** NS (LLM pipeline): corpus vocabulary heavy-hitters — token frequency
+    * across all documents, exact top-20. explode → partial-aggregated count
+    * → TakeOrderedAndProject: the full token multiset never collects
+    * anywhere, so the same plan runs at corpus scale (the 100 TB variant
+    * swaps the exact tail for approx counts once k ≫ memory). */
+  def vocabTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(20)
+  }
+
   /** NS: exact quantile report — quartiles of order quantity per return
     * flag. Quantiles are pinned to dyadic fractions (.25/.5/.75) over
     * integral doubles, so linear interpolation is FP-exact and

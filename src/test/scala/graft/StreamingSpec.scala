@@ -111,6 +111,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(counts.toMap === expected)
   }
 
+  test("append-mode window agg drops data later than the watermark") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    def ev(id: Long, minute: Long) =
+      Ev(id, t(minute), 1L, "purchase", 1.0, "{}")
+    val q = StreamOps.windowedAgg(ms.toDF()).writeStream
+      .format("memory").queryName("late").outputMode("append").start()
+    try {
+      ms.addData(ev(0, 0), ev(1, 5)); q.processAllAvailable()
+      ms.addData(ev(2, 200)); q.processAllAvailable()   // sets wm = 190 min
+      // wm=190 now in force: hour-0 window [0,60) closes and emits n=2
+      ms.addData(ev(3, 201)); q.processAllAvailable()
+      // id=4 is 190 minutes late (ts < wm) → must be dropped, not start a
+      // zombie state row for the already-emitted hour-0 window
+      ms.addData(ev(4, 1), ev(5, 400)); q.processAllAvailable()
+      ms.addData(ev(6, 401)); q.processAllAvailable()   // wm = 390: closes [180,240)
+      val got = spark.table("late").select($"w_start", $"n").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSet
+      assert(got === Set((t(0).getTime, 2L), (t(180).getTime, 2L)),
+        s"late row leaked into emitted windows: $got")
+    } finally q.stop()
+  }
+
   test("kafka source/sink configs assemble the reference's options") {
     val src = StreamOps.KafkaSourceConfig(
       Seq("localhost:9092"), Seq("first-topic", "second-topic"),
