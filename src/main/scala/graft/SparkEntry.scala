@@ -45,6 +45,7 @@ object SparkEntry {
     "distinct_users"       -> (Relational.distinctUsers(_, _)),
     "distinct_users_approx" -> (Relational.distinctUsersApprox(_, _)),
     "rollup_report"        -> (Relational.rollupReport(_, _)),
+    "cube_report"          -> (Relational.cubeReport(_, _)),
     "pivot_report"         -> (Relational.pivotReport(_, _)),
     "vocab_topk"           -> (Relational.vocabTopk(_, _)),
     "quantile_report"      -> (Relational.quantileReport(_, _)),
@@ -233,6 +234,14 @@ object SparkEntry {
         |FROM (SELECT event_type, CAST(ts AS DATE) AS d, value FROM events)
         |GROUP BY ROLLUP(event_type, d)
         |ORDER BY event_type NULLS FIRST, d NULLS FIRST""".stripMargin,
+    "cube_report" ->
+      """SELECT event_type, weekday, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (SELECT event_type,
+        |             CAST(dayofweek(ts) + 1 AS INTEGER) AS weekday, value
+        |      FROM events)
+        |GROUP BY CUBE(event_type, weekday)
+        |ORDER BY event_type NULLS FIRST, weekday NULLS FIRST""".stripMargin,
     "pivot_report" ->
       """SELECT CAST(ts AS DATE) AS d,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,

@@ -174,6 +174,19 @@ object Relational {
       .orderBy($"event_type".asc_nulls_first, $"d".asc_nulls_first)
   }
 
+  /** NS: cube report — all 4 grouping sets of (event_type, weekday) in one
+    * pass via Expand (4 output rows per input row, partial-aggregated
+    * before the single shuffle). Complements [[rollupReport]]'s
+    * hierarchical subtotals with the full cross-product of margins. */
+  def cubeReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("weekday", dayofweek($"ts"))
+      .cube($"event_type", $"weekday")
+      .agg(count(lit(1)).as("n"), moneySum($"value").as("total_value"))
+      .orderBy($"event_type".asc_nulls_first, $"weekday".asc_nulls_first)
+  }
+
   /** NS: pivot report — daily revenue matrix, event types as columns. The
     * pivot value domain is pinned explicitly: an inferred domain would add
     * a driver-side distinct scan AND make the output schema data-dependent

@@ -60,6 +60,12 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a sort:\n$p")
   }
 
+  test("vocab_topk plans partial count + TakeOrderedAndProject (no full collect)") {
+    val p = physical(graft.operators.Relational.vocabTopk(spark, Sf0001))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a sort:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial count in:\n$p")
+  }
+
   test("sales_totals aggregates map-side first (partial sum before the shuffle)") {
     val p = physical(graft.operators.ReferenceOps.salesTotals(spark, Sf0001))
     assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
