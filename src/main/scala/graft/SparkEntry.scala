@@ -36,6 +36,7 @@ object SparkEntry {
     "equi_join"            -> (Relational.equiJoin(_, _)),
     "multi_join_agg"       -> (Relational.multiJoinAgg(_, _)),
     "semi_anti_join"       -> (Relational.semiAntiJoin(_, _)),
+    "asof_join"            -> (Relational.asofJoin(_, _)),
     "windowed_agg"         -> (Relational.windowedAgg(_, _)),
     "sliding_window"       -> (Relational.slidingWindow(_, _)),
     "session_window"       -> (Relational.sessionWindow(_, _)),
@@ -169,6 +170,17 @@ object SparkEntry {
         |SELECT c_custkey, 'no_orders' AS status FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us,
+        |                  event_type FROM events),
+        |p AS (SELECT user_id AS p_user_id, epoch_ns(ts)//1000 AS p_ts_us,
+        |             event_id AS p_event_id, value AS p_value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, e.ts_us, e.event_type,
+        |       p.p_event_id, p.p_ts_us, p.p_value
+        |FROM e ASOF JOIN p
+        |  ON e.user_id = p.p_user_id AND e.ts_us >= p.p_ts_us
+        |ORDER BY e.event_id""".stripMargin,
     "windowed_agg" ->
       """SELECT epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS w_start,
         |       event_type, count(*) AS n,

@@ -174,6 +174,26 @@ object Relational {
       .orderBy($"event_type".asc_nulls_first, $"d".asc_nulls_first)
   }
 
+  /** NS: backward as-of join via the custom [[graft.plans.AsOfJoin]]
+    * operator — each event enriched with the same user's most recent
+    * purchase at-or-before it (the classic point-in-time feature lookup a
+    * training pipeline needs for leak-free labels). Oracle twin is
+    * DuckDB's native ASOF JOIN; times compared at microsecond precision
+    * on both sides. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+    val purchases = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user_id"), $"ts".as("p_ts"),
+        $"event_id".as("p_event_id"), $"value".as("p_value"))
+    graft.plans.AsOfJoin(ev, purchases, "user_id", "p_user_id", "ts", "p_ts")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        $"event_type", $"p_event_id", unix_micros($"p_ts").as("p_ts_us"), $"p_value")
+      .orderBy($"event_id")
+  }
+
   /** NS: cube report — all 4 grouping sets of (event_type, weekday) in one
     * pass via Expand (4 output rows per input row, partial-aggregated
     * before the single shuffle). Complements [[rollupReport]]'s

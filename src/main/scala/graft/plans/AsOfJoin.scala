@@ -1,0 +1,139 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftShims}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Backward as-of join — the one whole-operator semantic in this engine
+  * that no Spark built-in or composition expresses as a single efficient
+  * plan: for each left row, the single right row with equal key and the
+  * greatest right time ≤ the left time (inner; unmatched left rows drop).
+  *
+  * Implemented the way SURVEY.md §7 reserves for genuinely missing
+  * operators — custom `LogicalPlan` + `SparkStrategy` + `SparkPlan` —
+  * rather than the window-over-union rewrite, which would force BOTH
+  * sides through one sort partitioned only by key (hot keys serialize)
+  * and materialize a filled column for every left row.
+  *
+  * Physical shape: children are hash-clustered on the key and sorted by
+  * (key, time) — EnsureRequirements inserts the exchanges/sorts, AQE
+  * sizes them — then a single streaming merge per partition holds O(1)
+  * state (the latest right row seen for the current key). At 100 TB this
+  * is one shuffle per side and no per-key buffering, the same cost model
+  * as a sort-merge equi-join.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: [[AsOfJoinPlan]] → [[AsOfJoinExec]]. Injected per-session
+  * via `experimental.extraStrategies` (see [[AsOfJoin.apply]]), which
+  * prepends it to the planner's strategy list. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sort-merge backward as-of join. Requires both children clustered on
+  * the join key and sorted by (key, time); emits left ⧺ right columns for
+  * every left row whose key has at least one right row at-or-before it.
+  *
+  * The merge keeps exactly one buffered right row (`heldRow`) — the
+  * latest right row whose (key, time) is ≤ the current left row — so
+  * memory is O(1) regardless of key group size, and each right row is
+  * visited once per partition.
+  */
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeys = leftKeys; val rKeys = rightKeys
+    val lTime = leftTime; val rTime = rightTime
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val lTsProj = UnsafeProjection.create(Seq(lTime), lOut)
+      val rTsProj = UnsafeProjection.create(Seq(rTime), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(lOut ++ rOut, lOut ++ rOut)
+      // Iterator rows are reused buffers: anything held across next() calls
+      // (heldKey/heldRow) must be copied.
+      var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+      var heldKey: UnsafeRow = null
+      var heldRow: InternalRow = null
+      lIter.flatMap { l =>
+        val curKey = lKeyProj(l)
+        val curTs = lTsProj(l).getLong(0)
+        var done = rRow == null
+        while (!done) {
+          val rk = rKeyProj(rRow)
+          val cmp = keyOrd.compare(rk, curKey)
+          if (cmp > 0 || (cmp == 0 && rTsProj(rRow).getLong(0) > curTs)) {
+            done = true // right is ahead of this left row; stop advancing
+          } else {
+            if (cmp == 0) { heldKey = rk.copy(); heldRow = rRow.copy() }
+            rRow = if (rIter.hasNext) rIter.next() else null
+            done = rRow == null
+          }
+        }
+        if (heldKey != null && keyOrd.compare(heldKey, curKey) == 0)
+          Iterator.single(resultProj(joined(l, heldRow)))
+        else Iterator.empty
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public API. Column names must be disjoint across sides (rename the
+  * right side first, as with any Spark self-join); times must be
+  * long-backed (timestamp or long). */
+object AsOfJoin {
+  def apply(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    GraftShims.addStrategy(spark, AsOfJoinStrategy)
+    val lp = GraftShims.analyzed(left)
+    val rp = GraftShims.analyzed(right)
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"column $n not in ${p.output.map(_.name).mkString(", ")}"))
+    GraftShims.ofRows(spark,
+      AsOfJoinPlan(lp, rp, Seq(attr(lp, leftKey)), Seq(attr(rp, rightKey)),
+        attr(lp, leftTime), attr(rp, rightTime)))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.plans.AsOfJoin
+
+case class L(id: Long, user: Long, ts: Timestamp)
+case class R(p_user: Long, p_ts: Timestamp, p_id: Long)
+
+/** The custom backward as-of join: exact matching semantics on a
+  * hand-computed fixture, plus the physical plan contract (custom exec
+  * node fed by hash exchanges + (key, time) sorts). */
+class AsOfJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def t(m: Long) = new Timestamp(1704067200000L + m * 1000L)
+
+  // user 1: right rows at t10, t20; user 2: none; user 3: right-only.
+  private def leftDf = Seq(
+    L(1, 1L, t(5)),   // before any purchase -> drops
+    L(2, 1L, t(10)),  // exactly at p10 -> matches p10 (<=)
+    L(3, 1L, t(15)),  // between -> p10
+    L(4, 1L, t(25)),  // after both -> p20
+    L(5, 2L, t(50))   // user with no right rows -> drops
+  ).toDF()
+
+  private def rightDf = Seq(
+    R(1L, t(10), 100L), R(1L, t(20), 200L), R(3L, t(1), 300L)
+  ).toDF()
+
+  test("backward as-of join picks the latest right row at-or-before each left row") {
+    val got = AsOfJoin(leftDf, rightDf, "user", "p_user", "ts", "p_ts")
+      .select($"id", $"p_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((2L, 100L), (3L, 100L), (4L, 200L)))
+  }
+
+  test("as-of join result is identical across reruns and partition counts") {
+    val a = AsOfJoin(leftDf, rightDf, "user", "p_user", "ts", "p_ts")
+      .select($"id", $"p_id").collect().toSet
+    val b = AsOfJoin(leftDf.repartition(7), rightDf.repartition(2),
+        "user", "p_user", "ts", "p_ts")
+      .select($"id", $"p_id").collect().toSet
+    assert(a === b)
+  }
+
+  test("physical plan: AsOfJoinExec over hash exchanges and (key, time) sorts") {
+    val df = AsOfJoin(leftDf, rightDf, "user", "p_user", "ts", "p_ts")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin ["), s"custom exec missing:\n$p")
+    assert(p.contains("hashpartitioning(user"), s"left not clustered on key:\n$p")
+    assert(p.contains("hashpartitioning(p_user"), s"right not clustered on key:\n$p")
+    assert(p.contains("Sort [user") && p.contains("ts"), s"sort order missing:\n$p")
+  }
+
+  test("as-of query on testdata: every match is the true argmax purchase") {
+    val out = graft.operators.Relational.asofJoin(spark, Sf0001)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // cross-check a sample against a brute-force computation
+    val purchases = Tables.events(spark, Sf0001)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", org.apache.spark.sql.functions.unix_micros($"ts").as("ts_us"),
+        $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.take(50).foreach { r =>
+      val (uid, tsUs, pId) = (r.getLong(1), r.getLong(2), r.getLong(4))
+      val best = purchases.filter(p => p._1 == uid && p._2 <= tsUs)
+        .maxBy(p => (p._2, p._3))
+      assert(best._3 === pId, s"event ${r.getLong(0)}: expected ${best._3}, got $pId")
+    }
+  }
+}
