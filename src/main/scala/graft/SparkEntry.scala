@@ -52,6 +52,8 @@ object SparkEntry {
     "quantile_report"      -> (Relational.quantileReport(_, _)),
     "dedup"                -> (Relational.dedup(_, _)),
     "salted_join"          -> (Scale.saltedJoinQuery(_, _)),
+    "range_join"           -> (Scale.bucketedRangeJoin(_, _)),
+    "kmv_distinct"         -> (Relational.kmvDistinct(_, _)),
     // — LLM-data-pipeline operators —
     "text_analysis"        -> (TextAnalysis.textAnalysis(_, _)),
     "token_count"          -> (TextAnalysis.tokenCount(_, _)),
@@ -274,6 +276,28 @@ object SparkEntry {
         |       min(l_quantity) AS q_min, max(l_quantity) AS q_max,
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "range_join" ->
+      """WITH b AS (SELECT user_id, event_id, event_type,
+        |                  epoch_ns(ts)//1000 AS t, value FROM events),
+        |p AS (SELECT user_id AS p_user, event_id AS p_event_id, t AS p_t
+        |      FROM b WHERE event_type = 'purchase')
+        |SELECT p.p_event_id, p.p_user, count(*) AS n_follow,
+        |       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS follow_value
+        |FROM p JOIN b e ON p.p_user = e.user_id
+        |  AND e.t > p.p_t AND e.t <= p.p_t + 3600000000
+        |GROUP BY 1, 2 ORDER BY p_event_id""".stripMargin,
+    "kmv_distinct" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) AS h
+        |  FROM events),
+        |s AS (SELECT event_type, list_sort(list(DISTINCT h))[1:8] AS kmv,
+        |             count(*) AS n_events FROM h GROUP BY event_type)
+        |SELECT event_type, kmv,
+        |  CASE WHEN len(kmv) < 8 THEN CAST(len(kmv) AS DOUBLE)
+        |       ELSE 8070450532247928832.0 / CAST(kmv[8] AS DOUBLE) END AS est_users,
+        |  n_events
+        |FROM s ORDER BY event_type""".stripMargin,
     "salted_join" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -1,0 +1,102 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** KMV (k-minimum-values) distinct sketch as a `TypedImperativeAggregate`:
+  * keeps the `k` smallest DISTINCT `md5_long(value, 15)` hashes seen, as a
+  * sorted long array. Fixed O(k) memory per group, associative merge —
+  * partial-aggregates map-side like any built-in, so a 100 TB groupBy
+  * ships k longs per group per partition instead of the value set.
+  *
+  * Distinct-count estimate from the result: if the array is shorter than
+  * k it IS the distinct count; else `(k-1) * 2^60 / max(array)` (hashes
+  * are uniform on [0, 2^60): 15 hex digits of md5).
+  *
+  * Everything is deterministic (md5, not seeded xxhash), so the full
+  * sketch — not just the estimate — is reproducible in any engine:
+  * DuckDB twin `list_sort(list(DISTINCT md5-prefix-as-bigint))[1:k]`.
+  */
+case class KmvSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k > 0 && k <= 65536, s"k must be in 1..65536, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+    if (buf.size < k) { buf.add(h); () }
+    else if (h < buf.last()) { buf.add(h); while (buf.size > k) buf.pollLast() }
+  }
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long], input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    child.eval(input) match {
+      case null => buf
+      case s: UTF8String  => insert(buf, Md5Long.hash(s.getBytes, 15)); buf
+      case b: Array[Byte] => insert(buf, Md5Long.hash(b, 15)); buf
+      case other => throw new IllegalArgumentException(
+        s"kmv_sketch expects string/binary input, got ${other.getClass}")
+    }
+  }
+
+  override def merge(
+      buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) insert(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out) // ascending: TreeSet iterates in sorted order
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(4 + buf.size * 8)
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) out.writeLong(it.next())
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { buf.add(in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvSketch =
+    copy(child = newChild)
+
+  override def prettyName: String = "kmv_sketch"
+}

@@ -34,4 +34,9 @@ package object functions {
 
   /** Ordered-fold double dot product of two numeric arrays (codegen'd). */
   def vector_dot(a: Column, b: Column): Column = toCol(VectorDot(ex(a), ex(b)))
+
+  /** KMV distinct sketch: the k smallest distinct md5_long(value, 15)
+    * hashes as a sorted long array (aggregate; O(k) memory per group). */
+  def kmv_sketch(c: Column, k: Int): Column =
+    toCol(KmvSketch(ex(c), k).toAggregateExpression())
 }

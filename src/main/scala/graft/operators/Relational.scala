@@ -148,6 +148,26 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** NS: KMV distinct sketch per event type — the engine's own
+    * `TypedImperativeAggregate` ([[graft.functions.KmvSketch]]): k=8
+    * smallest distinct md5 hashes of user_id + the derived distinct-count
+    * estimate. Unlike HLL++ the whole sketch is deterministic and
+    * cross-engine reproducible, so the oracle checks the sketch itself,
+    * not just row counts. */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(graft.functions.kmv_sketch($"user_id".cast("string"), 8).as("kmv"),
+        count(lit(1)).as("n_events"))
+      .select($"event_type", $"kmv",
+        when(size($"kmv") < 8, size($"kmv").cast(DoubleType))
+          .otherwise(lit(7.0 * math.pow(2, 60)) / element_at($"kmv", 8).cast(DoubleType))
+          .as("est_users"),
+        $"n_events")
+      .orderBy($"event_type")
+  }
+
   /** NS: HLL++ approximate distinct — the 100 TB path (no per-key exact
     * shuffle; fixed-size sketch per group). Not DuckDB-oracle-able (engine-
     * specific estimator) → registered without oracleSql, rows-only check.

@@ -64,6 +64,37 @@ object Scale {
       .orderBy($"l_orderkey", $"l_linenumber")
   }
 
+  /** Bucketed range join: post-purchase activity — for each purchase, the
+    * count/value of the same user's events in the hour after it.
+    *
+    * A naive time-range join is a non-equi condition ⇒ Spark plans a
+    * nested-loop; instead the range is bucketed: both sides get an
+    * hour-bucket key, the left probes its own and the next bucket (a
+    * 1-hour window spans ≤ 2 hour-buckets), and the join becomes a plain
+    * equi-join on (user, bucket) + a residual range filter — shuffle-
+    * partitioned, AQE-skew-splittable, linear at 100 TB. Oracle = the
+    * plain inequality join (semantics must be identical).
+    */
+  def bucketedRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val H = 3600000000L // 1 hour in microseconds
+    val base = graft.Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts").as("t"), $"value")
+    val p = base.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("p_event_id"), $"t".as("p_t"))
+      .withColumn("pb", explode(array(floor($"p_t" / H), floor($"p_t" / H) + 1)))
+    val e = base
+      .select($"user_id".as("e_user"), $"t".as("e_t"), $"value")
+      .withColumn("eb", floor($"e_t" / H))
+    p.join(e, $"p_user" === $"e_user" && $"pb" === $"eb")
+      .where($"e_t" > $"p_t" && $"e_t" <= $"p_t" + H)
+      .groupBy($"p_event_id", $"p_user")
+      .agg(count(lit(1)).as("n_follow"),
+        graft.operators.ReferenceOps.moneySum($"value").as("follow_value"))
+      .orderBy($"p_event_id")
+  }
+
   /** Write `df` bucketed+sorted by `key` into `numBuckets` buckets as a
     * managed table. Two tables bucketed the same way join with ZERO
     * shuffle — at 100 TB this turns every repeated fact–fact join on the

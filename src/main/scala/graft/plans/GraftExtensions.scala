@@ -95,6 +95,11 @@ object GraftExtensions {
       info("word_shingles",
         "word_shingles(text, n) - distinct lowercase word n-gram shingles."),
       (args: Seq[Expression]) => WordShingles(args(0), intArg("word_shingles", args(1)))),
+    "kmv_sketch" -> (
+      info("kmv_sketch",
+        "kmv_sketch(expr, k) - aggregate: k smallest distinct md5_long hashes, sorted."),
+      (args: Seq[Expression]) =>
+        KmvSketch(args(0), intArg("kmv_sketch", args(1))).toAggregateExpression()),
   )
 
   /** Imperative registration onto an existing session (tests, REPLs). */

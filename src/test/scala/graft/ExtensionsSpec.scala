@@ -63,6 +63,19 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(row.getSeq[String](2).contains("the quick"))
   }
 
+  test("kmv_sketch works as a SQL aggregate with dedup, bound, and sort") {
+    ready
+    import spark.implicits._
+    // 5 distinct values, k=3: the 3 smallest distinct hashes, ascending
+    Seq("a", "b", "a", "c", "d", "e", "b").toDF("s").createOrReplaceTempView("kmv_t")
+    val got = spark.sql("SELECT kmv_sketch(s, 3) AS kmv FROM kmv_t")
+      .collect().head.getSeq[Long](0)
+    val expected = Seq("a", "b", "c", "d", "e")
+      .map(s => graft.functions.Md5Long.hash(s.getBytes("UTF-8"), 15))
+      .sorted.take(3)
+    assert(got === expected)
+  }
+
   test("SQL function registry agrees with the Column facade") {
     ready
     import spark.implicits._
