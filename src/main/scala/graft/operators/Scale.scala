@@ -106,6 +106,22 @@ object Scale {
       .sortBy(key)
       .saveAsTable(table)
 
+  /** Write `df` as parquet hive-partitioned by `partCol` (one directory
+    * per value), rows sorted by `sortCol` inside each file. This is the
+    * 100 TB data-layout contract: queries filtering on `partCol` read
+    * only the matching directories (partition pruning, before any I/O),
+    * and min/max row-group stats on `sortCol` are tight for range
+    * predicates. Dynamic partition overwrite keeps re-runs idempotent
+    * per partition. */
+  def writePartitionedSorted(df: DataFrame, path: String,
+      partCol: String, sortCol: String): Unit =
+    df.repartition(col(partCol))
+      .sortWithinPartitions(col(partCol), col(sortCol))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(path)
+
   /** Join two identically-bucketed tables on their bucket key —
     * shuffle-free when `spark.sql.sources.bucketing.enabled` (default). */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,

@@ -139,6 +139,29 @@ object StreamOps {
 
   /** A32 run-once mode: drain whatever is available, then stop — the
     * AvailableNow trigger against any sink. */
+  /** One micro-batch written idempotently: the output partition is keyed
+    * by `batchId`, and dynamic partition overwrite replaces exactly that
+    * directory. A replayed batch (crash between sink write and checkpoint
+    * commit — the at-least-once window the reference's MarkOffset loop
+    * also has, pipelining_consumer_client.go:98-108) overwrites its own
+    * half-written output instead of appending duplicates. */
+  def writeBatchIdempotent(batch: DataFrame, outPath: String, batchId: Long): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outPath)
+
+  /** Effectively-once parquet sink: foreachBatch + [[writeBatchIdempotent]]
+    * + the checkpoint WAL. Retries of a batch rewrite, never duplicate. */
+  def idempotentParquetSink(df: DataFrame, outPath: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(batch, outPath, batchId)
+      }
+
   def runOnceToMemory(df: DataFrame, queryName: String, outputMode: String): StreamingQuery =
     df.writeStream
       .format("memory")

@@ -134,6 +134,28 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("idempotent batch sink: a replayed batch rewrites, never duplicates") {
+    val out = java.nio.file.Files.createTempDirectory("graft-idem").toString
+    val b0 = batchDf.limit(40)
+    StreamOps.writeBatchIdempotent(b0, out, batchId = 0L)
+    StreamOps.writeBatchIdempotent(b0, out, batchId = 0L) // replay: same batch
+    assert(spark.read.parquet(out).count() === 40)
+    StreamOps.writeBatchIdempotent(batchDf.limit(10), out, batchId = 1L)
+    val all = spark.read.parquet(out)
+    assert(all.count() === 50)
+    assert(all.select("batch_id").distinct().count() === 2)
+    // end-to-end through the streaming writer
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(rows)
+    val out2 = java.nio.file.Files.createTempDirectory("graft-idem2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-idem-ck").toString
+    val q = StreamOps.idempotentParquetSink(ms.toDF(), out2, ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out2).count() === rows.size)
+  }
+
   test("kafka source/sink configs assemble the reference's options") {
     val src = StreamOps.KafkaSourceConfig(
       Seq("localhost:9092"), Seq("first-topic", "second-topic"),
