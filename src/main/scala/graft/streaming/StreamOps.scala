@@ -101,6 +101,16 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming twin of `Relational.slidingWindow`: 1-hour windows hopping
+    * every 15 minutes — each event lands in 4 windows; watermark bounds
+    * how long the 4 open windows stay in state. */
+  def slidingWindow(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
   /** Streaming twin of `Relational.sessionWindow` (30-minute gap sessions,
     * watermark-driven merge + eviction). */
   def sessionWindow(events: DataFrame, watermark: String = "10 minutes"): DataFrame =

@@ -48,6 +48,23 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
   }
 
+  test("sliding windows: streaming complete-mode == batch") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(rows)
+    val q = StreamOps.slidingWindow(ms.toDF()).writeStream
+      .format("memory").queryName("swin").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("swin")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = StreamOps.slidingWindow(batchDf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    // hop = 4 windows per event: window count strictly exceeds tumbling's
+    assert(streamed.map(_._1).size > batch.map(_._2).size)
+  }
+
   test("session windows: streaming complete-mode == batch") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
