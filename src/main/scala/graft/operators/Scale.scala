@@ -13,13 +13,17 @@ object Scale {
 
   /** Skew diagnostic: per-key row counts of the heaviest `k` keys with
     * their share of the table — the number you look at before deciding to
-    * salt. One partial-aggregated shuffle + a k-row top-k merge. */
+    * salt. ONE scan of the table: the share denominator is an
+    * unpartitioned window sum over the already-aggregated per-key rows
+    * (distinct-key cardinality, not table cardinality), not a second
+    * count() pass. */
   def skewProfile(df: DataFrame, key: String, k: Int = 20): DataFrame = {
-    val total = df.count()
+    import org.apache.spark.sql.expressions.Window
     df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        col("n") / sum(col("n")).over(Window.partitionBy()).cast("double"))
       .orderBy(col("n").desc, col(key))
       .limit(k)
-      .withColumn("share", col("n") / lit(total.toDouble))
   }
 
   /** Salted inner equi-join for skewed fact–fact joins (neither side

@@ -91,24 +91,38 @@ case class AsOfJoinExec(
       var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
       var heldKey: UnsafeRow = null
       var heldRow: InternalRow = null
+      // SQL inner-join semantics: NULL keys/times never match (NULL = NULL
+      // is not true), so null-keyed or null-timed rows are skipped on both
+      // sides rather than compared (a raw RowOrdering would equate NULLs).
+      def advanceRightPastNulls(): Unit =
+        while (rRow != null &&
+            (rKeyProj(rRow).anyNull || rTsProj(rRow).isNullAt(0))) {
+          rRow = if (rIter.hasNext) rIter.next() else null
+        }
+      advanceRightPastNulls()
       lIter.flatMap { l =>
         val curKey = lKeyProj(l)
-        val curTs = lTsProj(l).getLong(0)
-        var done = rRow == null
-        while (!done) {
-          val rk = rKeyProj(rRow)
-          val cmp = keyOrd.compare(rk, curKey)
-          if (cmp > 0 || (cmp == 0 && rTsProj(rRow).getLong(0) > curTs)) {
-            done = true // right is ahead of this left row; stop advancing
-          } else {
-            if (cmp == 0) { heldKey = rk.copy(); heldRow = rRow.copy() }
-            rRow = if (rIter.hasNext) rIter.next() else null
-            done = rRow == null
+        val curTsRow = lTsProj(l)
+        if (curKey.anyNull || curTsRow.isNullAt(0)) Iterator.empty
+        else {
+          val curTs = curTsRow.getLong(0)
+          var done = rRow == null
+          while (!done) {
+            val rk = rKeyProj(rRow)
+            val cmp = keyOrd.compare(rk, curKey)
+            if (cmp > 0 || (cmp == 0 && rTsProj(rRow).getLong(0) > curTs)) {
+              done = true // right is ahead of this left row; stop advancing
+            } else {
+              if (cmp == 0) { heldKey = rk.copy(); heldRow = rRow.copy() }
+              rRow = if (rIter.hasNext) rIter.next() else null
+              advanceRightPastNulls()
+              done = rRow == null
+            }
           }
+          if (heldKey != null && keyOrd.compare(heldKey, curKey) == 0)
+            Iterator.single(resultProj(joined(l, heldRow)))
+          else Iterator.empty
         }
-        if (heldKey != null && keyOrd.compare(heldKey, curKey) == 0)
-          Iterator.single(resultProj(joined(l, heldRow)))
-        else Iterator.empty
       }
     }
   }

@@ -43,6 +43,20 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(a === b)
   }
 
+  test("NULL keys and NULL times never match (SQL inner-join semantics)") {
+    import org.apache.spark.sql.functions.{lit, when, col}
+    val l = Seq(L(1, 1L, t(10)), L(2, 7L, t(10)), L(3, 1L, t(10))).toDF()
+      .withColumn("user", when(col("id") === 2, lit(null)).otherwise(col("user")))
+      .withColumn("ts", when(col("id") === 3, lit(null)).otherwise(col("ts")))
+    val r = Seq(R(1L, t(5), 100L), R(8L, t(5), 800L)).toDF()
+      .withColumn("p_user", when(col("p_id") === 800, lit(null)).otherwise(col("p_user")))
+    val got = AsOfJoin(l, r, "user", "p_user", "ts", "p_ts")
+      .select($"id", $"p_id").collect().map(rr => (rr.getLong(0), rr.getLong(1))).toSet
+    // id=2 (null key) and id=3 (null time) drop; the null-keyed right row
+    // (p_id=800) matches nothing
+    assert(got === Set((1L, 100L)))
+  }
+
   test("physical plan: AsOfJoinExec over hash exchanges and (key, time) sorts") {
     val df = AsOfJoin(leftDf, rightDf, "user", "p_user", "ts", "p_ts")
     val p = df.queryExecution.executedPlan.toString
