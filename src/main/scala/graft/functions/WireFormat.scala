@@ -43,7 +43,10 @@ object WireFormat {
       val b = buf(i) & 0xff
       val n = i - start + 1
       if (b < 0x80) {
-        if (n > 9 || (n == 9 && b > 1)) return (0L, -n) // overflow guard
+        // overflow guard: >64 bits. The reference checks zero-based index
+        // `i > 9 || i == 9 && b > 1` (golang/proto/consumer/main.go:81),
+        // i.e. a 10-byte varint is valid iff its final byte is 0 or 1.
+        if (n > 10 || (n == 10 && b > 1)) return (0L, -n)
         return (x | (b.toLong << s), n)
       }
       x |= (b & 0x7fL) << s

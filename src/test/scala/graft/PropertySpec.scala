@@ -1,0 +1,110 @@
+package graft
+
+import org.scalacheck.{Arbitrary, Gen}
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Md5Long, WireFormat}
+
+/** Property-based coverage of the byte-level custom functions (SURVEY.md
+  * §5.2): deterministic scalacheck sampling (fixed seed, no scalatestplus
+  * bridge needed) against independent re-implementations written in this
+  * file — so an error in the production encoding can't be mirrored by the
+  * test oracle.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private val N = 300
+
+  private def samples[A](gen: Gen[A]): Seq[A] = {
+    val params = Gen.Parameters.default.withSize(64)
+    (0 until N).flatMap(i => gen.apply(params, Seed(0xC0FFEEL + i)))
+  }
+
+  private val payloadGen: Gen[Array[Byte]] =
+    Gen.containerOf[Array, Byte](Arbitrary.arbitrary[Byte])
+  private val idGen: Gen[Int] = Gen.chooseNum(0, Int.MaxValue)
+
+  test("wire format: decode(encode(id, payload)) is identity, avro and proto flavors") {
+    for {
+      proto <- Seq(false, true)
+      ((id, payload), i) <- samples(Gen.zip(idGen, payloadGen)).zipWithIndex
+    } {
+      val frame = WireFormat.encode(id, payload, proto)
+      // frame layout: magic byte + big-endian id at bytes 1..4
+      assert(frame(0) === 0x00.toByte, s"case $i: magic byte")
+      val beId = ((frame(1) & 0xff) << 24) | ((frame(2) & 0xff) << 16) |
+        ((frame(3) & 0xff) << 8) | (frame(4) & 0xff)
+      assert(beId === id, s"case $i: big-endian id")
+      val decoded = WireFormat.decode(frame, proto)
+      assert(decoded != null, s"case $i: roundtrip returned null")
+      assert(decoded._1 === id, s"case $i: schema id")
+      assert(decoded._2.toSeq === payload.toSeq, s"case $i: payload")
+    }
+  }
+
+  test("wire format: malformed frames (short / wrong magic) decode to null") {
+    for (bytes <- samples(payloadGen)) {
+      if (bytes.length < 5)
+        assert(WireFormat.decode(bytes, proto = false) == null)
+      else if (bytes(0) != 0x00.toByte)
+        assert(WireFormat.decode(bytes, proto = false) == null)
+    }
+  }
+
+  test("uvarint: reference Go semantics incl. overflow and truncation guards") {
+    // independent encoder: standard LEB128
+    def enc(v: Long): Array[Byte] = {
+      var x = v; val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      while ((x & ~0x7fL) != 0) { out += ((x & 0x7f) | 0x80).toByte; x >>>= 7 }
+      out += (x & 0x7f).toByte
+      out.toArray
+    }
+    for (v <- samples(Gen.chooseNum(0L, Long.MaxValue)) ++ Seq(0L, 1L, 127L, 128L, -1L)) {
+      val bytes = enc(v)
+      val (got, n) = WireFormat.readUVarint(bytes, 0)
+      assert(n === bytes.length, s"$v: bytes read")
+      assert(got === v, s"$v: value")
+      // truncation: dropping the terminating byte must not return a value
+      if (bytes.length > 1) {
+        val (_, nt) = WireFormat.readUVarint(bytes.dropRight(1), 0)
+        assert(nt === 0, s"$v: truncated varint accepted")
+      }
+    }
+    // reference boundary (golang/proto/consumer/main.go:81): a 10-byte
+    // varint is valid iff its final byte is 0 or 1 (the 64th bit)
+    val max10 = Array.fill[Byte](9)(0xff.toByte) :+ 0x01.toByte
+    assert(WireFormat.readUVarint(max10, 0)._2 === 10, "uint64 max rejected")
+    val over = Array.fill[Byte](9)(0xff.toByte) :+ 0x02.toByte
+    assert(WireFormat.readUVarint(over, 0)._2 < 0, "65-bit varint accepted")
+    val over11 = Array.fill[Byte](10)(0xff.toByte) :+ 0x00.toByte
+    assert(WireFormat.readUVarint(over11, 0)._2 < 0, "11-byte varint accepted")
+  }
+
+  test("fnv1a32 matches an independent FNV-1a fold for arbitrary strings") {
+    def ref(s: String): Long = {
+      var h = 2166136261L
+      for (b <- s.getBytes("UTF-8")) {
+        h = ((h ^ (b & 0xff)) * 16777619L) & 0xffffffffL
+      }
+      h
+    }
+    // known vectors (public FNV test suite) + random strings incl. unicode
+    assert(ref("") === 2166136261L)
+    for (s <- samples(Arbitrary.arbitrary[String]) ++ Seq("", "a", "foobar", "héllo✓")) {
+      assert(graft.functions.Fnv1a32.hash(s.getBytes("UTF-8")) === ref(s), s"string $s")
+    }
+  }
+
+  test("md5_long matches BigInteger hex-prefix for arbitrary strings and widths") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def ref(s: String, digits: Int): Long = {
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, digits)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    for {
+      (s, d) <- samples(Gen.zip(Arbitrary.arbitrary[String], Gen.chooseNum(1, 15)))
+    } assert(Md5Long.hash(s.getBytes("UTF-8"), d) === ref(s, d), s"($s, $d)")
+  }
+}
