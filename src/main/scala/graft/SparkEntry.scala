@@ -37,6 +37,7 @@ object SparkEntry {
     "multi_join_agg"       -> (Relational.multiJoinAgg(_, _)),
     "semi_anti_join"       -> (Relational.semiAntiJoin(_, _)),
     "asof_join"            -> (Relational.asofJoin(_, _)),
+    "funnel_conversion"    -> (Relational.funnelConversion(_, _)),
     "windowed_agg"         -> (Relational.windowedAgg(_, _)),
     "sliding_window"       -> (Relational.slidingWindow(_, _)),
     "session_window"       -> (Relational.sessionWindow(_, _)),
@@ -183,6 +184,16 @@ object SparkEntry {
         |FROM e ASOF JOIN p
         |  ON e.user_id = p.p_user_id AND e.ts_us >= p.p_ts_us
         |ORDER BY e.event_id""".stripMargin,
+    "funnel_conversion" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS t, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS v_user, epoch_ns(ts)//1000 AS v_t
+        |      FROM events WHERE event_type = 'view')
+        |SELECT p.user_id, count(*) AS n_converted,
+        |       CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS converted_value
+        |FROM p ASOF JOIN v ON p.user_id = v.v_user AND p.t >= v.v_t
+        |WHERE p.t - v.v_t <= 3600000000
+        |GROUP BY p.user_id ORDER BY user_id""".stripMargin,
     "windowed_agg" ->
       """SELECT epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS w_start,
         |       event_type, count(*) AS n,

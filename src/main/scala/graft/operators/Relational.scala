@@ -214,6 +214,26 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** NS: funnel conversion — purchases whose latest preceding view by the
+    * same user happened within the previous hour, aggregated per user.
+    * Composes the custom as-of operator with ordinary groupBy: the
+    * point-in-time lookup finds each purchase's nearest earlier view, a
+    * residual filter bounds the gap, and the aggregate rolls it up —
+    * the standard sequence-pattern (A-then-B-within-T) plan at scale. */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"ts".as("v_ts"), $"event_id".as("v_event_id"))
+    graft.plans.AsOfJoin(purchases, views, "user_id", "v_user", "ts", "v_ts")
+      .where(unix_micros($"ts") - unix_micros($"v_ts") <= 3600000000L)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_converted"), moneySum($"value").as("converted_value"))
+      .orderBy($"user_id")
+  }
+
   /** NS: cube report — all 4 grouping sets of (event_type, weekday) in one
     * pass via Expand (4 output rows per input row, partial-aggregated
     * before the single shuffle). Complements [[rollupReport]]'s
