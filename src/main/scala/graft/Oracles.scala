@@ -198,11 +198,14 @@ object Oracles {
          |WHERE a.vec_id <> 0
          |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin,
     "embedding_neardup" ->
-      s"""WITH b AS (SELECT vec_id, ${lshBucket(4, "embedding")} AS bucket, embedding
-         |           FROM embeddings)
-         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+      s"""WITH s AS (SELECT vec_id, ${lshBucket(16, "embedding")} AS sig, embedding
+         |           FROM embeddings),
+         |b AS (SELECT vec_id, embedding, ks.k,
+         |        CASE WHEN ks.k = 0 THEN sig % 256 ELSE sig // 256 END AS bv
+         |      FROM s, (SELECT unnest([0,1]) AS k) ks)
+         |SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
          |       ${cosSql("x.embedding", "y.embedding")} AS score
-         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.vec_id < y.vec_id
          |WHERE ${cosSql("x.embedding", "y.embedding")} > 0.30
          |ORDER BY vec_a, vec_b""".stripMargin,
     "multimodal_cols" ->

@@ -304,7 +304,7 @@ object SparkEntry {
         |  FROM events),
         |s AS (SELECT event_type, list_sort(list(DISTINCT h))[1:8] AS kmv,
         |             count(*) AS n_events FROM h GROUP BY event_type)
-        |SELECT event_type, kmv,
+        |SELECT event_type, array_to_string(kmv, ',') AS kmv_csv,
         |  CASE WHEN len(kmv) < 8 THEN CAST(len(kmv) AS DOUBLE)
         |       ELSE 8070450532247928832.0 / CAST(kmv[8] AS DOUBLE) END AS est_users,
         |  n_events

@@ -160,7 +160,10 @@ object Relational {
       .groupBy($"event_type")
       .agg(graft.functions.kmv_sketch($"user_id".cast("string"), 8).as("kmv"),
         count(lit(1)).as("n_events"))
-      .select($"event_type", $"kmv",
+      // The sketch is emitted CSV-stringified: the verify comparator sorts
+      // column values, and an array<long> column is unsortable there (same
+      // trick as minhash_signatures' band keys).
+      .select($"event_type", concat_ws(",", $"kmv").as("kmv_csv"),
         when(size($"kmv") < 8, size($"kmv").cast(DoubleType))
           .otherwise(lit(7.0 * math.pow(2, 60)) / element_at($"kmv", 8).cast(DoubleType))
           .as("est_users"),

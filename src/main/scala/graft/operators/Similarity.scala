@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -91,47 +90,64 @@ object Similarity {
   /** IVF (inverted-file) cell assignment: nearest of 16 seed centroids by
     * cosine, ties broken toward the lowest cell id. Centroids here are the
     * first 16 vectors by `vec_id` — deterministic and oracle-able; a
-    * production deployment would k-means-train them offline and broadcast
-    * the trained codebook exactly the same way (a 16..64k-row dim table).
-    * Shape at 100 TB: one broadcast of the codebook, one linear scan, one
-    * 16-way ranked choice per row — no shuffle until the cell groupBy.
+    * production deployment would k-means-train them offline and ship the
+    * trained codebook exactly the same way. The codebook is collected ONCE
+    * at plan time (a pushdown-pruned 16-row scan) and embedded as literal
+    * arrays, so assignment is a per-row argmax expression: zero shuffle,
+    * zero row fan-out, one linear scan — the FAISS IVF-Flat shape.
     */
   private val IvfCells = 16
 
-  /** Every vector scored against every centroid:
-    * (vec_id, label, embedding, cell_id, score). 16 rows out per row in,
-    * all map-side (broadcast codebook, no shuffle). */
-  private def ivfScored(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-    val cents = emb.filter($"vec_id" < IvfCells)
-      .select($"vec_id".as("cell_id"), $"embedding".as("ce"))
-    emb.crossJoin(broadcast(cents))
-      .select($"vec_id", $"label", $"embedding", $"cell_id",
-        cosine($"embedding", $"ce").as("score"))
+  /** Left-fold double dot product — the driver-side twin of
+    * [[graft.functions.VectorDot]], bit-identical accumulation order so
+    * plan-time codebook math matches the per-row expression exactly. */
+  private def dotD(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
   }
 
-  /** Cell assignment = argmax-by-score (ties → lowest cell) via `max_by`
-    * over a struct ordering — partial-aggregated, so the shuffle moves one
-    * pre-reduced row per vector, not the 16× scored fan-out a
-    * `row_number` window would shuffle. */
-  private def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
+  /** The (cell_id, centroid) codebook: bounded (16 rows), read through a
+    * pushdown-pruned scan at plan time. */
+  private def codebook(spark: SparkSession, dir: String): Array[(Long, Array[Float])] = {
     import spark.implicits._
-    ivfScored(spark, dir)
-      .groupBy($"vec_id")
-      .agg(max_by(
-        struct($"label", $"embedding", $"cell_id", $"score"),
-        struct($"score", (-$"cell_id").as("tie"))).as("w"))
-      .select($"vec_id", $"w.label", $"w.embedding", $"w.cell_id", $"w.score")
+    Tables.embeddings(spark, dir)
+      .filter($"vec_id" < IvfCells)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+  }
+
+  /** (vec_id, label, embedding, cell_id, score) with the cell assignment
+    * computed as a single map-side argmax over the literal codebook:
+    * `array_max` over (score, -cell_id) structs implements
+    * max-score-then-lowest-cell without any shuffle or fan-out. */
+  private def ivfAssigned(spark: SparkSession, dir: String,
+      cents: Array[(Long, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    val selfNorm = sqrt(norm2($"embedding"))
+    val scored = cents.map { case (cid, ce) =>
+      val ceNorm = math.sqrt(dotD(ce, ce))
+      struct((dot($"embedding", lit(ce)) / (selfNorm * lit(ceNorm))).as("score"),
+        lit(-cid).as("neg_cell"))
+    }
+    val best = array_max(array(scored.toIndexedSeq: _*))
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", $"embedding",
+        (-best.getField("neg_cell")).as("cell_id"),
+        best.getField("score").as("score"))
   }
 
   /** IVF index statistics: vectors per cell + summed assignment cosine
     * (cell cohesion, decimal-summed for order-insensitive exactness) —
     * the histogram that tells you whether the codebook needs retraining
-    * (empty/overfull cells). */
+    * (empty/overfull cells). One shuffle total (the 16-group cell agg). */
   def annIvfCells(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    ivfAssigned(spark, dir)
+    ivfAssigned(spark, dir, codebook(spark, dir))
       .groupBy($"cell_id")
       .agg(count(lit(1)).as("n_vectors"),
         min($"vec_id").as("min_vec_id"), max($"vec_id").as("max_vec_id"),
@@ -139,45 +155,56 @@ object Similarity {
       .orderBy($"cell_id")
   }
 
-  /** IVF query path: rank the probe (vec_id 0) against the codebook, take
-    * its nprobe=2 nearest cells, scan ONLY vectors assigned to those cells,
-    * cosine top-5. At 100 TB with a trained codebook this reads
-    * nprobe/cells of the corpus instead of all of it; recall is tuned by
-    * nprobe exactly as in FAISS-style IVF-Flat. */
+  /** IVF query path: rank the probe (vec_id 0) against the codebook — all
+    * driver-side arithmetic on the already-collected 16-row codebook, same
+    * fold order as the column expression — take its nprobe=2 nearest cells,
+    * scan ONLY vectors assigned to those cells, cosine top-5. The whole
+    * plan is scan → filter → TakeOrdered: no join, no shuffle, no window.
+    * At 100 TB with a trained codebook this reads nprobe/cells of the
+    * corpus instead of all of it; recall is tuned by nprobe as in
+    * FAISS-style IVF-Flat. */
   def annIvfSearch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.orderBy($"score".desc, $"cell_id")
-    val probeCells = ivfScored(spark, dir).filter($"vec_id" === 0)
-      .select($"cell_id", $"score")
-      .withColumn("rnk", row_number().over(w))   // 16 rows total: trivial
-      .filter($"rnk" <= 2)
-      .select($"cell_id".as("pcell"))
-    val probe = Tables.embeddings(spark, dir)
-      .filter($"vec_id" === 0).select($"embedding".as("p"))
-    ivfAssigned(spark, dir)
-      .join(broadcast(probeCells), $"cell_id" === $"pcell")
-      .crossJoin(broadcast(probe))
-      .where($"vec_id" =!= 0)
-      .select($"vec_id", $"label", $"cell_id", cosine($"embedding", $"p").as("score"))
+    val cents = codebook(spark, dir)
+    val probe = cents.find(_._1 == 0L)
+      .getOrElse(sys.error("probe vec_id=0 missing from embeddings"))._2
+    val pNorm = math.sqrt(dotD(probe, probe))
+    val probeCells = cents
+      .map { case (cid, ce) => (dotD(probe, ce) / (pNorm * math.sqrt(dotD(ce, ce))), cid) }
+      .sortBy { case (score, cid) => (-score, cid) }
+      .take(2).map(_._2)
+    ivfAssigned(spark, dir, cents)
+      .where($"cell_id".isin(probeCells: _*) && $"vec_id" =!= 0)
+      .select($"vec_id", $"label", $"cell_id",
+        (dot($"embedding", lit(probe)) / (sqrt(norm2($"embedding")) * lit(pNorm)))
+          .as("score"))
       .orderBy($"score".desc, $"vec_id")
       .limit(5)
   }
 
-  /** Embedding-cosine near-dup pairs inside LSH buckets (4 planes):
-    * bucket-local pair forming + threshold — the linear-ish near-dup scan
-    * a training pipeline runs; with this corpus (unit-norm random vectors,
-    * max pairwise cos ≈ 0.4) it reports the tail above 0.30. */
+  /** Embedding-cosine near-dup pairs via banded random-hyperplane LSH:
+    * a 16-bit signature split into 2 bands of 8 bits, candidates agree on
+    * at least one full band. 256 buckets per band keeps within-bucket pair
+    * formation linear-ish at corpus scale (a single 4-plane table's 16
+    * buckets would go quadratic), while OR-across-bands preserves recall —
+    * the same band layout the MinHash path uses. With this corpus
+    * (unit-norm random vectors, max pairwise cos ≈ 0.4) it reports the
+    * tail above 0.30. */
   def embeddingNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-      .withColumn("bucket", lshBucket($"embedding", planes = 4))
-      .select($"vec_id", $"bucket", $"embedding")
-    emb.as("x").join(emb.as("y"), Seq("bucket"))
-      .where(col("x.vec_id") < col("y.vec_id"))
-      .select(
-        col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+    val banded = Tables.embeddings(spark, dir)
+      .withColumn("sig", lshBucket($"embedding", planes = 16))
+      .select($"vec_id", $"embedding", explode(array(
+        struct(lit(0).as("k"), ($"sig" % 256).as("bv")),
+        struct(lit(1).as("k"), shiftright($"sig", 8).as("bv")))).as("band"))
+      .select($"vec_id", $"embedding", $"band.k", $"band.bv")
+    banded.as("x").join(banded.as("y"),
+        col("x.k") === col("y.k") && col("x.bv") === col("y.bv") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         cosine(col("x.embedding"), col("y.embedding")).as("score"))
       .where($"score" > 0.30)
+      .distinct()
       .orderBy($"vec_a", $"vec_b")
   }
 }

@@ -83,12 +83,29 @@ class PlanSpec extends SparkSpecBase {
     assert(w.contains("*("), s"wire codec broke the codegen span:\n$w")
   }
 
+  test("ann_ivf_search plans join-free: scan → argmax filter → TakeOrdered") {
+    val p = physical(graft.operators.Similarity.annIvfSearch(spark, Sf0001))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a sort:\n$p")
+    assert(!p.contains("Join"), s"literal-codebook assignment regressed to a join:\n$p")
+    assert(!p.contains("Exchange"), s"IVF search should have zero shuffles:\n$p")
+  }
+
+  test("embedding_neardup bands hash into >16 buckets (linear-ish pair forming)") {
+    // 2 bands × 8 bits = 256 buckets per band; a 4-plane single table (16
+    // buckets) made within-bucket pair formation quadratic at corpus scale.
+    import spark.implicits._
+    val perBand = Tables.embeddings(spark, Sf0001)
+      .select((graft.operators.Similarity.lshBucket($"embedding", planes = 16) % 256).as("b0"))
+      .distinct().count()
+    assert(perBand > 16, s"band bucket space collapsed to $perBand buckets")
+  }
+
   test("no declared query plans a cartesian product or nested-loop join") {
-    // Deliberate exceptions: ANN probes join a 1-row probe table (and IVF
-    // a 16-row codebook) against every embedding — a broadcast nested loop
-    // of a bounded tiny side is the intended linear scan, not a blow-up.
+    // Deliberate exceptions: ANN probes join a 1-row probe table against
+    // every embedding — a broadcast nested loop of a bounded tiny side is
+    // the intended linear scan, not a blow-up.
     val allowNestedLoop = Set("similarity_search", "ngram_jaccard",
-      "ann_lsh_search", "ann_ivf_cells", "ann_ivf_search")
+      "ann_lsh_search")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = physical(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
