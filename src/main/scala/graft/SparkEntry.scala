@@ -37,6 +37,7 @@ object SparkEntry {
     "multi_join_agg"       -> (Relational.multiJoinAgg(_, _)),
     "semi_anti_join"       -> (Relational.semiAntiJoin(_, _)),
     "asof_join"            -> (Relational.asofJoin(_, _)),
+    "asof_join_left"       -> (Relational.asofJoinLeft(_, _)),
     "funnel_conversion"    -> (Relational.funnelConversion(_, _)),
     "windowed_agg"         -> (Relational.windowedAgg(_, _)),
     "sliding_window"       -> (Relational.slidingWindow(_, _)),
@@ -182,6 +183,17 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.ts_us, e.event_type,
         |       p.p_event_id, p.p_ts_us, p.p_value
         |FROM e ASOF JOIN p
+        |  ON e.user_id = p.p_user_id AND e.ts_us >= p.p_ts_us
+        |ORDER BY e.event_id""".stripMargin,
+    "asof_join_left" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us,
+        |                  event_type FROM events),
+        |p AS (SELECT user_id AS p_user_id, epoch_ns(ts)//1000 AS p_ts_us,
+        |             event_id AS p_event_id, value AS p_value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, e.ts_us, e.event_type,
+        |       p.p_event_id, p.p_ts_us, p.p_value
+        |FROM e ASOF LEFT JOIN p
         |  ON e.user_id = p.p_user_id AND e.ts_us >= p.p_ts_us
         |ORDER BY e.event_id""".stripMargin,
     "funnel_conversion" ->

@@ -217,6 +217,25 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** NS: left-outer as-of join — the enrichment shape: EVERY event kept,
+    * null-extended when the user has no purchase at-or-before it. Same
+    * custom operator, `joinType = "left_outer"`; oracle twin is DuckDB's
+    * `ASOF LEFT JOIN`. */
+  def asofJoinLeft(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+    val purchases = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user_id"), $"ts".as("p_ts"),
+        $"event_id".as("p_event_id"), $"value".as("p_value"))
+    graft.plans.AsOfJoin(ev, purchases, "user_id", "p_user_id", "ts", "p_ts",
+        joinType = "left_outer")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        $"event_type", $"p_event_id", unix_micros($"p_ts").as("p_ts_us"), $"p_value")
+      .orderBy($"event_id")
+  }
+
   /** NS: funnel conversion — purchases whose latest preceding view by the
     * same user happened within the previous hour, aggregated per user.
     * Composes the custom as-of operator with ordinary groupBy: the

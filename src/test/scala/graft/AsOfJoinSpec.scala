@@ -57,6 +57,68 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(got === Set((1L, 100L)))
   }
 
+  test("left_outer keeps unmatched and null-keyed left rows, null-extended") {
+    val got = AsOfJoin(leftDf, rightDf, "user", "p_user", "ts", "p_ts",
+        joinType = "left_outer")
+      .select($"id", $"p_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // ids 1 (before any purchase) and 5 (user with no right rows) survive
+    // with a null right side instead of dropping
+    assert(got === Set((1L, -1L), (2L, 100L), (3L, 100L), (4L, 200L), (5L, -1L)))
+  }
+
+  test("duplicate right (key, time) rows match deterministically (greatest tiebreak)") {
+    // two right rows with identical (key, time): last-wins must be the one
+    // greatest in the appended tiebreak order (p_id), on ANY partitioning
+    val r = Seq(R(1L, t(10), 150L), R(1L, t(10), 100L), R(1L, t(10), 120L)).toDF()
+    (1 to 8 by 3).foreach { n =>
+      val got = AsOfJoin(leftDf.repartition(n), r.repartition(9 - n),
+          "user", "p_user", "ts", "p_ts")
+        .select($"id", $"p_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got === Set((2L, 150L), (3L, 150L), (4L, 150L)),
+        s"nondeterministic tie at repartition($n)")
+    }
+  }
+
+  test("co-partitioning holds under asymmetric AQE coalescing pressure") {
+    // Aggressive coalescing targets would shrink the tiny right exchange
+    // far below the left one if AQE touched them independently; the pinned
+    // requiredNumPartitions keeps both at the full shuffle width (the
+    // doExecute require() throws on any divergence). Skewed left exercises
+    // uneven partition sizes.
+    val keys = Seq(
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64k",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64k")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      import org.apache.spark.sql.functions.{col, when}
+      val l = spark.range(0, 20000)
+        .select(col("id"),
+          when(col("id") % 100 === 0, col("id") % 50).otherwise(1L).as("user"),
+          (col("id") % 997).as("ts"))
+      val r = spark.range(0, 100)
+        .select((col("id") % 50).as("p_user"), (col("id") * 7 % 997).as("p_ts"),
+          col("id").as("p_id"))
+      val got = AsOfJoin(l, r, "user", "p_user", "ts", "p_ts")
+        .select(col("id"), col("p_id")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      // brute-force expected from collected inputs
+      val rs = r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      val expected = l.collect().flatMap { x =>
+        val (id, user, ts) = (x.getLong(0), x.getLong(1), x.getLong(2))
+        val cand = rs.filter(p => p._1 == user && p._2 <= ts)
+        if (cand.isEmpty) None
+        else Some((id, cand.maxBy(p => (p._2, p._3))._3))
+      }.toSet
+      assert(got === expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("physical plan: AsOfJoinExec over hash exchanges and (key, time) sorts") {
     val df = AsOfJoin(leftDf, rightDf, "user", "p_user", "ts", "p_ts")
     val p = df.queryExecution.executedPlan.toString
