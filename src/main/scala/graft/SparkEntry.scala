@@ -31,6 +31,7 @@ object SparkEntry {
     "wire_format"          -> (ReferenceOps.wireFormatRoundtrip(_, _)),
     "filter_pushdown_scan" -> (ReferenceOps.filterPushdownScan(_, _)),
     "avro_roundtrip"       -> (ReferenceOps.avroRoundtrip(_, _)),
+    "avro_evolution"       -> (ReferenceOps.avroEvolution(_, _)),
     "proto_roundtrip"      -> (ReferenceOps.protoRoundtrip(_, _)),
     // — Part B: relational closure —
     "equi_join"            -> (Relational.equiJoin(_, _)),
@@ -144,6 +145,20 @@ object SparkEntry {
         |       props AS movie0,
         |       CAST(1 + length(event_type) + 1 + length(CAST(user_id AS VARCHAR))
         |            + 1 + 1 + length(props) + 1 AS INTEGER) AS frame_len
+        |FROM events ORDER BY event_id""".stripMargin,
+    "avro_evolution" ->
+      """SELECT event_id,
+        |       CAST(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER)
+        |         AS writer_version,
+        |       event_type AS name,
+        |       CAST(user_id AS VARCHAR) AS real_name,
+        |       CASE WHEN event_id % 2 = 0 THEN '' ELSE props END AS movies_csv,
+        |       CAST(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS INTEGER)
+        |         AS n_movies,
+        |       CAST(1 + length(event_type) + 1 + length(CAST(user_id AS VARCHAR))
+        |            + CASE WHEN event_id % 2 = 0 THEN 0
+        |                   ELSE 1 + 1 + length(props) + 1 + 1 + 9 END
+        |            AS INTEGER) AS frame_len
         |FROM events ORDER BY event_id""".stripMargin,
     "proto_roundtrip" ->
       """SELECT event_id, event_type AS name, CAST(user_id AS VARCHAR) AS real_name,

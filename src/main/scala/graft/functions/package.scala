@@ -29,6 +29,16 @@ package object functions {
   def proto_record_encode(c: Column): Column = toCol(ProtoRecordEncode(ex(c)))
   def proto_record_decode(c: Column): Column = toCol(ProtoRecordDecode(ex(c)))
 
+  /** Schema-driven Avro binary encode: the struct column must be shaped
+    * like the (constant) schema JSON. */
+  def avro_encode_schema(c: Column, schemaJson: String): Column =
+    toCol(AvroEncodeSchema(ex(c), schemaJson))
+
+  /** Avro schema RESOLUTION decode: payload written with `writerJson`,
+    * projected into `readerJson`'s shape (defaults, skips, promotions). */
+  def avro_decode_schema(c: Column, writerJson: String, readerJson: String): Column =
+    toCol(AvroDecodeSchema(ex(c), writerJson, readerJson))
+
   /** First n hex digits of md5 as a long (codegen'd cross-engine hash). */
   def md5_long(c: Column, hexDigits: Int): Column = toCol(Md5Long(ex(c), hexDigits))
 

@@ -166,6 +166,52 @@ object ReferenceOps {
       .orderBy($"event_id")
   }
 
+  /** A24 second half: Avro reader/writer schema RESOLUTION (reference:
+    * golang/avro/avenger_avro.go:41-62 `DeserializeAvengerAvroFromSchema`
+    * decodes against a registry-fetched writer schema; versioned lookups in
+    * commands.sh:37-39). Even event_ids encode with a v1 writer schema that
+    * predates `movies` — decoding fills the reader's declared default `[]`
+    * (golang/avenger.avsc:9-14); odd event_ids encode with a v2 writer that
+    * ADDS a `team` field unknown to the reader — decoding skips it. Both
+    * resolve into the same reader shape in one pass. */
+  def avroEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{avro_decode_schema, avro_encode_schema}
+    val v1 =
+      """{"type":"record","name":"avenger","fields":[
+        |{"name":"name","type":"string"},{"name":"real_name","type":"string"}]}
+        |""".stripMargin.replaceAll("\n", "")
+    val v2 =
+      """{"type":"record","name":"avenger","fields":[
+        |{"name":"name","type":"string"},{"name":"real_name","type":"string"},
+        |{"name":"movies","type":{"type":"array","items":"string"},"default":[]},
+        |{"name":"team","type":"string"}]}
+        |""".stripMargin.replaceAll("\n", "")
+    val reader = graft.sources.SchemaCatalog.AvengerAvroJson
+    Tables.events(spark, dir)
+      .select($"event_id",
+        when($"event_id" % 2 === 0, lit(1)).otherwise(lit(2)).as("writer_version"),
+        when($"event_id" % 2 === 0,
+          avro_encode_schema(struct(
+            $"event_type".as("name"),
+            $"user_id".cast(StringType).as("real_name")), v1))
+        .otherwise(
+          avro_encode_schema(struct(
+            $"event_type".as("name"),
+            $"user_id".cast(StringType).as("real_name"),
+            array($"props").as("movies"),
+            lit("earth-616").as("team")), v2)).as("frame"))
+      .select($"event_id", $"writer_version",
+        when($"writer_version" === 1, avro_decode_schema($"frame", v1, reader))
+          .otherwise(avro_decode_schema($"frame", v2, reader)).as("dec"),
+        length($"frame").as("frame_len"))
+      .select($"event_id", $"writer_version",
+        $"dec.name".as("name"), $"dec.real_name".as("real_name"),
+        concat_ws(",", $"dec.movies").as("movies_csv"),
+        size($"dec.movies").as("n_movies"), $"frame_len")
+      .orderBy($"event_id")
+  }
+
   /** A25: proto3 serde roundtrip through the custom codec expressions
     * (tag-length-value; 1-byte tags and lengths at these string sizes). */
   def protoRoundtrip(spark: SparkSession, dir: String): DataFrame = {

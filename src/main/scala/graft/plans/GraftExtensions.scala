@@ -44,6 +44,12 @@ object GraftExtensions {
       s"$name expects a constant int argument, got $other")
   }
 
+  private def strArg(name: String, e: Expression): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$name expects a constant string argument, got $other")
+  }
+
   private def boolArg(name: String, args: Seq[Expression], idx: Int): Boolean =
     if (args.length <= idx) false
     else args(idx) match {
@@ -83,6 +89,17 @@ object GraftExtensions {
       info("proto_record_decode",
         "proto_record_decode(bin) - proto3 binary to avenger record struct."),
       (args: Seq[Expression]) => ProtoRecordDecode(args.head)),
+    "avro_encode_schema" -> (
+      info("avro_encode_schema",
+        "avro_encode_schema(struct, schema_json) - schema-driven Avro binary encode."),
+      (args: Seq[Expression]) =>
+        AvroEncodeSchema(args(0), strArg("avro_encode_schema", args(1)))),
+    "avro_decode_schema" -> (
+      info("avro_decode_schema",
+        "avro_decode_schema(bin, writer_json, reader_json) - Avro schema-resolution decode."),
+      (args: Seq[Expression]) =>
+        AvroDecodeSchema(args(0), strArg("avro_decode_schema", args(1)),
+          strArg("avro_decode_schema", args(2)))),
     "md5_long" -> (
       info("md5_long",
         "md5_long(expr, hex_digits) - first hex_digits of md5 as a long."),
