@@ -29,12 +29,21 @@ object Bench {
     // sf0.001 data, so first-JIT and scan-init cost doesn't land on
     // whichever query the Map happens to order first.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val warmDir = "/root/testdata/sf0.001"
+    // Warm on the smallest SF sibling of sfDir (overridable); fall back to
+    // sfDir itself rather than silently skipping — an unwarmed first query
+    // would absorb all first-JIT/scan-init cost.
+    val warmDir = {
+      val sibling = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+        new java.io.File(sfDir).getParent + "/sf0.001")
+      if (new java.io.File(sibling).isDirectory) sibling else sfDir
+    }
     Seq("sales_totals", "ranking_window", "multi_join_agg", "similarity_search")
       .foreach { q =>
         try SparkEntry.queries(q)(spark, warmDir)
           .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $q skipped: ${e.getMessage}")
+        }
       }
     // Two full passes, per-query minimum: transient host noise (CPU steal,
     // page-cache misses) sporadically inflates single runs 5-15x; the min

@@ -12,18 +12,20 @@ import org.apache.spark.sql.functions._
 object Scale {
 
   /** Skew diagnostic: per-key row counts of the heaviest `k` keys with
-    * their share of the table — the number you look at before deciding to
-    * salt. ONE scan of the table: the share denominator is an
-    * unpartitioned window sum over the already-aggregated per-key rows
-    * (distinct-key cardinality, not table cardinality), not a second
-    * count() pass. */
+    * their share of total table rows — the number you look at before
+    * deciding to salt. The denominator (total row count) is a scalar
+    * aggregate of the same per-key counts, broadcast back onto the top-k
+    * rows: both subtrees hang off the identical groupBy exchange, which
+    * Spark's exchange reuse runs ONCE — no second scan of the base table,
+    * and no unpartitioned window funneling every distinct key through a
+    * single partition. */
   def skewProfile(df: DataFrame, key: String, k: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
-      .withColumn("share",
-        col("n") / sum(col("n")).over(Window.partitionBy()).cast("double"))
-      .orderBy(col("n").desc, col(key))
-      .limit(k)
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    counts.orderBy(col("n").desc, col(key)).limit(k)
+      .crossJoin(broadcast(total))
+      .withColumn("share", col("n") / col("__total").cast("double"))
+      .drop("__total")
   }
 
   /** Salted inner equi-join for skewed fact–fact joins (neither side
@@ -53,17 +55,58 @@ object Scale {
       .drop("__salt").drop(replicated(key))
   }
 
-  /** Declared-query form of [[saltedEquiJoin]]: lineitem ⋈ orders on the
-    * order key with saltFactor=8. Salting must be semantically transparent
-    * — the DuckDB oracle for this query is the PLAIN join, so the oracle
-    * gate proves the salted plan returns exactly the unsalted result. */
+  /** Two-path salted join: salt ONLY the known-hot keys, plain-join the
+    * cold majority, union. [[saltedEquiJoin]] replicates the ENTIRE right
+    * side saltFactor× — fine when most keys are hot, an 8× right-side tax
+    * when (as usual) a handful are. Here only right rows for hot keys
+    * replicate, so the extra cost is saltFactor×|hot slice| and the cold
+    * path keeps the plain sort-merge shape AQE already handles well.
+    *
+    * `hotKeys` typically comes from [[skewProfile]] on a sample or a prior
+    * run (skew is a property of the data, profiled offline at 100 TB).
+    * NULL keys take the cold path, where inner-join semantics drop them —
+    * same result as the plain join. */
+  def twoPathSaltedJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      saltFactor: Int, leftSaltBy: String, hotKeys: Seq[Any]): DataFrame = {
+    if (hotKeys.isEmpty) left.join(right, left(key) === right(key)).drop(right(key))
+    else {
+      val hotLit = hotKeys.map(lit)
+      val hot = saltedEquiJoin(
+        left.filter(col(key).isin(hotLit: _*)),
+        right.filter(col(key).isin(hotLit: _*)),
+        key, saltFactor, leftSaltBy)
+      val coldRight = right.filter(!col(key).isin(hotLit: _*))
+      val cold = left.filter(!col(key).isin(hotLit: _*) || col(key).isNull)
+        .join(coldRight, left(key) === coldRight(key))
+        .drop(coldRight(key))
+      hot.unionByName(cold)
+    }
+  }
+
+  /** Declared-query form of the salting toolkit: lineitem ⋈ orders on the
+    * order key, [[twoPathSaltedJoin]] with the hot set = [[skewProfile]]'s
+    * top 16 keys (collected at plan time — a 16-row driver read off one
+    * aggregate scan) and saltFactor=8. Salting must be semantically
+    * transparent — the DuckDB oracle for this query is the PLAIN join, so
+    * the oracle gate proves hot path + cold path + union return exactly
+    * the unsalted result. */
   def saltedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = graft.Tables.lineitem(spark, dir)
       .select($"l_orderkey", $"l_linenumber", $"l_quantity")
     val o = graft.Tables.orders(spark, dir)
       .select($"o_orderkey".as("l_orderkey"), $"o_totalprice")
-    saltedEquiJoin(li, o, "l_orderkey", saltFactor = 8, leftSaltBy = "l_linenumber")
+    // Profile a seeded 5% sample, not the full table: hot-key detection
+    // only needs approximate counts, and at 100 TB the profile pass must
+    // not scale with the data. The seed keeps the hot set (and thus the
+    // physical plan) deterministic across reruns; ANY hot set yields the
+    // same join result, so the oracle is unaffected.
+    val hot = skewProfile(li.sample(withReplacement = false, 0.05, seed = 7),
+        "l_orderkey", 16)
+      .select($"l_orderkey").collect().map(_.get(0)).toSeq
+    twoPathSaltedJoin(li, o, "l_orderkey", saltFactor = 8,
+        leftSaltBy = "l_linenumber", hotKeys = hot)
       .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"o_totalprice")
       .orderBy($"l_orderkey", $"l_linenumber")
   }

@@ -34,6 +34,26 @@ class ScaleSpec extends SparkSpecBase {
     assert(a.exceptAll(b).isEmpty)
   }
 
+  test("two-path salted join returns exactly the plain join (hot + cold + null keys)") {
+    import spark.implicits._
+    val left = spark.range(5000).select(lit(1L).as("k"), $"id".as("lv"))
+      .unionAll(spark.range(300).select(($"id" % 60 + 2).as("k"), $"id".as("lv")))
+      .unionAll(Seq((Option.empty[Long], 99999L)).toDF("k", "lv"))
+    val right = spark.range(70).select($"id".as("k"), ($"id" * 100).as("rv"))
+    val plain = left.join(right, left("k") === right("k")).drop(right("k"))
+      .select($"k", $"lv", $"rv")
+    val hot = Scale.skewProfile(left, "k", 2).select($"k")
+      .collect().map(_.get(0)).toSeq
+    val got = Scale.twoPathSaltedJoin(left, right, "k", 8, "lv", hot)
+      .select($"k", $"lv", $"rv")
+    assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty)
+    assert(got.count() == plain.count())
+    // empty hot set degenerates to the plain join
+    val none = Scale.twoPathSaltedJoin(left, right, "k", 8, "lv", Nil)
+      .select($"k", $"lv", $"rv")
+    assert(none.exceptAll(plain).isEmpty && plain.exceptAll(none).isEmpty)
+  }
+
   test("skewProfile surfaces the hot keys with their share") {
     import spark.implicits._
     val df = spark.range(900).select(lit(7L).as("k"))

@@ -61,8 +61,12 @@ class StreamingSpec extends SparkSpecBase {
     val batch = StreamOps.slidingWindow(batchDf)
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed === batch)
-    // hop = 4 windows per event: window count strictly exceeds tumbling's
-    assert(streamed.map(_._1).size > batch.map(_._2).size)
+    // hop = 4 windows per event: distinct sliding window-starts strictly
+    // exceed the TUMBLING aggregation's distinct window-starts on the same
+    // data (the 15-min hop slices each 1-hour tumbling window four ways)
+    val tumblingStarts = StreamOps.windowedAgg(batchDf)
+      .collect().map(_.getTimestamp(0)).toSet
+    assert(streamed.map(_._1).size > tumblingStarts.size)
   }
 
   test("session windows: streaming complete-mode == batch") {
