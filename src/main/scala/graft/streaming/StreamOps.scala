@@ -83,6 +83,40 @@ object StreamOps {
       col(keyCol).cast(StringType).cast(BinaryType).as("key"),
       to_json(struct(records.columns.map(col): _*)).cast(BinaryType).as("value"))
 
+  /** A15 second half: the custom FNV-1a partitioner wired into the sink
+    * record shape. Spark's Kafka writer routes each record by an explicit
+    * `partition` column when one is present — this computes it exactly as
+    * the reference's partitioner does (fnv1a32(key) mod numPartitions,
+    * with the "CUSTOM" key pinned to partition 0;
+    * golang/chapter_4/sales/custom_order_partitioner.go:15-36). */
+  def toPartitionedKafkaRecords(
+      records: DataFrame, keyCol: String, numPartitions: Int): DataFrame = {
+    require(numPartitions > 0, s"numPartitions must be positive, got $numPartitions")
+    val key = col(keyCol).cast(StringType)
+    records.select(
+      key.cast(BinaryType).as("key"),
+      to_json(struct(records.columns.map(col): _*)).cast(BinaryType).as("value"),
+      when(key === "CUSTOM", lit(0))
+        .otherwise(pmod(graft.functions.fnv1a32(key), lit(numPartitions)))
+        .cast(IntegerType).as("partition"))
+  }
+
+  /** A31: the reference's fixed 3-second produce cadence
+    * (golang/chapter_4/sales/sales_producer_client.go:69) → a
+    * ProcessingTime trigger: the micro-batch loop fires once per tick
+    * instead of as fast as data arrives. */
+  def cadencedWriter(df: DataFrame, interval: String = "3 seconds"): DataStreamWriter[Row] =
+    df.writeStream.trigger(Trigger.ProcessingTime(interval))
+
+  /** A10: console/log sink — the reference's consumer print loop
+    * (golang/chapter_4/sales/sales_consumer_client.go:91-95). Demo sink:
+    * per-batch rows go to driver stdout; never a data path. */
+  def consoleSink(df: DataFrame, numRows: Int = 20,
+      truncate: Boolean = false): DataStreamWriter[Row] =
+    df.writeStream.format("console")
+      .option("numRows", numRows.toString)
+      .option("truncate", truncate.toString)
+
   /** Streaming twin of `ReferenceOps.salesTotals` — running per-customer
     * totals (update mode; unwindowed KTable-style aggregation). */
   def salesTotals(events: DataFrame): DataFrame =

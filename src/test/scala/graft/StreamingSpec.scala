@@ -177,6 +177,80 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(out2).count() === rows.size)
   }
 
+  test("fixed-cadence ProcessingTime trigger fires repeated micro-batches (A31)") {
+    val src = spark.readStream.format("rate")
+      .option("rowsPerSecond", "50").load()
+    val q = StreamOps.cadencedWriter(src, "250 milliseconds")
+      .format("memory").queryName("cadence").outputMode("append").start()
+    try {
+      // wait (bounded) for at least two cadence ticks that produced rows
+      val deadline = System.currentTimeMillis() + 15000
+      while ((q.recentProgress.count(_.numInputRows > 0) < 2) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "expected multiple processing-time ticks with data")
+      assert(spark.table("cadence").count() > 0)
+    } finally q.stop()
+  }
+
+  test("console sink drains a run-once stream without error (A10)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(rows.take(5))
+    val q = StreamOps.consoleSink(ms.toDF(), numRows = 5)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.exception.isEmpty)
+    assert(q.recentProgress.exists(p =>
+      p.sink.description.toLowerCase.contains("console") && p.numInputRows == 5))
+  }
+
+  test("custom FNV partition column routes sink records like the reference (A15)") {
+    val df = Seq("hello", "CUSTOM", "alpha", "beta", "gamma").toDF("k")
+    val rec = StreamOps.toPartitionedKafkaRecords(df, "k", numPartitions = 8)
+    assert(rec.schema.map(f => (f.name, f.dataType.typeName)) ===
+      Seq(("key", "binary"), ("value", "binary"), ("partition", "integer")))
+    val byKey = rec.collect()
+      .map(r => (new String(r.getAs[Array[Byte]](0), "UTF-8"), r.getInt(2))).toMap
+    // partition-count guard: every record within [0, numPartitions)
+    assert(byKey.values.forall(p => p >= 0 && p < 8), s"partition out of range: $byKey")
+    // FNV-1a-32("hello") = 0x4F9F2CAB; reference partitioner takes mod 8
+    assert(byKey("hello") === (0x4F9F2CABL % 8).toInt)
+    // the reference pins the CUSTOM key to partition 0
+    assert(byKey("CUSTOM") === 0)
+    // and the shaped STREAMING frame is accepted by the Kafka sink writer
+    implicit val ctx = spark.sqlContext
+    StreamOps.KafkaSinkConfig(Seq("localhost:9092"), "t", "/tmp/ck")
+      .writer(StreamOps.toPartitionedKafkaRecords(MemoryStream[Ev].toDF(), "user_id", 8))
+  }
+
+  test("streaming as-of funnel across micro-batches == batch as-of join") {
+    import graft.streaming.{AsOfEvent, StreamingAsOf}
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[AsOfEvent]
+    val evs = rows.map(e => AsOfEvent(e.event_id, e.ts, e.user_id, e.event_type, e.value))
+    val q = StreamingAsOf.funnelMatches(ms.toDS()).writeStream
+      .format("memory").queryName("asof_stream").outputMode("append").start()
+    try {
+      // in-order arrival split across micro-batches: purchases in the second
+      // batch must match view state carried from the first
+      val (first, second) = evs.splitAt(evs.length / 2)
+      ms.addData(first); q.processAllAvailable()
+      ms.addData(second); q.processAllAvailable()
+      val streamed = spark.table("asof_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5))).toSet
+      val purchases = batchDf.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"ts", $"value")
+      val views = batchDf.filter($"event_type" === "view")
+        .select($"user_id".as("v_user"), $"ts".as("v_ts"), $"event_id".as("v_event_id"))
+      val batch = graft.plans.AsOfJoin(purchases, views, "user_id", "v_user", "ts", "v_ts")
+        .where(unix_micros($"ts") - unix_micros($"v_ts") <= 3600000000L)
+        .select($"user_id", $"event_id", $"v_event_id", unix_micros($"v_ts"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed === batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("kafka source/sink configs assemble the reference's options") {
     val src = StreamOps.KafkaSourceConfig(
       Seq("localhost:9092"), Seq("first-topic", "second-topic"),
