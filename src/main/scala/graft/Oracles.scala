@@ -208,6 +208,15 @@ object Oracles {
          |FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.vec_id < y.vec_id
          |WHERE ${cosSql("x.embedding", "y.embedding")} > 0.30
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "vector_normalize" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |             sqrt(${dotSql("embedding", "embedding")}) AS norm
+         |           FROM embeddings)
+         |SELECT vec_id, norm,
+         |       list_sum(list_transform(embedding,
+         |         x -> CAST(x AS DOUBLE) / norm)) AS unit_sum,
+         |       CAST(embedding[1] AS DOUBLE) / norm AS e0_unit
+         |FROM b ORDER BY vec_id""".stripMargin,
     "multimodal_cols" ->
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS payload_len,
         |       substr(md5(text), 1, 16) AS payload_head,

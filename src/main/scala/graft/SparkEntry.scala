@@ -44,6 +44,11 @@ object SparkEntry {
     "sliding_window"       -> (Relational.slidingWindow(_, _)),
     "session_window"       -> (Relational.sessionWindow(_, _)),
     "ranking_window"       -> (Relational.rankingWindow(_, _)),
+    "running_total"        -> (Relational.runningTotal(_, _)),
+    "lag_lead_gaps"        -> (Relational.lagLeadGaps(_, _)),
+    "grouping_sets_report" -> (Relational.groupingSetsReport(_, _)),
+    "corr_report"          -> (Relational.corrReport(_, _)),
+    "vector_normalize"     -> (Similarity.vectorNormalize(_, _)),
     "topk_sort"            -> (Relational.topkSort(_, _)),
     "set_ops"              -> (Relational.setOps(_, _)),
     "distinct_users"       -> (Relational.distinctUsers(_, _)),
@@ -256,6 +261,56 @@ object SparkEntry {
         |                            ORDER BY value DESC, event_id) AS rnk
         |  FROM events WHERE event_type = 'purchase') t
         |WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin,
+    "running_total" ->
+      """SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |              OVER (PARTITION BY user_id
+        |                    ORDER BY epoch_ns(ts)//1000, event_id
+        |                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |         AS running_revenue
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    "lag_lead_gaps" ->
+      """SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS ts_us,
+        |       lag(event_id, 1) OVER w AS prev_event_id,
+        |       epoch_ns(ts)//1000 - lag(epoch_ns(ts)//1000, 1) OVER w AS gap_us,
+        |       lead(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "grouping_sets_report" ->
+      """SELECT event_type, weekday, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+        |       CAST(GROUPING(weekday) AS INTEGER) AS g_weekday
+        |FROM (SELECT event_type,
+        |             CAST(dayofweek(ts) + 1 AS INTEGER) AS weekday, value
+        |      FROM events)
+        |GROUP BY GROUPING SETS ((event_type), (weekday), ())
+        |ORDER BY g_type, g_weekday,
+        |         event_type NULLS FIRST, weekday NULLS FIRST""".stripMargin,
+    "corr_report" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+        |                       CAST(l_extendedprice AS DECIMAL(18,2))
+        |                       AS DECIMAL(30,4))) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+        |                       CAST(l_quantity AS DECIMAL(18,2))
+        |                       AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                       CAST(l_extendedprice AS DECIMAL(18,2))
+        |                       AS DECIMAL(30,4))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |         (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |          sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price,
+        |       (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |         (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope_price_per_qty
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "topk_sort" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY value DESC, event_id LIMIT 10""".stripMargin,

@@ -318,6 +318,88 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** NS: cumulative window frame — per-user running revenue over event
+    * time. The frame is pinned to ROWS UNBOUNDED PRECEDING..CURRENT (the
+    * default RANGE frame double-counts ties), ordered by (ts, event_id)
+    * so every prefix is unique and the cumulative decimal sum is exact and
+    * rerun-stable. One shuffle on user_id; the frame scan is a single
+    * ordered pass per key group. */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        sum($"value".cast(DecimalType(18, 2))).over(w).cast(DoubleType)
+          .as("running_revenue"))
+      .orderBy($"event_id")
+  }
+
+  /** NS: offset windows — lag/lead per user ordered by (ts, event_id):
+    * previous event id, gap to it in µs, and the next event's type. The
+    * first/last rows of each key group are null-extended, matching SQL
+    * offset-window semantics. Same single-shuffle shape as any
+    * per-key window. */
+  def lagLeadGaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts").as("ts_us"),
+        lag($"event_id", 1).over(w).as("prev_event_id"),
+        (unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w)).as("gap_us"),
+        lead($"event_type", 1).over(w).as("next_type"))
+      .orderBy($"event_id")
+  }
+
+  /** NS: explicit GROUPING SETS — the (event_type), (weekday), () margins
+    * WITHOUT the cross-product a cube would add, plus the grouping flags
+    * that disambiguate "aggregated-away" from a genuinely-null key. Same
+    * Expand-based single-shuffle plan as rollup/cube. */
+  def groupingSetsReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("weekday", dayofweek($"ts"))
+      .groupingSets(
+        Seq(Seq($"event_type"), Seq($"weekday"), Seq()),
+        $"event_type", $"weekday")
+      .agg(count(lit(1)).as("n"), moneySum($"value").as("total_value"),
+        grouping($"event_type").cast(IntegerType).as("g_type"),
+        grouping($"weekday").cast(IntegerType).as("g_weekday"))
+      .orderBy($"g_type", $"g_weekday",
+        $"event_type".asc_nulls_first, $"weekday".asc_nulls_first)
+  }
+
+  /** NS: correlation/regression from decimal moments — per return flag,
+    * Pearson r and OLS slope of extendedprice on quantity. The five
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as exact
+    * decimals (order-insensitive, one partial-aggregated shuffle); the
+    * final r/slope arithmetic runs on doubles through an expression tree
+    * kept IDENTICAL in the DuckDB twin, so even the FP result is
+    * bit-reproducible. The built-in `corr()` is single-pass FP and
+    * engine-/order-dependent — useless for audited reruns at 100 TB. */
+  def corrReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = $"l_quantity".cast(DecimalType(18, 2))
+    val y = $"l_extendedprice".cast(DecimalType(18, 2))
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast(DoubleType).as("sx"),
+        sum(y).cast(DoubleType).as("sy"),
+        sum((x * y).cast(DecimalType(30, 4))).cast(DoubleType).as("sxy"),
+        sum((x * x).cast(DecimalType(30, 4))).cast(DoubleType).as("sxx"),
+        sum((y * y).cast(DecimalType(30, 4))).cast(DoubleType).as("syy"))
+      .select($"l_returnflag", $"n",
+        (($"n".cast(DoubleType) * $"sxy" - $"sx" * $"sy") /
+          (sqrt($"n".cast(DoubleType) * $"sxx" - $"sx" * $"sx") *
+           sqrt($"n".cast(DoubleType) * $"syy" - $"sy" * $"sy"))).as("corr_qty_price"),
+        (($"n".cast(DoubleType) * $"sxy" - $"sx" * $"sy") /
+          ($"n".cast(DoubleType) * $"sxx" - $"sx" * $"sx")).as("slope_price_per_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   /** NS (LLM pipeline): exact dedup with a deterministic keeper — first
     * event per (user_id, event_type) by (ts, event_id). Same single
     * shuffle as groupBy; `dropDuplicates` semantics but reproducible, which

@@ -182,6 +182,23 @@ object Similarity {
       .limit(5)
   }
 
+  /** NS: vector normalization through the higher-order-function surface —
+    * `transform` rescales each component by the L2 norm and `aggregate`
+    * folds the unit vector's component sum as a checksum, all inside the
+    * row (zero shuffle, arbitrary parallelism). The norm itself reuses the
+    * codegen'd [[graft.functions.VectorDot]]; the HOF lambda captures it
+    * as an outer reference. */
+  def vectorNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val norm = sqrt(dot($"embedding", $"embedding"))
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", norm.as("norm"),
+        aggregate(transform($"embedding", x => x / norm), lit(0.0d), (a, x) => a + x)
+          .as("unit_sum"),
+        (element_at($"embedding", 1) / norm).as("e0_unit"))
+      .orderBy($"vec_id")
+  }
+
   /** Embedding-cosine near-dup pairs via banded random-hyperplane LSH:
     * a 16-bit signature split into 2 bands of 8 bits, candidates agree on
     * at least one full band. 256 buckets per band keeps within-bucket pair
