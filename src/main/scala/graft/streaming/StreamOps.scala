@@ -181,6 +181,20 @@ object StreamOps {
         } finally batch.unpersist()
       }
 
+  /** Stream-stream interval join — the streaming twin of the batch
+    * range join ([[graft.operators.Scale.bucketedRangeJoin]]'s semantic
+    * core): each purchase joined with the same user's events in the hour
+    * after it. Both sides carry watermarks and the join condition is
+    * time-bounded, so Spark expires buffered state once the watermark
+    * passes `p_ts + 1 hour` — bounded memory on unbounded streams, unlike
+    * an unconstrained stream-stream join. Column contract: left =
+    * (p_user, p_ts, …), right = (e_user, e_ts, …). */
+  def intervalJoinFollowups(purchases: DataFrame, events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    purchases.withWatermark("p_ts", watermark)
+      .join(events.withWatermark("e_ts", watermark),
+        expr("p_user = e_user AND e_ts > p_ts AND e_ts <= p_ts + INTERVAL 1 HOUR"))
+
   /** A32 run-once mode: drain whatever is available, then stop — the
     * AvailableNow trigger against any sink. */
   /** One micro-batch written idempotently: the output partition is keyed

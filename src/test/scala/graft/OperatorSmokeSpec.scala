@@ -26,6 +26,19 @@ class OperatorSmokeSpec extends SparkSpecBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("k-means codebook training does not reduce assignment cohesion") {
+    val seed = Similarity.trainIvfCodebook(spark, Sf0001, k = 8, iters = 0)
+    val trained = Similarity.trainIvfCodebook(spark, Sf0001, k = 8, iters = 2)
+    assert(seed.length == 8 && trained.length == 8)
+    assert(trained.forall(_._2.length == 64))
+    val before = Similarity.codebookCohesion(spark, Sf0001, seed)
+    val after = Similarity.codebookCohesion(spark, Sf0001, trained)
+    // Lloyd's iterations monotonically improve mean within-cell cosine on
+    // this objective (up to FP noise in the component means)
+    assert(after >= before - 1e-9, s"cohesion regressed: $before -> $after")
+    assert(after > before, s"training was a no-op: $before -> $after")
+  }
+
   test("every query has an oracle or a documented exemption") {
     val exempt = Set("distinct_users_approx", "media_decode_stub")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt

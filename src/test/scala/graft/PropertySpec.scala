@@ -107,4 +107,88 @@ class PropertySpec extends AnyFunSuite {
       (s, d) <- samples(Gen.zip(Arbitrary.arbitrary[String], Gen.chooseNum(1, 15)))
     } assert(Md5Long.hash(s.getBytes("UTF-8"), d) === ref(s, d), s"($s, $d)")
   }
+
+  // ---- Avro schema codec: cross-implementation properties. RecordCodecs
+  // (the fixed-schema round-1 codec) serves as the independent oracle for
+  // AvroSchemaCodec (the schema-driven round-2 codec): both were written
+  // against the public Avro 1.12 spec but share no code paths beyond the
+  // zigzag primitives.
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.unsafe.types.UTF8String
+  import graft.functions.{AvroSchemaCodec, RecordCodecs}
+  import AvroSchemaCodec._
+
+  private val avengerSchema = parse(graft.sources.SchemaCatalog.AvengerAvroJson)
+
+  private val recGen: Gen[(String, String, Seq[String])] = for {
+    name <- Arbitrary.arbitrary[String]
+    real <- Arbitrary.arbitrary[String]
+    movies <- Gen.listOf(Arbitrary.arbitrary[String])
+  } yield (name, real, movies)
+
+  private def avengerRow(name: String, real: String, movies: Seq[String]): InternalRow =
+    InternalRow(UTF8String.fromString(name), UTF8String.fromString(real),
+      new GenericArrayData(movies.map(UTF8String.fromString).toArray[Any]))
+
+  test("avro: schema-driven encode == fixed-schema encode, both decoders agree") {
+    for (((name, real, movies), i) <- samples(recGen).zipWithIndex) {
+      val out = new java.io.ByteArrayOutputStream()
+      AvroSchemaCodec.encode(avengerSchema, avengerRow(name, real, movies), out)
+      val bySchema = out.toByteArray
+      val byFixed = RecordCodecs.avroEncode(name, real, movies)
+      assert(bySchema.sameElements(byFixed), s"case $i: byte mismatch")
+      // fixed decoder reads schema-encoded bytes...
+      val (n2, r2, m2) = RecordCodecs.avroDecode(bySchema)
+      assert((n2, r2, m2) === ((name, real, movies)), s"case $i: fixed decode")
+      // ...and the schema decoder reads fixed-encoded bytes
+      val (row, _) = AvroSchemaCodec.decodeResolved(avengerSchema, avengerSchema, byFixed, 0)
+      val rr = row.asInstanceOf[InternalRow]
+      val arr = rr.getArray(2)
+      val got = (rr.getUTF8String(0).toString, rr.getUTF8String(1).toString,
+        (0 until arr.numElements()).map(arr.getUTF8String(_).toString))
+      assert(got === ((name, real, movies)), s"case $i: schema decode")
+    }
+  }
+
+  test("avro: resolution projects random evolved writers onto the avenger reader") {
+    // writer = avenger + a random long prepended and a random string
+    // appended; the reader must see exactly the avenger projection
+    val writerJson =
+      """{"type":"record","name":"avenger","fields":[
+        |{"name":"seq","type":"long"},
+        |{"name":"name","type":"string"},
+        |{"name":"real_name","type":"string"},
+        |{"name":"movies","type":{"type":"array","items":"string"},"default":[]},
+        |{"name":"team","type":"string"}]}
+        |""".stripMargin.replaceAll("\n", "")
+    val writer = parse(writerJson)
+    val gen = Gen.zip(recGen, Arbitrary.arbitrary[Long], Arbitrary.arbitrary[String])
+    for ((((name, real, movies), seq, team), i) <- samples(gen).zipWithIndex) {
+      val row = InternalRow(seq,
+        UTF8String.fromString(name), UTF8String.fromString(real),
+        new GenericArrayData(movies.map(UTF8String.fromString).toArray[Any]),
+        UTF8String.fromString(team))
+      val out = new java.io.ByteArrayOutputStream()
+      AvroSchemaCodec.encode(writer, row, out)
+      val (dec, _) = AvroSchemaCodec.decodeResolved(writer, avengerSchema, out.toByteArray, 0)
+      val rr = dec.asInstanceOf[InternalRow]
+      val arr = rr.getArray(2)
+      val got = (rr.getUTF8String(0).toString, rr.getUTF8String(1).toString,
+        (0 until arr.numElements()).map(arr.getUTF8String(_).toString))
+      assert(got === ((name, real, movies)), s"case $i")
+    }
+  }
+
+  test("avro: zigzag roundtrips arbitrary longs including extremes") {
+    val extremes = Seq(0L, -1L, 1L, Long.MaxValue, Long.MinValue, 63L, 64L, -64L, -65L)
+    for (v <- samples(Arbitrary.arbitrary[Long]) ++ extremes) {
+      val out = new java.io.ByteArrayOutputStream()
+      RecordCodecs.writeZigZag(out, v)
+      val (back, n) = RecordCodecs.readZigZag(out.toByteArray, 0)
+      assert(back === v && n === out.size(), s"zigzag($v)")
+    }
+  }
 }

@@ -251,6 +251,29 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch inequality join") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(rows)
+    def shape(df: org.apache.spark.sql.DataFrame) = (
+      df.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"event_id".as("p_event_id"), $"ts".as("p_ts")),
+      df.select($"user_id".as("e_user"), $"event_id".as("e_event_id"), $"ts".as("e_ts")))
+    val (sp, se) = shape(ms.toDF())
+    val q = StreamOps.intervalJoinFollowups(sp, se).writeStream
+      .format("memory").queryName("ivj").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("ivj").select($"p_event_id", $"e_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (bp, be) = shape(batchDf)
+    val batch = bp.join(be, expr(
+        "p_user = e_user AND e_ts > p_ts AND e_ts <= p_ts + INTERVAL 1 HOUR"))
+      .select($"p_event_id", $"e_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+
   test("kafka source/sink configs assemble the reference's options") {
     val src = StreamOps.KafkaSourceConfig(
       Seq("localhost:9092"), Seq("first-topic", "second-topic"),
