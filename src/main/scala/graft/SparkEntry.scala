@@ -44,6 +44,7 @@ object SparkEntry {
     "sliding_window"       -> (Relational.slidingWindow(_, _)),
     "session_window"       -> (Relational.sessionWindow(_, _)),
     "ranking_window"       -> (Relational.rankingWindow(_, _)),
+    "rank_family"          -> (Relational.rankFamily(_, _)),
     "running_total"        -> (Relational.runningTotal(_, _)),
     "lag_lead_gaps"        -> (Relational.lagLeadGaps(_, _)),
     "grouping_sets_report" -> (Relational.groupingSetsReport(_, _)),
@@ -261,6 +262,15 @@ object SparkEntry {
         |                            ORDER BY value DESC, event_id) AS rnk
         |  FROM events WHERE event_type = 'purchase') t
         |WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin,
+    "rank_family" ->
+      """SELECT event_type, event_id, value,
+        |       CAST(rank() OVER w AS INTEGER) AS rnk,
+        |       CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |       percent_rank() OVER w AS prank,
+        |       cume_dist() OVER w AS cdist
+        |FROM events WHERE event_type IN ('purchase', 'signup')
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value DESC)
+        |ORDER BY event_id""".stripMargin,
     "running_total" ->
       """SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us,
         |       CAST(sum(CAST(value AS DECIMAL(18,2)))

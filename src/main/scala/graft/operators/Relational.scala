@@ -318,6 +318,26 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** NS: the rank-function family beyond `row_number` — rank, dense_rank,
+    * percent_rank, cume_dist per event type ordered by value DESC. Ties
+    * are REAL here (values repeat), which is exactly what makes these
+    * functions distinct from row_number — and all four are deterministic
+    * under ties (tied rows share outputs), so the oracle holds without a
+    * unique sort key inside the window. percent_rank/cume_dist are
+    * rank-derived double ratios computed identically by both engines. */
+  def rankFamily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value".desc)
+    Tables.events(spark, dir)
+      .filter($"event_type" === "purchase" || $"event_type" === "signup")
+      .select($"event_type", $"event_id", $"value",
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy($"event_id")
+  }
+
   /** NS: cumulative window frame — per-user running revenue over event
     * time. The frame is pinned to ROWS UNBOUNDED PRECEDING..CURRENT (the
     * default RANGE frame double-counts ties), ordered by (ts, event_id)

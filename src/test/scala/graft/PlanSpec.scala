@@ -83,6 +83,19 @@ class PlanSpec extends SparkSpecBase {
     assert(w.contains("*("), s"wire codec broke the codegen span:\n$w")
   }
 
+  test("corr_report computes all moments in one partial-aggregated pass") {
+    val p = physical(graft.operators.Relational.corrReport(spark, Sf0001))
+    assert(p.contains("partial_"), s"no map-side partial moments in:\n$p")
+    // one scan feeds all six aggregates — no self-join of lineitem
+    assert(!p.contains("Join"), s"moment computation degenerated to a join:\n$p")
+  }
+
+  test("grouping_sets_report uses a single Expand, not a union of aggregates") {
+    val p = physical(graft.operators.Relational.groupingSetsReport(spark, Sf0001))
+    assert(p.contains("Expand"), s"grouping sets did not plan through Expand:\n$p")
+    assert(!p.contains("Union"), s"grouping sets planned as a union of aggregates:\n$p")
+  }
+
   test("ann_ivf_search plans join-free: scan → argmax filter → TakeOrdered") {
     val p = physical(graft.operators.Similarity.annIvfSearch(spark, Sf0001))
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a sort:\n$p")
