@@ -208,6 +208,41 @@ object Oracles {
          |FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.vec_id < y.vec_id
          |WHERE ${cosSql("x.embedding", "y.embedding")} > 0.30
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "corpus_curation" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text
+        |           FROM documents),
+        |q AS (SELECT doc_id, text,
+        |        CAST(len(toks) AS INTEGER) AS n_tokens,
+        |        CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+        |          / len(toks) AS stop_ratio,
+        |        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        |        least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS len_score,
+        |        CAST(len(list_filter(toks, x -> x='the' OR x='a' OR x='of' OR x='and')) AS BIGINT) AS n_en,
+        |        CAST(len(list_filter(toks, x -> x='der' OR x='die' OR x='und' OR x='das')) AS BIGINT) AS n_de,
+        |        CAST(len(list_filter(toks, x -> x='el' OR x='la' OR x='de' OR x='y')) AS BIGINT) AS n_es,
+        |        CAST(len(list_filter(toks, x -> x='le' OR x='la' OR x='et' OR x='les')) AS BIGINT) AS n_fr
+        |      FROM t),
+        |s AS (SELECT doc_id, text, n_tokens,
+        |        len_score * 0.4 + (ttr * 0.3 + (1.0 - stop_ratio) * 0.3) AS quality,
+        |        CASE WHEN greatest(n_en, n_de, n_es, n_fr) = 0 THEN 'und'
+        |             WHEN n_en = greatest(n_en, n_de, n_es, n_fr) THEN 'en'
+        |             WHEN n_de = greatest(n_en, n_de, n_es, n_fr) THEN 'de'
+        |             WHEN n_es = greatest(n_en, n_de, n_es, n_fr) THEN 'es'
+        |             ELSE 'fr' END AS pred_lang
+        |      FROM q),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 4),
+        |        i -> array_to_string(ws[i:i+4], ' ')) AS grams FROM w),
+        |f AS (SELECT doc_id, list_min(list_transform(grams,
+        |        g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)))
+        |        AS fingerprint FROM g),
+        |j AS (SELECT s.doc_id, s.n_tokens, s.quality, f.fingerprint
+        |      FROM s JOIN f ON s.doc_id = f.doc_id
+        |      WHERE s.quality > 0.5 AND s.pred_lang = 'en'),
+        |d AS (SELECT *, row_number() OVER (PARTITION BY fingerprint
+        |                                   ORDER BY doc_id) AS rn FROM j)
+        |SELECT doc_id, n_tokens, quality, fingerprint
+        |FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "vector_normalize" ->
       s"""WITH b AS (SELECT vec_id, embedding,
          |             sqrt(${dotSql("embedding", "embedding")}) AS norm

@@ -69,6 +69,7 @@ object SparkEntry {
     "quality_score"        -> (TextAnalysis.qualityScore(_, _)),
     "lang_id"              -> (TextAnalysis.langId(_, _)),
     "fingerprint"          -> (TextAnalysis.fingerprint(_, _)),
+    "corpus_curation"      -> (TextAnalysis.corpusCuration(_, _)),
     "doc_dedup_exact"      -> (DocDedup.docDedupExact(_, _)),
     "minhash_signatures"   -> (DocDedup.minhashSignatures(_, _)),
     "minhash_dedup_pairs"  -> (DocDedup.minhashDedupPairs(_, _)),

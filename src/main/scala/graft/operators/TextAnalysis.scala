@@ -88,6 +88,29 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Per-language marker-token profiles for the language-ID heuristic. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "fr" -> Seq("le", "la", "et", "les"))
+
+  /** Marker-hit count for one language profile over a token array. */
+  def langHits(toks: Column, lang: String): Column = {
+    val ws = LangProfiles.find(_._1 == lang).get._2
+    size(filter(toks, t => t.isin(ws: _*)))
+  }
+
+  /** Predicted language: argmax of marker hits with deterministic
+    * tie-break in profile order; 'und' when nothing matches. */
+  def predLang(toks: Column): Column = {
+    val hits = LangProfiles.map { case (l, _) => l -> langHits(toks, l) }
+    val best = greatest(hits.map(_._2): _*)
+    hits.foldLeft(when(best === 0, "und")) { case (acc, (l, h)) =>
+      acc.when(h === best, l)
+    }.otherwise(LangProfiles.last._1)
+  }
+
   /** Language-ID: marker-token n-gram heuristic — count hits against small
     * per-language marker profiles, argmax with deterministic tie-break
     * (profile order), 'und' when nothing matches. The synthetic corpus
@@ -95,27 +118,48 @@ object TextAnalysis {
     * (and the oracle checks them), not accuracy. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val profiles: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "a", "of", "and"),
-      "de" -> Seq("der", "die", "und", "das"),
-      "es" -> Seq("el", "la", "de", "y"),
-      "fr" -> Seq("le", "la", "et", "les"))
     val withScores = Tables.documents(spark, dir)
       .withColumn("toks", tokens($"text"))
-      .withColumns(profiles.map { case (l, ws) =>
-        s"n_$l" -> size(filter($"toks", t => t.isin(ws: _*)))
+      .withColumns(LangProfiles.map { case (l, _) =>
+        s"n_$l" -> langHits($"toks", l)
       }.toMap)
-    val best = greatest(profiles.map { case (l, _) => col(s"n_$l") }: _*)
-    // ties break in profile order: en beats de beats es beats fr
     val outCols: Seq[Column] =
       Seq($"doc_id", $"lang".as("labeled_lang")) ++
-        profiles.map { case (l, _) => col(s"n_$l") } :+
-        when(best === 0, "und")
-          .when($"n_en" === best, "en")
-          .when($"n_de" === best, "de")
-          .when($"n_es" === best, "es")
-          .otherwise("fr").as("pred_lang")
+        LangProfiles.map { case (l, _) => col(s"n_$l") } :+
+        predLang($"toks").as("pred_lang")
     withScores.select(outCols: _*).orderBy($"doc_id")
+  }
+
+  /** NS: the training-data curation pipeline end-to-end — quality gate +
+    * language gate + fingerprint dedup in ONE pass over the corpus. This
+    * is the composition the individual operators exist for: per-row
+    * quality/language expressions (zero shuffle), then a single shuffle
+    * on fingerprint for the deterministic-keeper dedup. At 100 TB the
+    * same plan holds: expression gates run scan-side ahead of the one
+    * dedup exchange, so the shuffle only carries survivors. */
+  def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val isStop: Column => Column = t => t.isin(StopWords: _*)
+    val scored = Tables.documents(spark, dir)
+      .withColumn("toks", tokens($"text"))
+      .withColumn("n_tokens", size($"toks"))
+      .withColumn("stop_ratio",
+        size(filter($"toks", isStop)).cast(DoubleType) / $"n_tokens")
+      .withColumn("ttr",
+        size(array_distinct($"toks")).cast(DoubleType) / $"n_tokens")
+      .withColumn("len_score", least($"n_tokens".cast(DoubleType) / 100.0, lit(1.0)))
+      .withColumn("quality",
+        $"len_score" * 0.4 + ($"ttr" * 0.3 + (lit(1.0) - $"stop_ratio") * 0.3))
+      .withColumn("fingerprint",
+        array_min(transform(shingles($"text", 5), g => md5Long60(g))))
+    val w = Window.partitionBy($"fingerprint").orderBy($"doc_id")
+    scored
+      .where($"quality" > 0.5 && predLang($"toks") === "en")
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"doc_id", $"n_tokens", $"quality", $"fingerprint")
+      .orderBy($"doc_id")
   }
 
   /** Document fingerprinting: rolling word-5-gram shingles hashed with the
