@@ -83,6 +83,21 @@ class PlanSpec extends SparkSpecBase {
     assert(w.contains("*("), s"wire codec broke the codegen span:\n$w")
   }
 
+  test("corr_report scan reads only the three columns the moments need") {
+    val ex = formatted(graft.operators.Relational.corrReport(spark, Sf0001))
+    val readSchema = ex.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity") &&
+      readSchema.contains("l_extendedprice"), s"missing needed columns: $readSchema")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"),
+      s"scan reads columns the moments never use: $readSchema")
+  }
+
+  test("running_total pushes the purchase filter into the events scan") {
+    val ex = formatted(graft.operators.Relational.runningTotal(spark, Sf0001))
+    assert(ex.contains("PushedFilters:") && ex.contains("EqualTo(event_type,purchase)"),
+      s"event_type predicate did not reach the scan:\n$ex")
+  }
+
   test("corr_report computes all moments in one partial-aggregated pass") {
     val p = physical(graft.operators.Relational.corrReport(spark, Sf0001))
     assert(p.contains("partial_"), s"no map-side partial moments in:\n$p")
