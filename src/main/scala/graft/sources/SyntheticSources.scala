@@ -57,4 +57,31 @@ object SyntheticSources {
       .toDF("key", "json")
       .select(col("key"), col("json").cast("binary").as("value"))
   }
+
+  /** A22's ignore-errors deserialization as a FILE source: JSONL under an
+    * EXPLICIT schema (never inferSchema — that is a full extra scan of the
+    * data before the real one, a non-starter at 100 TB).
+    *
+    *  - PERMISSIVE (default): malformed lines survive as rows with the
+    *    raw line in `_corrupt_record` and nulls elsewhere — the
+    *    log-and-continue behavior of the reference consumer
+    *    (golang/chapter_4/sales/sales_consumer_client.go:89-90), but with
+    *    the rejects quarantined for reprocessing instead of lost.
+    *  - DROPMALFORMED: rejects silently dropped (reference
+    *    golang/cmd/consumer/main.go:43-46 skips bad frames).
+    *  - FAILFAST: any reject kills the batch.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      mode: String = "PERMISSIVE"): DataFrame = {
+    val withCorrupt =
+      if (mode == "PERMISSIVE")
+        schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+      else schema
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", mode)
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
 }

@@ -77,4 +77,29 @@ class SourcesSpec extends SparkSpecBase {
       .collect().toMap
     assert(rows == Map("foo" -> "{}", "bar" -> """{"name":"bar"}"""))
   }
+
+  test("JSONL source quarantines malformed lines in PERMISSIVE, drops in DROPMALFORMED") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    java.nio.file.Files.write(dir.resolve("part-0.jsonl"),
+      Seq("""{"id": 1, "name": "ok"}""",
+        """{"id": 2 "name": "missing-comma"}""",
+        """{"id": 3, "name": "fine"}""").mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    // Spark disallows querying ONLY _corrupt_record straight off a raw
+    // JSON scan — materialize the parse first (cache), then inspect.
+    val permissive = SyntheticSources.readJsonl(spark, dir.toString, schema).cache()
+    assert(permissive.count() === 3)
+    val rejects = permissive.filter($"_corrupt_record".isNotNull)
+      .select($"_corrupt_record").as[String].collect()
+    assert(rejects.length === 1 && rejects.head.contains("missing-comma"),
+      s"quarantine wrong: ${rejects.toSeq}")
+    assert(permissive.filter($"_corrupt_record".isNull).count() === 2)
+    val dropped = SyntheticSources.readJsonl(
+      spark, dir.toString, schema, mode = "DROPMALFORMED")
+    assert(dropped.count() === 2)
+    assert(dropped.select($"id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+  }
 }
