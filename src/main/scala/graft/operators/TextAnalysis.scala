@@ -123,10 +123,16 @@ object TextAnalysis {
       .withColumns(LangProfiles.map { case (l, _) =>
         s"n_$l" -> langHits($"toks", l)
       }.toMap)
+    // tie-break over the ALREADY-MATERIALIZED n_* columns (predLang would
+    // re-derive every profile filter a second time per row)
+    val best = greatest(LangProfiles.map { case (l, _) => col(s"n_$l") }: _*)
+    val pred = LangProfiles.foldLeft(when(best === 0, "und")) {
+      case (acc, (l, _)) => acc.when(col(s"n_$l") === best, l)
+    }.otherwise(LangProfiles.last._1)
     val outCols: Seq[Column] =
       Seq($"doc_id", $"lang".as("labeled_lang")) ++
         LangProfiles.map { case (l, _) => col(s"n_$l") } :+
-        predLang($"toks").as("pred_lang")
+        pred.as("pred_lang")
     withScores.select(outCols: _*).orderBy($"doc_id")
   }
 
