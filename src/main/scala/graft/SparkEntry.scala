@@ -44,6 +44,7 @@ object SparkEntry {
     "sliding_window"       -> (Relational.slidingWindow(_, _)),
     "session_window"       -> (Relational.sessionWindow(_, _)),
     "ranking_window"       -> (Relational.rankingWindow(_, _)),
+    "grouped_topk"         -> (Relational.groupedTopk(_, _)),
     "rank_family"          -> (Relational.rankFamily(_, _)),
     "running_total"        -> (Relational.runningTotal(_, _)),
     "lag_lead_gaps"        -> (Relational.lagLeadGaps(_, _)),
@@ -325,6 +326,13 @@ object SparkEntry {
     "topk_sort" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY value DESC, event_id LIMIT 10""".stripMargin,
+    "grouped_topk" ->
+      """SELECT user_id, CAST(rnk AS INTEGER) AS rnk, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY value DESC, event_id) AS rnk
+        |  FROM events WHERE event_type = 'purchase') t
+        |WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin,
     "set_ops" ->
       """SELECT user_id, 'both' AS status FROM (
         |  SELECT user_id FROM events WHERE event_type = 'purchase'

@@ -49,4 +49,11 @@ package object functions {
     * hashes as a sorted long array (aggregate; O(k) memory per group). */
   def kmv_sketch(c: Column, k: Int): Column =
     toCol(KmvSketch(ex(c), k).toAggregateExpression())
+
+  /** Bounded per-group top-k (aggregate): the k struct rows smallest in
+    * natural ascending order, as a sorted array — partial-aggregates
+    * map-side, shuffling ≤ k rows per group per partition where a
+    * row_number window would shuffle everything. */
+  def top_k_rows(c: Column, k: Int): Column =
+    toCol(TopKRows(ex(c), k).toAggregateExpression())
 }

@@ -114,6 +114,27 @@ object Relational {
       .orderBy($"user_id", $"rnk")
   }
 
+  /** NS: per-group top-k WITHOUT the window shuffle — the custom bounded
+    * [[graft.functions.TopKRows]] aggregate. [[rankingWindow]]'s
+    * row_number plan shuffles every purchase to the window sort before
+    * discarding; this one partial-aggregates map-side, so the shuffle
+    * carries ≤ 3 rows per (user, partition). "top by value DESC, id ASC"
+    * is encoded as ascending order on struct(-value, event_id). The
+    * oracle is the SAME SQL as ranking_window — the two plans must be
+    * semantically identical, only the physical shape differs. */
+  def groupedTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(graft.functions.top_k_rows(
+        struct((-$"value").as("neg_value"), $"event_id"), 3).as("top"))
+      .select($"user_id", posexplode($"top"))
+      .select($"user_id", ($"pos" + 1).cast(IntegerType).as("rnk"),
+        $"col.event_id".as("event_id"), (-$"col.neg_value").as("value"))
+      .orderBy($"user_id", $"rnk")
+  }
+
   /** NS: global top-10 by value — plans to TakeOrderedAndProject (per-
     * partition top-k then a k-row driver merge; no global sort even at
     * 100 TB). */

@@ -117,6 +117,11 @@ object GraftExtensions {
         "kmv_sketch(expr, k) - aggregate: k smallest distinct md5_long hashes, sorted."),
       (args: Seq[Expression]) =>
         KmvSketch(args(0), intArg("kmv_sketch", args(1))).toAggregateExpression()),
+    "top_k_rows" -> (
+      info("top_k_rows",
+        "top_k_rows(struct, k) - aggregate: k smallest struct rows in natural order, sorted."),
+      (args: Seq[Expression]) =>
+        TopKRows(args(0), intArg("top_k_rows", args(1))).toAggregateExpression()),
   )
 
   /** Imperative registration onto an existing session (tests, REPLs). */

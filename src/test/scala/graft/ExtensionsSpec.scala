@@ -76,6 +76,19 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(got === expected)
   }
 
+  test("top_k_rows works as a SQL aggregate with merge and bound") {
+    ready
+    import spark.implicits._
+    Seq((5.0, 1L), (9.0, 2L), (9.0, 3L), (1.0, 4L), (7.0, 5L))
+      .toDF("v", "id").repartition(3).createOrReplaceTempView("topk_t")
+    // top-2 by v DESC, id ASC == 2 smallest (-v, id) ascending
+    val got = spark.sql(
+      """SELECT top_k_rows(named_struct('nv', -v, 'id', id), 2) AS t FROM topk_t""")
+      .selectExpr("transform(t, x -> x.id) AS ids")
+      .collect().head.getSeq[Long](0)
+    assert(got === Seq(2L, 3L), s"got $got")
+  }
+
   test("SQL function registry agrees with the Column facade") {
     ready
     import spark.implicits._

@@ -83,6 +83,20 @@ class PlanSpec extends SparkSpecBase {
     assert(w.contains("*("), s"wire codec broke the codegen span:\n$w")
   }
 
+  test("grouped_topk partial-aggregates map-side (bounded rows cross the shuffle)") {
+    val p = physical(graft.operators.Relational.groupedTopk(spark, Sf0001))
+    assert(p.contains("partial_top_k_rows"), s"no map-side partial top-k in:\n$p")
+    assert(!p.contains("Window"), s"top-k fell back to a window shuffle:\n$p")
+  }
+
+  test("grouped_topk returns exactly ranking_window's rows") {
+    val a = graft.operators.Relational.groupedTopk(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val b = graft.operators.Relational.rankingWindow(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
   test("corr_report scan reads only the three columns the moments need") {
     val ex = formatted(graft.operators.Relational.corrReport(spark, Sf0001))
     val readSchema = ex.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
