@@ -54,6 +54,37 @@ class ScaleSpec extends SparkSpecBase {
     assert(none.exceptAll(plain).isEmpty && plain.exceptAll(none).isEmpty)
   }
 
+  test("AQE splits a skewed sort-merge join partition (the no-salt path)") {
+    // saltedEquiJoin's docs say "use when AQE's skew splitting isn't
+    // available" — this proves the default path really does split.
+    import spark.implicits._
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      // one hot key carries ~200k of 210k left rows
+      val left = spark.range(200000).select(lit(1L).as("k"), $"id".as("lv"))
+        .unionAll(spark.range(10000).select(($"id" % 100 + 2).as("k"), $"id".as("lv")))
+      val right = spark.range(110).select($"id".as("k"), ($"id" * 3).as("rv"))
+      val joined = left.join(right, "k").select(sum($"lv" + $"rv"))
+      val expected = joined.collect().head.getLong(0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$plan")
+      // and the split join still computes the right answer
+      assert(expected === left.join(right, "k")
+        .select(sum($"lv" + $"rv")).collect().head.getLong(0))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("skewProfile surfaces the hot keys with their share") {
     import spark.implicits._
     val df = spark.range(900).select(lit(7L).as("k"))
