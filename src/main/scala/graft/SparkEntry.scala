@@ -32,6 +32,7 @@ object SparkEntry {
     "filter_pushdown_scan" -> (ReferenceOps.filterPushdownScan(_, _)),
     "avro_roundtrip"       -> (ReferenceOps.avroRoundtrip(_, _)),
     "avro_evolution"       -> (ReferenceOps.avroEvolution(_, _)),
+    "registry_evolution"   -> (ReferenceOps.registryEvolution(_, _)),
     "proto_roundtrip"      -> (ReferenceOps.protoRoundtrip(_, _)),
     // — Part B: relational closure —
     "equi_join"            -> (Relational.equiJoin(_, _)),
@@ -167,6 +168,18 @@ object SparkEntry {
         |       CAST(1 + length(event_type) + 1 + length(CAST(user_id AS VARCHAR))
         |            + CASE WHEN event_id % 2 = 0 THEN 0
         |                   ELSE 1 + 1 + length(props) + 1 + 1 + 9 END
+        |            AS INTEGER) AS frame_len
+        |FROM events ORDER BY event_id""".stripMargin,
+    "registry_evolution" ->
+      """SELECT event_id,
+        |       CAST(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER)
+        |         AS schema_id,
+        |       event_type AS name,
+        |       CAST(user_id AS VARCHAR) AS real_name,
+        |       CASE WHEN event_id % 2 = 0 THEN '' ELSE props END AS movies_csv,
+        |       CAST(5 + 1 + length(event_type) + 1 + length(CAST(user_id AS VARCHAR))
+        |            + CASE WHEN event_id % 2 = 0 THEN 0
+        |                   ELSE 1 + 1 + length(props) + 1 END
         |            AS INTEGER) AS frame_len
         |FROM events ORDER BY event_id""".stripMargin,
     "proto_roundtrip" ->

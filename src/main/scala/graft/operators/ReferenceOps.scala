@@ -212,6 +212,54 @@ object ReferenceOps {
       .orderBy($"event_id")
   }
 
+  /** A26+A28+A29+A24 integration — the reference consumer's full path:
+    * producers frame payloads in the Confluent wire format under TWO
+    * registered schema versions; the consumer reads each frame's schema
+    * id, fetches THAT writer schema from the registry, and resolves it
+    * against the reader schema (reference: versioned registry lookups
+    * commands.sh:37-39 feeding `DeserializeAvengerAvroFromSchema`,
+    * golang/avro/avenger_avro.go:52-62). Registry ids are plan-time
+    * constants (bounded metadata, never a per-row lookup); the per-row
+    * work is wire decode + a branch on the embedded id. */
+  def registryEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{avro_decode_schema, avro_encode_schema, wire_decode, wire_encode}
+    val v1 =
+      """{"type":"record","name":"avenger","fields":[
+        |{"name":"name","type":"string"},{"name":"real_name","type":"string"}]}
+        |""".stripMargin.replaceAll("\n", "")
+    val v2 =
+      """{"type":"record","name":"avenger","fields":[
+        |{"name":"name","type":"string"},{"name":"real_name","type":"string"},
+        |{"name":"movies","type":{"type":"array","items":"string"},"default":[]}]}
+        |""".stripMargin.replaceAll("\n", "")
+    val reader = graft.sources.SchemaCatalog.AvengerAvroJson
+    val catalog = new graft.sources.SchemaCatalog
+    val id1 = catalog.register("avro-avengers-value", v1).id
+    val id2 = catalog.register("avro-avengers-value", v2).id
+    val framed = Tables.events(spark, dir)
+      .select($"event_id",
+        when($"event_id" % 2 === 0,
+          wire_encode(lit(id1), avro_encode_schema(struct(
+            $"event_type".as("name"),
+            $"user_id".cast(StringType).as("real_name")), v1)))
+        .otherwise(
+          wire_encode(lit(id2), avro_encode_schema(struct(
+            $"event_type".as("name"),
+            $"user_id".cast(StringType).as("real_name"),
+            array($"props").as("movies")), v2))).as("frame"))
+    framed
+      .select($"event_id", wire_decode($"frame").as("d"), length($"frame").as("frame_len"))
+      .select($"event_id", $"d.schema_id".as("schema_id"),
+        when($"d.schema_id" === id1, avro_decode_schema($"d.payload", v1, reader))
+          .otherwise(avro_decode_schema($"d.payload", v2, reader)).as("rec"),
+        $"frame_len")
+      .select($"event_id", $"schema_id",
+        $"rec.name".as("name"), $"rec.real_name".as("real_name"),
+        concat_ws(",", $"rec.movies").as("movies_csv"), $"frame_len")
+      .orderBy($"event_id")
+  }
+
   /** A25: proto3 serde roundtrip through the custom codec expressions
     * (tag-length-value; 1-byte tags and lengths at these string sizes). */
   def protoRoundtrip(spark: SparkSession, dir: String): DataFrame = {
