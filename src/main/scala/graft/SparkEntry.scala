@@ -38,6 +38,7 @@ object SparkEntry {
     "equi_join"            -> (Relational.equiJoin(_, _)),
     "multi_join_agg"       -> (Relational.multiJoinAgg(_, _)),
     "semi_anti_join"       -> (Relational.semiAntiJoin(_, _)),
+    "full_outer_join"      -> (Relational.fullOuterJoin(_, _)),
     "asof_join"            -> (Relational.asofJoin(_, _)),
     "asof_join_left"       -> (Relational.asofJoinLeft(_, _)),
     "funnel_conversion"    -> (Relational.funnelConversion(_, _)),
@@ -211,6 +212,15 @@ object SparkEntry {
         |SELECT c_custkey, 'no_orders' AS status FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "full_outer_join" ->
+      """SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice,
+        |       CASE WHEN o_orderkey IS NULL THEN 'customer_only'
+        |            WHEN c_custkey IS NULL THEN 'order_only'
+        |            ELSE 'matched' END AS side
+        |FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+        |FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin,
     "asof_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us,
         |                  event_type FROM events),

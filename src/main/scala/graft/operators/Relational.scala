@@ -55,6 +55,25 @@ object Relational {
       .orderBy($"n_name")
   }
 
+  /** NS: full-outer join as a reconciliation report — building-segment
+    * customers vs high-value orders, null-extended on whichever side has
+    * no counterpart (both unmatched classes genuinely occur: segment
+    * customers without big orders AND big orders from other segments).
+    * Same shuffle shape as the inner join; only match-emission differs.
+    */
+  def fullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .join(Tables.orders(spark, dir).filter($"o_totalprice" > 300000.0),
+        $"c_custkey" === $"o_custkey", "full_outer")
+      .select($"c_custkey", $"c_mktsegment", $"o_orderkey", $"o_totalprice",
+        when($"o_orderkey".isNull, "customer_only")
+          .when($"c_custkey".isNull, "order_only")
+          .otherwise("matched").as("side"))
+      .orderBy($"c_custkey".asc_nulls_first, $"o_orderkey".asc_nulls_first)
+  }
+
   /** NS: semi/anti join — customers with and without orders, tagged. */
   def semiAntiJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
