@@ -51,6 +51,8 @@ object SparkEntry {
     "running_total"        -> (Relational.runningTotal(_, _)),
     "lag_lead_gaps"        -> (Relational.lagLeadGaps(_, _)),
     "grouping_sets_report" -> (Relational.groupingSetsReport(_, _)),
+    "ktable_latest"        -> (Relational.ktableLatest(_, _)),
+    "time_gapfill"         -> (Relational.timeGapfill(_, _)),
     "corr_report"          -> (Relational.corrReport(_, _)),
     "vector_normalize"     -> (Similarity.vectorNormalize(_, _)),
     "topk_sort"            -> (Relational.topkSort(_, _)),
@@ -73,6 +75,8 @@ object SparkEntry {
     "lang_id"              -> (TextAnalysis.langId(_, _)),
     "fingerprint"          -> (TextAnalysis.fingerprint(_, _)),
     "corpus_curation"      -> (TextAnalysis.corpusCuration(_, _)),
+    "hash_split"           -> (TextAnalysis.hashSplit(_, _)),
+    "domain_cap"           -> (TextAnalysis.domainCap(_, _, 25)),
     "doc_dedup_exact"      -> (DocDedup.docDedupExact(_, _)),
     "minhash_signatures"   -> (DocDedup.minhashSignatures(_, _)),
     "minhash_dedup_pairs"  -> (DocDedup.minhashDedupPairs(_, _)),
@@ -221,6 +225,51 @@ object SparkEntry {
         |FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
         |  ON c_custkey = o_custkey
         |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin,
+    "ktable_latest" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |       event_type AS last_event_type, value AS last_value
+        |FROM (SELECT user_id, event_id, event_type, value,
+        |             row_number() OVER (
+        |               PARTITION BY user_id
+        |               ORDER BY epoch_ns(ts)//1000 DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "time_gapfill" ->
+      """WITH ev AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+        |counts AS (SELECT h, event_type, CAST(count(*) AS BIGINT) AS n
+        |           FROM ev GROUP BY 1, 2),
+        |hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |          FROM (SELECT min(h) AS h0, max(h) AS h1 FROM ev)),
+        |types AS (SELECT DISTINCT event_type AS et FROM ev)
+        |SELECT epoch_us(CAST(hours.h AS TIMESTAMP)) AS w_start,
+        |       types.et AS event_type,
+        |       COALESCE(n, CAST(0 AS BIGINT)) AS n
+        |FROM hours CROSS JOIN types
+        |LEFT JOIN counts ON counts.h = hours.h
+        |                AND counts.event_type = types.et
+        |ORDER BY w_start, event_type""".stripMargin,
+    "hash_split" ->
+      """SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM (SELECT doc_id, n_chars,
+        |             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |                  AS BIGINT) % 100 AS bucket,
+        |             CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |                       AS BIGINT) % 100 < 80 THEN 'train'
+        |                  WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |                       AS BIGINT) % 100 < 90 THEN 'val'
+        |                  ELSE 'test' END AS split
+        |      FROM documents) t
+        |GROUP BY split ORDER BY split""".stripMargin,
+    "domain_cap" ->
+      """SELECT source, doc_id, h AS text_hash FROM (
+        |  SELECT source, doc_id, h,
+        |         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+        |  FROM (SELECT source, doc_id,
+        |               CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |        FROM documents) i) t
+        |WHERE rn <= 25 ORDER BY source, doc_id""".stripMargin,
     "asof_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us,
         |                  event_type FROM events),

@@ -154,6 +154,49 @@ object Relational {
       .orderBy($"user_id", $"rnk")
   }
 
+  /** NS: KTable / log-compaction materialization — the latest record per
+    * key, last-write-wins on (ts, event_id). This is the Kafka Streams
+    * table abstraction the reference's topics imply (a compacted topic
+    * retains only the newest value per key). `max_by` over an orderable
+    * struct partial-aggregates map-side, so the shuffle carries ONE row
+    * per (key, partition) — a row_number window would shuffle the whole
+    * changelog to sort rows it then discards. */
+  def ktableLatest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(max_by(
+        struct($"event_id", $"event_type", $"value"),
+        struct(unix_micros($"ts"), $"event_id")).as("last"))
+      .select($"user_id",
+        $"last.event_id".as("last_event_id"),
+        $"last.event_type".as("last_event_type"),
+        $"last.value".as("last_value"))
+      .orderBy($"user_id")
+  }
+
+  /** NS: time-series resample with gap fill — hourly counts per type with
+    * explicit zero rows for empty hours (the shape chart/train-curve
+    * consumers need). The dense grid is generated, not stored: global
+    * min/max hour (scalar agg) × distinct types (bounded dim), both
+    * broadcast — grid size is O(hours·types), never O(rows), so the
+    * sequence() explode and the nested-loop grid join stay tiny at any
+    * data scale; the real counts left-join onto the grid. */
+  def timeGapfill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(date_trunc("hour", $"ts").as("h"), $"event_type")
+    val counts = ev.groupBy($"h", $"event_type").agg(count(lit(1)).as("n"))
+    val hours = ev.agg(min($"h").as("h0"), max($"h").as("h1"))
+      .select(explode(sequence($"h0", $"h1", expr("INTERVAL 1 HOUR"))).as("h"))
+    val types = ev.select($"event_type").distinct()
+    hours.crossJoin(broadcast(types))
+      .join(counts, Seq("h", "event_type"), "left_outer")
+      .select(unix_micros($"h").as("w_start"), $"event_type",
+        coalesce($"n", lit(0L)).as("n"))
+      .orderBy($"w_start", $"event_type")
+  }
+
   /** NS: global top-10 by value — plans to TakeOrderedAndProject (per-
     * partition top-k then a k-row driver merge; no global sort even at
     * 100 TB). */

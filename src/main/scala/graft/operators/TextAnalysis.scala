@@ -181,4 +181,43 @@ object TextAnalysis {
         array_min(transform($"grams", g => md5Long60(g))).as("fingerprint"))
       .orderBy($"doc_id")
   }
+
+  /** NS: deterministic train/val/test split — the split is a pure
+    * function of md5(doc_id), so assignment is stable across runs,
+    * cluster sizes, and engines (sampleBy/rand are seed- and
+    * partitioning-dependent and unreproducible in a re-run pipeline).
+    * 80/10/10 by hash bucket; per-row expression, zero shuffle until the
+    * 3-row audit aggregate. */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("bucket", md5Long60($"doc_id".cast(StringType)) % 100)
+      .withColumn("split",
+        when($"bucket" < 80, "train")
+          .when($"bucket" < 90, "val")
+          .otherwise("test"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"doc_id").as("id_checksum"),
+        sum($"n_chars").as("sum_chars"))
+      .orderBy($"split")
+  }
+
+  /** NS: per-source corpus cap (domain balancing, the C4/Dolma-style
+    * curation step): keep at most k docs per source, chosen by
+    * deterministic content hash — a stable "random" sample. Reuses the
+    * bounded [[graft.functions.TopKRows]] aggregate, so the shuffle
+    * carries ≤ k rows per (source, partition); a row_number window would
+    * shuffle the full corpus, and the dominant source (web crawl ≫ wiki)
+    * would become one hot sort partition at 100 TB. */
+  def domainCap(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"source")
+      .agg(graft.functions.top_k_rows(
+        struct(md5Long60($"text").as("h"), $"doc_id"), k).as("keep"))
+      .select($"source", explode($"keep").as("r"))
+      .select($"source", $"r.doc_id".as("doc_id"), $"r.h".as("text_hash"))
+      .orderBy($"source", $"doc_id")
+  }
 }

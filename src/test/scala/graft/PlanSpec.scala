@@ -145,9 +145,10 @@ class PlanSpec extends SparkSpecBase {
   test("no declared query plans a cartesian product or nested-loop join") {
     // Deliberate exceptions: ANN probes join a 1-row probe table against
     // every embedding — a broadcast nested loop of a bounded tiny side is
-    // the intended linear scan, not a blow-up.
+    // the intended linear scan, not a blow-up. time_gapfill's grid is
+    // hours × distinct types: both sides bounded aggregates, never O(rows).
     val allowNestedLoop = Set("similarity_search", "ngram_jaccard",
-      "ann_lsh_search")
+      "ann_lsh_search", "time_gapfill")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = physical(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
