@@ -67,6 +67,7 @@ object SparkEntry {
     "dedup"                -> (Relational.dedup(_, _)),
     "salted_join"          -> (Scale.saltedJoinQuery(_, _)),
     "range_join"           -> (Scale.bucketedRangeJoin(_, _)),
+    "bloom_prune_join"     -> (Scale.bloomPruneJoin(_, _)),
     "kmv_distinct"         -> (Relational.kmvDistinct(_, _)),
     // — LLM-data-pipeline operators —
     "text_analysis"        -> (TextAnalysis.textAnalysis(_, _)),
@@ -225,6 +226,14 @@ object SparkEntry {
         |FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
         |  ON c_custkey = o_custkey
         |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin,
+    "bloom_prune_join" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |            AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "ktable_latest" ->
       """SELECT user_id, event_id AS last_event_id,
         |       event_type AS last_event_type, value AS last_value

@@ -177,4 +177,41 @@ object Scale {
     val r = spark.table(rightTable)
     l.join(r, l(key) === r(key)).drop(r(key))
   }
+
+  /** NS: bloom-filter semi-join reduction — the manual runtime-filter
+    * technique for 100 TB fact⋈dim joins. The dim-side keys aggregate
+    * into one compact bloom sketch (a distributed agg whose single
+    * ~KB-scale value travels as a scalar subquery — never collected to
+    * the application); the fact scan is pre-filtered with might_contain
+    * (bloom guarantees no false negatives) BEFORE the join exchange, so
+    * the shuffle carries only probable matches instead of the whole
+    * fact table; the exact join then removes the false positives. The
+    * oracle is the same query WITHOUT the bloom — a transparency proof,
+    * like salted_join. Uses Spark's own `BloomFilterAggregate` /
+    * `BloomFilterMightContain` (the InjectRuntimeFilter expressions)
+    * surfaced as SQL functions by [[graft.plans.GraftExtensions]]; the
+    * explicit form lets a pipeline build the bloom once and reuse it
+    * across many scans, which the optimizer's per-join injection can't.
+    */
+  def bloomPruneJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    graft.Tables.orders(spark, dir).createOrReplaceTempView("bp_orders")
+    graft.Tables.lineitem(spark, dir).createOrReplaceTempView("bp_lineitem")
+    spark.sql(
+      """WITH dim AS (SELECT o_orderkey FROM bp_orders
+        |             WHERE o_totalprice > 400000.0),
+        |     bf  AS (SELECT graft_bloom_agg(o_orderkey, 4096L, 65536L) AS b
+        |             FROM dim)
+        |SELECT l.l_returnflag,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) -
+        |                 CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS revenue
+        |FROM bp_lineitem l
+        |JOIN dim d ON l.l_orderkey = d.o_orderkey
+        |WHERE graft_bloom_contains((SELECT b FROM bf), l.l_orderkey)
+        |GROUP BY l.l_returnflag
+        |ORDER BY l.l_returnflag""".stripMargin)
+  }
 }

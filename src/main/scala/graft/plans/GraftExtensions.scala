@@ -122,6 +122,22 @@ object GraftExtensions {
         "top_k_rows(struct, k) - aggregate: k smallest struct rows in natural order, sorted."),
       (args: Seq[Expression]) =>
         TopKRows(args(0), intArg("top_k_rows", args(1))).toAggregateExpression()),
+    // Spark's own runtime-filter expressions (public Catalyst classes the
+    // optimizer uses for InjectRuntimeFilter), surfaced as SQL functions so
+    // a pipeline can build the dim-side bloom ONCE and pre-filter many fact
+    // scans with it — the manual form of the 100 TB semi-join reduction.
+    "graft_bloom_agg" -> (
+      info("graft_bloom_agg",
+        "graft_bloom_agg(key, n_items, n_bits) - aggregate: bloom-filter sketch bytes over keys."),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), args(1), args(2)).toAggregateExpression()),
+    "graft_bloom_contains" -> (
+      info("graft_bloom_contains",
+        "graft_bloom_contains(bloom_bytes, key) - might-contain probe; never a false negative."),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args(0), args(1))),
   )
 
   /** Imperative registration onto an existing session (tests, REPLs). */

@@ -89,6 +89,22 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(got === Seq(2L, 3L), s"got $got")
   }
 
+  test("graft_bloom_agg/graft_bloom_contains: no false negatives, filters true negatives") {
+    ready
+    import spark.implicits._
+    (1L to 1000L).toDF("k").repartition(4).createOrReplaceTempView("bloom_keys")
+    spark.sql("SELECT graft_bloom_agg(k, 1000L, 16384L) AS b FROM bloom_keys WHERE k <= 100")
+      .createOrReplaceTempView("bloom_bf")
+    val kept = spark.sql(
+      """SELECT k FROM bloom_keys
+        |WHERE graft_bloom_contains((SELECT b FROM bloom_bf), k)""".stripMargin)
+      .as[Long].collect().toSet
+    // Every inserted key must survive (bloom has no false negatives)...
+    assert((1L to 100L).forall(kept), "bloom dropped an inserted key")
+    // ...and the filter must actually prune most of the 900 non-members.
+    assert(kept.size < 200, s"bloom kept ${kept.size} of 1000 — not filtering")
+  }
+
   test("SQL function registry agrees with the Column facade") {
     ready
     import spark.implicits._

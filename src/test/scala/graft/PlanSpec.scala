@@ -142,6 +142,15 @@ class PlanSpec extends SparkSpecBase {
     assert(perBand > 16, s"band bucket space collapsed to $perBand buckets")
   }
 
+  test("bloom_prune_join pre-filters the fact scan before the join exchange") {
+    val p = physical(graft.operators.Scale.bloomPruneJoin(spark, Sf0001))
+    // The might_contain predicate must sit in a Filter over the lineitem
+    // scan (pre-shuffle semi-join reduction), with the bloom arriving as a
+    // scalar subquery — never a driver-side collect.
+    assert(p.contains("might_contain"), s"no bloom pre-filter in plan:\n$p")
+    assert(p.contains("Subquery"), s"bloom not fed via scalar subquery:\n$p")
+  }
+
   test("no declared query plans a cartesian product or nested-loop join") {
     // Deliberate exceptions: ANN probes join a 1-row probe table against
     // every embedding — a broadcast nested loop of a bounded tiny side is
