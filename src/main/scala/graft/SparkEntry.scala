@@ -84,6 +84,7 @@ object SparkEntry {
     "simhash_docs"         -> (DocDedup.simhashDocs(_, _)),
     "simhash_neardup_pairs" -> (DocDedup.simhashNearDupPairs(_, _)),
     "ngram_jaccard"        -> (DocDedup.ngramJaccardProbe(_, _)),
+    "fuzzy_join"           -> (DocDedup.fuzzyJoinPairs(_, _)),
     "similarity_search"    -> (Similarity.similaritySearch(_, _)),
     "ann_lsh_buckets"      -> (Similarity.annLshBuckets(_, _)),
     "ann_lsh_search"       -> (Similarity.annLshSearch(_, _)),
@@ -226,6 +227,12 @@ object SparkEntry {
         |FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
         |  ON c_custkey = o_custkey
         |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin,
+    "fuzzy_join" ->
+      """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY a_key, b_key""".stripMargin,
     "bloom_prune_join" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
