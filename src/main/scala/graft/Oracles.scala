@@ -143,6 +143,20 @@ object Oracles {
         |FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin),
+    "dedup_clusters" -> (simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |b AS (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
+        |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
+        |pairs AS (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
+        |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
+        |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+        |edges AS (SELECT pa AS src, pb AS dst FROM pairs
+        |          UNION SELECT pb, pa FROM pairs),
+        |reach AS (SELECT doc_id AS v, doc_id AS l FROM m
+        |          UNION
+        |          SELECT e.dst AS v, r.l FROM reach r JOIN edges e ON e.src = r.v)
+        |SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin),
     "ngram_jaccard" -> (gramsCte +
       """,
         |p AS (SELECT grams AS pg FROM g WHERE doc_id = 0)

@@ -85,6 +85,7 @@ object SparkEntry {
     "simhash_neardup_pairs" -> (DocDedup.simhashNearDupPairs(_, _)),
     "ngram_jaccard"        -> (DocDedup.ngramJaccardProbe(_, _)),
     "fuzzy_join"           -> (DocDedup.fuzzyJoinPairs(_, _)),
+    "dedup_clusters"       -> (DocDedup.dedupClusters(_, _)),
     "similarity_search"    -> (Similarity.similaritySearch(_, _)),
     "ann_lsh_buckets"      -> (Similarity.annLshBuckets(_, _)),
     "ann_lsh_search"       -> (Similarity.annLshSearch(_, _)),

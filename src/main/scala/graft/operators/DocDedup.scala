@@ -206,4 +206,55 @@ object DocDedup {
     // per deletable duplicate character run — dedup the skinny triples.
     subst.unionByName(indel).distinct().orderBy($"a_key", $"b_key")
   }
+
+  /** NS: near-duplicate CLUSTER assignment — connected components over the
+    * simhash near-dup pair graph: the transitive-closure step a dedup
+    * pipeline runs after pair generation (A~B, B~C ⇒ one keeper for
+    * {A,B,C}; pairs alone can't pick keepers consistently).
+    *
+    * Distributed min-label propagation with pointer jumping: each round a
+    * node takes the min of its own label, its neighbors' labels, and its
+    * label's label (path halving), so rounds needed are O(log |component|),
+    * not O(diameter). The loop iterates ONLY over nodes that appear in
+    * some pair — singleton docs (the overwhelming majority of a corpus)
+    * never enter it and get their cluster id from one final left join.
+    * The driver loop just orchestrates; every step is a distributed
+    * join/agg (persist truncates lineage per round; at 100 TB scale,
+    * checkpoint every few rounds). cluster_id = min doc_id in the
+    * component. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = simhashNearDupPairs(spark, dir).select($"doc_a", $"doc_b")
+    // localCheckpoint (not persist): `labels` is referenced 4× per round,
+    // so carrying lineage would grow the logical plan 4^rounds — Catalyst
+    // re-optimizes the whole tree every round and OOMs near round 10.
+    // Checkpointing truncates the plan to the materialized rows. (On a
+    // real cluster: reliable checkpoint() to shared storage instead.)
+    val edges = pairs
+      .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .toDF("src", "dst").localCheckpoint(true)
+    var labels = edges.select($"src".as("doc_id")).distinct()
+      .select($"doc_id", $"doc_id".as("label")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < 20) {
+      val viaNeighbor = labels.join(edges, $"doc_id" === $"src")
+        .select($"dst".as("doc_id"), $"label")
+      val viaPointer = labels.as("l1")
+        .join(labels.as("l2"), col("l1.label") === col("l2.doc_id"))
+        .select(col("l1.doc_id").as("doc_id"), col("l2.label").as("label"))
+      val next = labels.unionByName(viaNeighbor).unionByName(viaPointer)
+        .groupBy($"doc_id").agg(min($"label").as("label")).localCheckpoint(true)
+      // Labels only ever decrease, so "no row strictly smaller" = fixpoint.
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .where(col("n.label") < col("o.label")).isEmpty
+      labels = next
+      iter += 1
+    }
+    Tables.documents(spark, dir).select($"doc_id")
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select($"doc_id", coalesce($"label", $"doc_id").as("cluster_id"))
+      .orderBy($"doc_id")
+  }
 }
