@@ -77,6 +77,7 @@ object SparkEntry {
     "fingerprint"          -> (TextAnalysis.fingerprint(_, _)),
     "corpus_curation"      -> (TextAnalysis.corpusCuration(_, _)),
     "hash_split"           -> (TextAnalysis.hashSplit(_, _)),
+    "repetition_score"     -> (TextAnalysis.repetitionScore(_, _)),
     "domain_cap"           -> (TextAnalysis.domainCap(_, _, 25)),
     "doc_dedup_exact"      -> (DocDedup.docDedupExact(_, _)),
     "minhash_signatures"   -> (DocDedup.minhashSignatures(_, _)),
@@ -265,6 +266,20 @@ object SparkEntry {
         |LEFT JOIN counts ON counts.h = hours.h
         |                AND counts.event_type = types.et
         |ORDER BY w_start, event_type""".stripMargin,
+    "repetition_score" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |bg AS (SELECT doc_id, list_transform(range(1, len(ts)),
+        |                        i -> ts[i] || ' ' || ts[i+1]) AS bgs
+        |       FROM tok WHERE len(ts) >= 2),
+        |e AS (SELECT doc_id, unnest(bgs) AS bg FROM bg),
+        |c AS (SELECT doc_id, bg, count(*) AS n FROM e GROUP BY 1, 2),
+        |t AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS top_count,
+        |             CAST(sum(n) AS BIGINT) AS n_bigrams FROM c GROUP BY 1)
+        |SELECT doc_id, n_bigrams, top_count,
+        |       CAST(top_count AS DOUBLE) / n_bigrams AS top_ratio,
+        |       CASE WHEN CAST(top_count AS DOUBLE) / n_bigrams > 0.05
+        |            THEN 1 ELSE 0 END AS repetitive
+        |FROM t ORDER BY doc_id""".stripMargin,
     "hash_split" ->
       """SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(doc_id) AS BIGINT) AS id_checksum,

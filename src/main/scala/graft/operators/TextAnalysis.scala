@@ -203,6 +203,32 @@ object TextAnalysis {
       .orderBy($"split")
   }
 
+  /** NS: repetition quality signal (the Gopher/Dolma "repeated n-gram"
+    * rule): per-document top-bigram share — a doc whose most frequent
+    * bigram covers more than 5% of all bigrams is flagged repetitive
+    * (boilerplate, keyword stuffing, decoding loops). Unlike
+    * [[qualityScore]]'s per-row expressions this one genuinely needs a
+    * shuffle (counting duplicate bigrams per doc), but both aggregations
+    * partial-aggregate map-side and key on doc_id, so it's one linear
+    * pass + bounded shuffles at 100 TB. */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ratio = $"top_count".cast(DoubleType) / $"n_bigrams"
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens($"text"))
+      .where(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(toks)-1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))")).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("n"))
+      .groupBy($"doc_id")
+      .agg(max($"n").as("top_count"), sum($"n").as("n_bigrams"))
+      .select($"doc_id", $"n_bigrams", $"top_count",
+        ratio.as("top_ratio"),
+        when(ratio > 0.05, 1).otherwise(0).as("repetitive"))
+      .orderBy($"doc_id")
+  }
+
   /** NS: per-source corpus cap (domain balancing, the C4/Dolma-style
     * curation step): keep at most k docs per source, chosen by
     * deterministic content hash — a stable "random" sample. Reuses the

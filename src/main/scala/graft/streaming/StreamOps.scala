@@ -125,6 +125,23 @@ object StreamOps {
       .groupBy(col("user_id"))
       .agg(sum(col("value")).as("revenue"), count(lit(1)).as("n_purchases"))
 
+  /** Streaming twin of `Relational.ktableLatest`: the KTable / compacted-
+    * topic materialization as a continuously-updated table — latest record
+    * per key, last-write-wins on (ts, event_id). The same map-side
+    * `max_by` argmax as the batch plan, so per-key state is ONE struct
+    * regardless of stream length; run in update mode to emit only keys
+    * whose latest value changed in the micro-batch. */
+  def ktableLatest(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("event_type"), col("value")),
+        struct(unix_micros(col("ts")), col("event_id"))).as("last"))
+      .select(col("user_id"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_event_type"),
+        col("last.value").as("last_value"))
+
   /** Streaming twin of `Relational.windowedAgg`: watermarked 1-hour
     * tumbling windows; late events beyond 10 minutes are dropped and state
     * is evicted — bounded memory at any scale. */

@@ -117,6 +117,26 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === batch && streamed.nonEmpty)
   }
 
+  test("KTable latest-per-key: streaming materialization == batch argmax") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    // Two separate micro-batches so the state actually updates across
+    // batches (a later batch overwrites keys from the first).
+    ms.addData(rows.take(60))
+    ms.addData(rows.drop(60))
+    val q = StreamOps.ktableLatest(ms.toDF()).writeStream
+      .format("memory").queryName("ktable").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("ktable")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val batch = StreamOps.ktableLatest(batchDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(streamed === batch && streamed.size == 3)
+    // last-write-wins: every user's latest event is from the tail batch
+    assert(streamed.forall { case (_, eid, _) => eid >= 60 })
+  }
+
   test("foreachBatch dispatch fan-out routes every event type once per batch") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
