@@ -142,6 +142,20 @@ class PlanSpec extends SparkSpecBase {
     assert(perBand > 16, s"band bucket space collapsed to $perBand buckets")
   }
 
+  test("ktable_latest partial-aggregates the argmax map-side") {
+    // The KTable materialization must ship ONE row per (key, partition)
+    // across the shuffle — a partial max_by before the exchange — not the
+    // whole changelog (which is what a row_number-window plan would do).
+    val p = physical(graft.operators.Relational.ktableLatest(spark, Sf0001))
+    assert(p.contains("partial_max_by"), s"no map-side partial argmax:\n$p")
+    assert(!p.contains("Window"), s"ktable_latest fell back to a window plan:\n$p")
+  }
+
+  test("domain_cap partial-aggregates the bounded top-k map-side") {
+    val p = physical(graft.operators.TextAnalysis.domainCap(spark, Sf0001, 25))
+    assert(p.contains("partial_top_k_rows"), s"no map-side partial top-k:\n$p")
+  }
+
   test("bloom_prune_join pre-filters the fact scan before the join exchange") {
     val p = physical(graft.operators.Scale.bloomPruneJoin(spark, Sf0001))
     // The might_contain predicate must sit in a Filter over the lineitem
