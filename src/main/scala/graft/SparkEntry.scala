@@ -52,6 +52,7 @@ object SparkEntry {
     "lag_lead_gaps"        -> (Relational.lagLeadGaps(_, _)),
     "grouping_sets_report" -> (Relational.groupingSetsReport(_, _)),
     "ktable_latest"        -> (Relational.ktableLatest(_, _)),
+    "user_journey"         -> (Relational.userJourney(_, _)),
     "time_gapfill"         -> (Relational.timeGapfill(_, _)),
     "corr_report"          -> (Relational.corrReport(_, _)),
     "vector_normalize"     -> (Similarity.vectorNormalize(_, _)),
@@ -252,6 +253,11 @@ object SparkEntry {
         |               ORDER BY epoch_ns(ts)//1000 DESC, event_id DESC) AS rn
         |      FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "user_journey" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       string_agg(event_type, '>'
+        |                  ORDER BY epoch_ns(ts)//1000, event_id) AS journey
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "time_gapfill" ->
       """WITH ev AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
         |counts AS (SELECT h, event_type, CAST(count(*) AS BIGINT) AS n

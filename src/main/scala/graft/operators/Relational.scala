@@ -197,6 +197,30 @@ object Relational {
       .orderBy($"w_start", $"event_type")
   }
 
+  /** NS: per-user journey — the ordered event-type sequence as one
+    * string ("view>view>purchase"), the input shape of funnel mining and
+    * next-event models. collect_list is partial-aggregated map-side and
+    * the in-group sort happens AFTER collection on the ≤|user activity|
+    * array (array_sort on struct natural order (ts_us, event_id, type) —
+    * deterministic under any partitioning), so the shuffle carries each
+    * event once and nothing global sorts. Per-key state is bounded by
+    * per-user activity — for unbounded keys you'd cap with the TopKRows
+    * aggregate or a windowed slice first. */
+  def userJourney(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(unix_micros($"ts").as("t"), $"event_id", $"event_type"))),
+            x => x.getField("event_type")),
+          ">").as("journey"))
+      .orderBy($"user_id")
+  }
+
   /** NS: global top-10 by value — plans to TakeOrderedAndProject (per-
     * partition top-k then a k-row driver merge; no global sort even at
     * 100 TB). */
