@@ -69,6 +69,7 @@ object SparkEntry {
     "salted_join"          -> (Scale.saltedJoinQuery(_, _)),
     "range_join"           -> (Scale.bucketedRangeJoin(_, _)),
     "bloom_prune_join"     -> (Scale.bloomPruneJoin(_, _)),
+    "zorder_key"           -> (Scale.zorderKey(_, _)),
     "kmv_distinct"         -> (Relational.kmvDistinct(_, _)),
     // — LLM-data-pipeline operators —
     "text_analysis"        -> (TextAnalysis.textAnalysis(_, _)),
@@ -244,6 +245,27 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 400000.0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "zorder_key" ->
+      """WITH s0 AS (SELECT l_orderkey, l_linenumber,
+        |                   l_partkey & 4294967295 AS x,
+        |                   l_suppkey & 4294967295 AS y FROM lineitem),
+        |s1 AS (SELECT l_orderkey, l_linenumber,
+        |              (x | (x << 16)) & 281470681808895 AS x,
+        |              (y | (y << 16)) & 281470681808895 AS y FROM s0),
+        |s2 AS (SELECT l_orderkey, l_linenumber,
+        |              (x | (x << 8)) & 71777214294589695 AS x,
+        |              (y | (y << 8)) & 71777214294589695 AS y FROM s1),
+        |s3 AS (SELECT l_orderkey, l_linenumber,
+        |              (x | (x << 4)) & 1085102592571150095 AS x,
+        |              (y | (y << 4)) & 1085102592571150095 AS y FROM s2),
+        |s4 AS (SELECT l_orderkey, l_linenumber,
+        |              (x | (x << 2)) & 3689348814741910323 AS x,
+        |              (y | (y << 2)) & 3689348814741910323 AS y FROM s3),
+        |s5 AS (SELECT l_orderkey, l_linenumber,
+        |              (x | (x << 1)) & 6148914691236517205 AS x,
+        |              (y | (y << 1)) & 6148914691236517205 AS y FROM s4)
+        |SELECT l_orderkey, l_linenumber, (x | (y << 1)) AS z
+        |FROM s5 ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "ktable_latest" ->
       """SELECT user_id, event_id AS last_event_id,
         |       event_type AS last_event_type, value AS last_value

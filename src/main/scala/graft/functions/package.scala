@@ -45,6 +45,10 @@ package object functions {
   /** Ordered-fold double dot product of two numeric arrays (codegen'd). */
   def vector_dot(a: Column, b: Column): Column = toCol(VectorDot(ex(a), ex(b)))
 
+  /** 2-D Z-order (Morton) key of two non-negative long keys (codegen'd):
+    * the clustering value behind multi-dimensional layout/pruning. */
+  def z_order2(x: Column, y: Column): Column = toCol(ZOrder2(ex(x), ex(y)))
+
   /** KMV distinct sketch: the k smallest distinct md5_long(value, 15)
     * hashes as a sorted long array (aggregate; O(k) memory per group). */
   def kmv_sketch(c: Column, k: Int): Column =

@@ -169,6 +169,33 @@ object Scale {
       .partitionBy(partCol)
       .parquet(path)
 
+  /** Write `df` clustered on the 2-D Z-order (Morton) curve of two long
+    * key columns: range-partition + sort on the interleaved key, so each
+    * parquet file covers a small rectangle in (c1, c2) space and min/max
+    * row-group stats prune scans filtering on EITHER column — the layout
+    * trick behind z-ordered table formats, for when two independent
+    * predicates matter and hive-partitioning can only serve one. */
+  def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
+      numFiles: Int): Unit =
+    df.withColumn("__z", graft.functions.z_order2(col(c1).cast("long"),
+        col(c2).cast("long")))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite")
+      .parquet(path)
+
+  /** NS: the Z-order clustering key itself, oracled bit-for-bit — the
+    * DuckDB twin replays the same magic-number spread chain in SQL, so a
+    * green row proves the layout key any engine would compute matches. */
+  def zorderKey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber",
+        graft.functions.z_order2($"l_partkey", $"l_suppkey").as("z"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
   /** Join two identically-bucketed tables on their bucket key —
     * shuffle-free when `spark.sql.sources.bucketing.enabled` (default). */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,

@@ -108,6 +108,10 @@ object GraftExtensions {
       info("vector_dot",
         "vector_dot(a, b) - ordered-fold double dot product of two numeric arrays."),
       (args: Seq[Expression]) => VectorDot(args(0), args(1))),
+    "z_order2" -> (
+      info("z_order2",
+        "z_order2(x, y) - 2-D Z-order (Morton) interleave of two non-negative bigint keys."),
+      (args: Seq[Expression]) => ZOrder2(args(0), args(1))),
     "word_shingles" -> (
       info("word_shingles",
         "word_shingles(text, n) - distinct lowercase word n-gram shingles."),

@@ -119,6 +119,48 @@ class ScaleSpec extends SparkSpecBase {
     assert(back.count() === Tables.events(spark, Sf0001).count())
   }
 
+  test("z_order2 matches hand-computed Morton vectors") {
+    import graft.functions.ZOrder2
+    // interleave(x, y): x even bits, y odd bits
+    assert(ZOrder2.interleave(0L, 0L) == 0L)
+    assert(ZOrder2.interleave(1L, 0L) == 1L)
+    assert(ZOrder2.interleave(0L, 1L) == 2L)
+    assert(ZOrder2.interleave(1L, 1L) == 3L)
+    assert(ZOrder2.interleave(2L, 2L) == 12L)
+    assert(ZOrder2.interleave(7L, 0L) == 21L)        // 0b010101
+    assert(ZOrder2.interleave(0L, 7L) == 42L)        // 0b101010
+    assert(ZOrder2.interleave(0xFFFFFFFFL, 0xFFFFFFFFL) == -1L) // all 64 bits set
+    // spread is exact on the full 32-bit domain boundary
+    assert(ZOrder2.spread(0x80000000L) == 0x4000000000000000L)
+  }
+
+  test("z-ordered layout: each file covers a small rectangle in BOTH key dims") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // Uniform 64×64 grid — equal bit-widths, where z-ordering must bound
+    // BOTH dimensions per file (a single-key sort bounds one and leaves
+    // the other full-range; that contrast is the point of the layout).
+    val grid = spark.range(4096)
+      .select(($"id" % 64).as("x"), ($"id" / 64).cast("long").as("y"))
+    Scale.writeZOrdered(grid, path, "x", "y", numFiles = 8)
+    val back = spark.read.parquet(path)
+    assert(back.count() === 4096L) // round-trip: no loss, no dup
+    val boxes = back
+      .withColumn("f", input_file_name())
+      .groupBy($"f")
+      .agg(min($"x").as("x0"), max($"x").as("x1"),
+        min($"y").as("y0"), max($"y").as("y1"))
+      .collect()
+    assert(boxes.length > 2, "needs several files for a meaningful check")
+    val avgX = boxes.map(b => (b.getLong(2) - b.getLong(1) + 1) / 64.0).sum / boxes.length
+    val avgY = boxes.map(b => (b.getLong(4) - b.getLong(3) + 1) / 64.0).sum / boxes.length
+    // 8 contiguous z-ranges over a uniform 64×64 grid → per-file bounding
+    // boxes around 1/2 × 1/4 of each axis (curve-boundary slop allowed);
+    // a sort on x alone would leave avgY ≈ 1.0.
+    assert(avgX <= 0.75 && avgY <= 0.75,
+      f"z-order boxes too wide: avgX=$avgX%.2f avgY=$avgY%.2f")
+  }
+
   test("identically-bucketed tables join with zero shuffle") {
     import spark.implicits._
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
