@@ -53,6 +53,8 @@ object SparkEntry {
     "grouping_sets_report" -> (Relational.groupingSetsReport(_, _)),
     "ktable_latest"        -> (Relational.ktableLatest(_, _)),
     "user_journey"         -> (Relational.userJourney(_, _)),
+    "winsorized_stats"     -> (Relational.winsorizedStats(_, _)),
+    "correlated_subquery"  -> (Relational.correlatedSubquery(_, _)),
     "time_gapfill"         -> (Relational.timeGapfill(_, _)),
     "corr_report"          -> (Relational.corrReport(_, _)),
     "vector_normalize"     -> (Similarity.vectorNormalize(_, _)),
@@ -275,6 +277,29 @@ object SparkEntry {
         |               ORDER BY epoch_ns(ts)//1000 DESC, event_id DESC) AS rn
         |      FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "winsorized_stats" ->
+      """WITH q AS (SELECT l_returnflag,
+        |                  quantile_cont(l_quantity, 0.25) AS q1,
+        |                  quantile_cont(l_quantity, 0.75) AS q3
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, q1, q3,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN l_quantity < q1 OR l_quantity > q3
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        |       CAST(sum(CAST(least(greatest(l_quantity, q1), q3)
+        |                     AS DECIMAL(18,2))) AS DOUBLE) AS sum_clipped
+        |FROM lineitem JOIN q USING (l_returnflag)
+        |GROUP BY 1, 2, 3 ORDER BY l_returnflag""".stripMargin,
+    "correlated_subquery" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_small,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS small_revenue
+        |FROM lineitem l1
+        |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "user_journey" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |       string_agg(event_type, '>'

@@ -197,6 +197,53 @@ object Relational {
       .orderBy($"w_start", $"event_type")
   }
 
+  /** NS: winsorized (IQR-clipped) statistics — the robust-stats
+    * preprocessing step: clip each quantity to its return-flag group's
+    * [q1, q3] and report exact clipped sums. Two passes (tiny exact-
+    * quartile aggregate, broadcast back onto the scan) — the shape that
+    * holds at 100 TB because pass one reduces to |groups| rows. FP-exact
+    * cross-engine: quartiles of integer-valued quantities at dyadic
+    * fractions are exact doubles, clipping is pure comparison, and the
+    * sum goes through DECIMAL(18,2). */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val q = li.groupBy($"l_returnflag").agg(
+      percentile($"l_quantity", lit(0.25)).as("q1"),
+      percentile($"l_quantity", lit(0.75)).as("q3"))
+    val clipped = least(greatest($"l_quantity", $"q1"), $"q3")
+    li.join(broadcast(q), "l_returnflag")
+      .groupBy($"l_returnflag", $"q1", $"q3")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when($"l_quantity" < $"q1" || $"l_quantity" > $"q3", 1L)
+          .otherwise(0L)).as("n_clipped"),
+        sum(clipped.cast(DecimalType(18, 2))).cast(DoubleType).as("sum_clipped"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** NS: correlated scalar subquery (the TPC-H Q17 shape) — lineitems
+    * cheaper than half their part's average quantity. Written as a
+    * correlated subquery and left to Catalyst's decorrelation, which
+    * rewrites it to one per-part aggregate + an equi-join: at 100 TB the
+    * subquery never executes per row (PlanSpec pins the aggregate+join
+    * plan). FP-exact: per-part sums of integer-valued quantities are
+    * exact doubles in any order, so avg and the 0.5× threshold are
+    * bit-stable cross-engine. */
+  def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("cs_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, count(*) AS n_small,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS small_revenue
+        |FROM cs_lineitem l1
+        |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+        |                    FROM cs_lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** NS: per-user journey — the ordered event-type sequence as one
     * string ("view>view>purchase"), the input shape of funnel mining and
     * next-event models. collect_list is partial-aggregated map-side and

@@ -156,6 +156,14 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_top_k_rows"), s"no map-side partial top-k:\n$p")
   }
 
+  test("correlated_subquery decorrelates to one aggregate + join") {
+    // Catalyst must rewrite the per-row correlated scalar subquery into a
+    // per-part aggregate joined back — never a subquery evaluated per row.
+    val p = physical(graft.operators.Relational.correlatedSubquery(spark, Sf0001))
+    assert(p.contains("Join"), s"no join in decorrelated plan:\n$p")
+    assert(!p.contains("Subquery"), s"subquery survived decorrelation:\n$p")
+  }
+
   test("bloom_prune_join pre-filters the fact scan before the join exchange") {
     val p = physical(graft.operators.Scale.bloomPruneJoin(spark, Sf0001))
     // The might_contain predicate must sit in a Filter over the lineitem
