@@ -211,6 +211,36 @@ object Oracles {
          |FROM a JOIN pc ON a.cell_id = pc.pcell, p
          |WHERE a.vec_id <> 0
          |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin,
+    "ann_recall_eval" ->
+      s"""WITH c AS (SELECT vec_id AS cell_id, embedding AS ce
+         |           FROM embeddings WHERE vec_id < 16),
+         |s AS (SELECT e.vec_id, e.embedding, c.cell_id,
+         |        ${cosSql("e.embedding", "c.ce")} AS score FROM embeddings e, c),
+         |r AS (SELECT vec_id, embedding, cell_id, score, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY score DESC, cell_id) AS rnk FROM s),
+         |a AS (SELECT vec_id, embedding, cell_id FROM r WHERE rnk = 1),
+         |probes AS (SELECT vec_id AS p_id, embedding AS pe
+         |           FROM embeddings WHERE vec_id < 8),
+         |pc AS (SELECT vec_id AS p_id, cell_id FROM r
+         |       WHERE vec_id < 8 AND rnk <= 2),
+         |ivf AS (SELECT pc.p_id, a.vec_id, ${cosSql("a.embedding", "p.pe")} AS score
+         |        FROM a JOIN pc ON a.cell_id = pc.cell_id
+         |        JOIN probes p ON p.p_id = pc.p_id
+         |        WHERE a.vec_id <> pc.p_id),
+         |ivfr AS (SELECT p_id, vec_id, row_number() OVER (
+         |          PARTITION BY p_id ORDER BY score DESC, vec_id) AS rnk FROM ivf),
+         |ivf5 AS (SELECT p_id, vec_id FROM ivfr WHERE rnk <= 5),
+         |ex AS (SELECT p.p_id, e.vec_id, ${cosSql("e.embedding", "p.pe")} AS score
+         |       FROM embeddings e, probes p WHERE e.vec_id <> p.p_id),
+         |exr AS (SELECT p_id, vec_id, row_number() OVER (
+         |          PARTITION BY p_id ORDER BY score DESC, vec_id) AS rnk FROM ex),
+         |ex5 AS (SELECT p_id, vec_id FROM exr WHERE rnk <= 5),
+         |hits AS (SELECT p_id, CAST(count(*) AS BIGINT) AS hits
+         |         FROM ex5 JOIN ivf5 USING (p_id, vec_id) GROUP BY p_id)
+         |SELECT p.p_id, COALESCE(hits, CAST(0 AS BIGINT)) AS n_hits,
+         |       CAST(COALESCE(hits, CAST(0 AS BIGINT)) AS DOUBLE) / 5.0 AS recall
+         |FROM probes p LEFT JOIN hits USING (p_id)
+         |ORDER BY p_id""".stripMargin,
     "embedding_neardup" ->
       s"""WITH s AS (SELECT vec_id, ${lshBucket(16, "embedding")} AS sig, embedding
          |           FROM embeddings),

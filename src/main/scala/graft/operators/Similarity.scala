@@ -260,4 +260,49 @@ object Similarity {
       .distinct()
       .orderBy($"vec_a", $"vec_b")
   }
+
+  /** NS: ANN quality evaluation — recall@5 of the IVF search (nprobe=2)
+    * against the exact brute-force top-5, per probe (vec_id < 8). The
+    * eval loop you run after (re)training a codebook to size nprobe:
+    * both pipelines execute distributed; only the bounded probe→cell
+    * ranking (8 probes × 16 centroids) happens at plan time, from the
+    * same collected codebook the IVF queries embed as literals (same
+    * double fold order as the SQL twin, so ranks agree bit-for-bit). The
+    * exact side is the deliberate bounded-broadcast linear scan. */
+  def annRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cents = codebook(spark, dir)
+    val nProbes = 8
+    val probeCells = cents.filter(_._1 < nProbes).flatMap { case (pid, pe) =>
+      val pNorm = math.sqrt(dotD(pe, pe))
+      cents.map { case (cid, ce) =>
+        (pid, cid, dotD(pe, ce) / (pNorm * math.sqrt(dotD(ce, ce)))) }
+        .sortBy { case (_, cid, s) => (-s, cid) }
+        .take(2).map { case (_, cid, _) => (pid, cid) }
+    }.toSeq.toDF("p_id", "cell_id")
+    val probes = Tables.embeddings(spark, dir).where($"vec_id" < nProbes)
+      .select($"vec_id".as("p_id"), $"embedding".as("pe"))
+    val score = cosine($"embedding", $"pe")
+    val w = Window.partitionBy($"p_id").orderBy($"score".desc, $"vec_id")
+    def top5(scored: DataFrame): DataFrame = scored
+      .withColumn("rnk", row_number().over(w)).where($"rnk" <= 5)
+      .select($"p_id", $"vec_id")
+    val ivf5 = top5(ivfAssigned(spark, dir, cents).drop("score")
+      .join(broadcast(probeCells), "cell_id")
+      .join(broadcast(probes), "p_id")
+      .where($"vec_id" =!= $"p_id")
+      .select($"p_id", $"vec_id", score.as("score")))
+    val exact5 = top5(Tables.embeddings(spark, dir)
+      .crossJoin(broadcast(probes))
+      .where($"vec_id" =!= $"p_id")
+      .select($"p_id", $"vec_id", score.as("score")))
+    val hits = exact5.join(ivf5, Seq("p_id", "vec_id"))
+      .groupBy($"p_id").agg(count(lit(1)).as("hits"))
+    probes.select($"p_id")
+      .join(hits, Seq("p_id"), "left_outer")
+      .select($"p_id", coalesce($"hits", lit(0L)).as("n_hits"),
+        (coalesce($"hits", lit(0L)).cast(DoubleType) / 5.0).as("recall"))
+      .orderBy($"p_id")
+  }
 }
