@@ -54,6 +54,8 @@ object SparkEntry {
     "ktable_latest"        -> (Relational.ktableLatest(_, _)),
     "user_journey"         -> (Relational.userJourney(_, _)),
     "winsorized_stats"     -> (Relational.winsorizedStats(_, _)),
+    "trailing_1h"          -> (Relational.trailingWindow(_, _)),
+    "merge_upsert"         -> (Relational.mergeUpsert(_, _)),
     "correlated_subquery"  -> (Relational.correlatedSubquery(_, _)),
     "time_gapfill"         -> (Relational.timeGapfill(_, _)),
     "corr_report"          -> (Relational.corrReport(_, _)),
@@ -278,6 +280,40 @@ object SparkEntry {
         |               ORDER BY epoch_ns(ts)//1000 DESC, event_id DESC) AS rn
         |      FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "trailing_1h" ->
+      """SELECT event_id, user_id, ts_us,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |         AS trail_value,
+        |       CAST(count(*) OVER w AS BIGINT) AS trail_n
+        |FROM (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us, value
+        |      FROM events WHERE event_type = 'purchase') t
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "merge_upsert" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |updates AS (SELECT DISTINCT o_custkey AS k, 'U' AS op,
+        |                   CAST(NULL AS VARCHAR) AS new_name, 100.0 AS delta
+        |            FROM orders WHERE o_totalprice > 450000.0),
+        |deletes AS (SELECT c_custkey AS k, 'D' AS op,
+        |                   CAST(NULL AS VARCHAR) AS new_name, 0.0 AS delta
+        |            FROM base WHERE c_acctbal < -900.0),
+        |inserts AS (SELECT s_suppkey + 9000000 AS k, 'I' AS op,
+        |                   s_name AS new_name, s_acctbal AS delta FROM supplier),
+        |changes AS (SELECT * FROM updates UNION ALL
+        |            SELECT * FROM deletes UNION ALL
+        |            SELECT * FROM inserts)
+        |SELECT COALESCE(c_custkey, k) AS c_custkey,
+        |       COALESCE(new_name, c_name) AS c_name,
+        |       CAST(COALESCE(CAST(c_acctbal AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2)))
+        |            + COALESCE(CAST(delta AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2)))
+        |            AS DOUBLE) AS c_acctbal,
+        |       CASE WHEN op IS NULL THEN 'kept'
+        |            WHEN op = 'U' THEN 'updated'
+        |            ELSE 'inserted' END AS status
+        |FROM base FULL OUTER JOIN changes ON c_custkey = k
+        |WHERE op IS NULL OR op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
     "winsorized_stats" ->
       """WITH q AS (SELECT l_returnflag,
         |                  quantile_cont(l_quantity, 0.25) AS q1,

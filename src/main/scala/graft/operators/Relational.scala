@@ -197,6 +197,66 @@ object Relational {
       .orderBy($"w_start", $"event_type")
   }
 
+  /** NS: time-based trailing window — per purchase, the user's rolling
+    * 1-hour revenue and event count via a RANGE frame over microsecond
+    * event time (ROWS frames count rows; RANGE bounds by time distance —
+    * the correct frame for "last hour" when event spacing varies). One
+    * shuffle on user_id; frame evaluation is a per-partition sliding
+    * accumulator. Decimal-cast sum keeps the rolling total exact. */
+  def trailingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"), $"value")
+      .select($"event_id", $"user_id", $"ts_us",
+        sum($"value".cast(DecimalType(18, 2))).over(w)
+          .cast(DoubleType).as("trail_value"),
+        count(lit(1)).over(w).as("trail_n"))
+      .orderBy($"event_id")
+  }
+
+  /** NS: MERGE / CDC apply — the lakehouse table-maintenance primitive:
+    * apply a deterministic change set (updates, deletes, inserts) onto the
+    * customer table in ONE full-outer join on the key, emitting the merged
+    * state with a status tag. At 100 TB both sides shuffle on c_custkey
+    * once (or zero times if the base is bucketed on the key); deletes
+    * drop, updates override, inserts null-extend the base side — the
+    * exact shape a foreachBatch CDC sink runs per micro-batch. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+    // Change set, derived deterministically from the fixture tables:
+    // update = +100.00 balance for customers with a >450k order;
+    // delete = customers with deeply negative balances;
+    // insert = one synthetic customer per supplier (shifted key space).
+    val updates = Tables.orders(spark, dir)
+      .filter($"o_totalprice" > 450000.0)
+      .select($"o_custkey".as("k")).distinct()
+      .select($"k", lit("U").as("op"), lit(null).cast(StringType).as("new_name"),
+        lit(100.0).as("delta"))
+    val deletes = base.filter($"c_acctbal" < -900.0)
+      .select($"c_custkey".as("k"), lit("D").as("op"),
+        lit(null).cast(StringType).as("new_name"), lit(0.0).as("delta"))
+    val inserts = Tables.supplier(spark, dir)
+      .select(($"s_suppkey" + 9000000L).as("k"), lit("I").as("op"),
+        $"s_name".as("new_name"), $"s_acctbal".as("delta"))
+    val changes = updates.unionByName(deletes).unionByName(inserts)
+    base.join(changes, $"c_custkey" === $"k", "full_outer")
+      .where($"op".isNull || $"op" =!= "D")
+      .select(
+        coalesce($"c_custkey", $"k").as("c_custkey"),
+        coalesce($"new_name", $"c_name").as("c_name"),
+        (coalesce($"c_acctbal".cast(DecimalType(18, 2)), lit(0).cast(DecimalType(18, 2)))
+          + coalesce($"delta".cast(DecimalType(18, 2)), lit(0).cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("c_acctbal"),
+        when($"op".isNull, "kept").when($"op" === "U", "updated")
+          .otherwise("inserted").as("status"))
+      .orderBy($"c_custkey")
+  }
+
   /** NS: winsorized (IQR-clipped) statistics — the robust-stats
     * preprocessing step: clip each quantity to its return-flag group's
     * [q1, q3] and report exact clipped sums. Two passes (tiny exact-
