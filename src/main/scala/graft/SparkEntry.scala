@@ -55,6 +55,7 @@ object SparkEntry {
     "user_journey"         -> (Relational.userJourney(_, _)),
     "winsorized_stats"     -> (Relational.winsorizedStats(_, _)),
     "trailing_1h"          -> (Relational.trailingWindow(_, _)),
+    "unpivot_metrics"      -> (Relational.unpivotMetrics(_, _)),
     "merge_upsert"         -> (Relational.mergeUpsert(_, _)),
     "correlated_subquery"  -> (Relational.correlatedSubquery(_, _)),
     "time_gapfill"         -> (Relational.timeGapfill(_, _)),
@@ -280,6 +281,18 @@ object SparkEntry {
         |               ORDER BY epoch_ns(ts)//1000 DESC, event_id DESC) AS rn
         |      FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "unpivot_metrics" ->
+      """SELECT l_returnflag, metric, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem) u
+        |GROUP BY 1, 2 ORDER BY l_returnflag, metric""".stripMargin,
     "trailing_1h" ->
       """SELECT event_id, user_id, ts_us,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)

@@ -197,6 +197,24 @@ object Relational {
       .orderBy($"w_start", $"event_type")
   }
 
+  /** NS: unpivot (melt) — the wide→long reshape dual of [[pivotReport]]:
+    * four lineitem measures into (metric, value) rows, then per-flag
+    * decimal-exact sums. Spark plans `unpivot` as a single Expand over ONE
+    * scan — the SQL UNION-ALL formulation (the oracle) reads the table
+    * once per measure, 4× the I/O at 100 TB (PlanSpec pins the Expand). */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .unpivot(
+        Array($"l_returnflag"),
+        Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+        "metric", "val")
+      .groupBy($"l_returnflag", $"metric")
+      .agg(count(lit(1)).as("n"),
+        sum($"val".cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+      .orderBy($"l_returnflag", $"metric")
+  }
+
   /** NS: time-based trailing window — per purchase, the user's rolling
     * 1-hour revenue and event count via a RANGE frame over microsecond
     * event time (ROWS frames count rows; RANGE bounds by time distance —

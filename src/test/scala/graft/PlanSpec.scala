@@ -156,6 +156,13 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_top_k_rows"), s"no map-side partial top-k:\n$p")
   }
 
+  test("unpivot_metrics plans one Expand over one scan, not a 4-scan union") {
+    val p = physical(graft.operators.Relational.unpivotMetrics(spark, Sf0001))
+    assert(p.contains("Expand"), s"unpivot did not plan through Expand:\n$p")
+    assert(!p.contains("Union"), s"unpivot degenerated to a union of scans:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1, s"more than one scan:\n$p")
+  }
+
   test("correlated_subquery decorrelates to one aggregate + join") {
     // Catalyst must rewrite the per-row correlated scalar subquery into a
     // per-part aggregate joined back — never a subquery evaluated per row.
