@@ -182,6 +182,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("z-order: interleave is a bijection on the 32-bit × 32-bit domain") {
+    import graft.functions.ZOrder2
+    def unspread(z: Long): Long = { // inverse of the magic-number spread
+      var x = z & 0x5555555555555555L
+      x = (x | (x >>> 1)) & 0x3333333333333333L
+      x = (x | (x >>> 2)) & 0x0F0F0F0F0F0F0F0FL
+      x = (x | (x >>> 4)) & 0x00FF00FF00FF00FFL
+      x = (x | (x >>> 8)) & 0x0000FFFF0000FFFFL
+      x = (x | (x >>> 16)) & 0x00000000FFFFFFFFL
+      x
+    }
+    val u32 = Gen.chooseNum(0L, 0xFFFFFFFFL)
+    val extremes = Seq(0L, 1L, 0xFFFFFFFFL, 0x80000000L, 0x7FFFFFFFL)
+    for {
+      x <- samples(u32) ++ extremes
+      y <- Seq(0L, 1L, x, 0xFFFFFFFFL - x)
+    } {
+      val z = ZOrder2.interleave(x, y)
+      assert(unspread(z) === x && unspread(z >>> 1) === y, s"zorder($x, $y)")
+    }
+    // adjacency: flipping x's bit k moves z by exactly bit 2k
+    assert((ZOrder2.interleave(5L, 9L) ^ ZOrder2.interleave(4L, 9L)) === 1L)
+    assert((ZOrder2.interleave(5L, 9L) ^ ZOrder2.interleave(5L, 8L)) === 2L)
+  }
+
   test("avro: zigzag roundtrips arbitrary longs including extremes") {
     val extremes = Seq(0L, -1L, 1L, Long.MaxValue, Long.MinValue, 63L, 64L, -64L, -65L)
     for (v <- samples(Arbitrary.arbitrary[Long]) ++ extremes) {

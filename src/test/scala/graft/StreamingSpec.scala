@@ -137,6 +137,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.forall { case (_, eid, _) => eid >= 60 })
   }
 
+  test("TopKRows aggregate maintains per-group top-k across micro-batches") {
+    // The custom TypedImperativeAggregate must serialize/merge its buffer
+    // through the streaming state store exactly like the batch partial
+    // merge — batch parity over a two-batch stream proves it.
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{struct, col, posexplode}
+    val ms = MemoryStream[Ev]
+    ms.addData(rows.take(60))
+    ms.addData(rows.drop(60))
+    def topk(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(graft.functions.top_k_rows(
+        struct((-col("value")).as("neg_value"), col("event_id")), 3).as("top"))
+      .select(col("user_id"), posexplode(col("top")))
+      .select(col("user_id"), col("pos"), col("col.event_id"), col("col.neg_value"))
+    val q = topk(ms.toDF()).writeStream
+      .format("memory").queryName("stream_topk").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("stream_topk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = topk(batchDf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+
   test("foreachBatch dispatch fan-out routes every event type once per batch") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
