@@ -211,6 +211,24 @@ object Oracles {
          |FROM a JOIN pc ON a.cell_id = pc.pcell, p
          |WHERE a.vec_id <> 0
          |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin,
+    "embedding_quantize" ->
+      """WITH b AS (SELECT vec_id, embedding,
+        |             list_max(list_transform(embedding,
+        |               x -> abs(CAST(x AS DOUBLE)))) AS abs_max
+        |           FROM embeddings),
+        |q AS (SELECT vec_id, embedding, abs_max, abs_max / 127.0 AS scale,
+        |        CASE WHEN abs_max = 0
+        |             THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |             ELSE list_transform(embedding, x -> CAST(floor(
+        |                    CAST(x AS DOUBLE) / (abs_max / 127.0) + 0.5) AS BIGINT))
+        |        END AS qs
+        |      FROM b)
+        |SELECT vec_id, scale,
+        |       CAST(list_sum(qs) AS BIGINT) AS sum_q,
+        |       list_max(list_transform(range(1, len(embedding) + 1),
+        |         i -> abs(CAST(embedding[i] AS DOUBLE) - qs[i] * scale)))
+        |         AS max_abs_err
+        |FROM q ORDER BY vec_id""".stripMargin,
     "ann_recall_eval" ->
       s"""WITH c AS (SELECT vec_id AS cell_id, embedding AS ce
          |           FROM embeddings WHERE vec_id < 16),

@@ -100,6 +100,7 @@ object SparkEntry {
     "ann_ivf_cells"        -> (Similarity.annIvfCells(_, _)),
     "ann_ivf_search"       -> (Similarity.annIvfSearch(_, _)),
     "ann_recall_eval"      -> (Similarity.annRecallEval(_, _)),
+    "embedding_quantize"   -> (Similarity.embeddingQuantize(_, _)),
     "embedding_neardup"    -> (Similarity.embeddingNearDupPairs(_, _)),
     "multimodal_cols"      -> (Multimodal.multimodalCols(_, _)),
     "media_decode_stub"    -> (Multimodal.mediaDecodeStub(_, _)),

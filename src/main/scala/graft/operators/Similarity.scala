@@ -261,6 +261,32 @@ object Similarity {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** NS: int8 scalar quantization of embeddings — the 4× storage /
+    * bandwidth compression a 100 TB vector store applies before indexing.
+    * Per-vector symmetric scale = max|x|/127; quantize via
+    * floor(x/scale + 0.5) (bit-identical in any engine — round() differs
+    * half-even vs half-up across engines, floor doesn't). The audit
+    * columns are deliberately order-free so the oracle is exact: an
+    * integer checksum of the codes and the max absolute reconstruction
+    * error (max is permutation-safe; a double sum would depend on fold
+    * order). Pure per-row HOFs — zero shuffle, linear at any scale. */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val xd: Column => Column = x => x.cast(DoubleType)
+    Tables.embeddings(spark, dir)
+      .withColumn("abs_max", array_max(transform($"embedding", x => abs(xd(x)))))
+      .withColumn("scale", $"abs_max" / 127.0)
+      .withColumn("qs", when($"abs_max" === 0.0,
+        transform($"embedding", _ => lit(0L)))
+        .otherwise(transform($"embedding",
+          x => floor(xd(x) / $"scale" + 0.5).cast(LongType))))
+      .select($"vec_id", $"scale",
+        aggregate($"qs", lit(0L), (a, q) => a + q).as("sum_q"),
+        array_max(zip_with($"embedding", $"qs",
+          (x, q) => abs(xd(x) - q * $"scale"))).as("max_abs_err"))
+      .orderBy($"vec_id")
+  }
+
   /** NS: ANN quality evaluation — recall@5 of the IVF search (nprobe=2)
     * against the exact brute-force top-5, per probe (vec_id < 8). The
     * eval loop you run after (re)training a codebook to size nprobe:

@@ -180,6 +180,22 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Subquery"), s"bloom not fed via scalar subquery:\n$p")
   }
 
+  test("shuffle budgets: core aggregations stay within their exchange count") {
+    // Pre-AQE physical plans are deterministic — pin the number of
+    // Exchanges so a refactor can't silently add a shuffle. Budget = the
+    // aggregation shuffle + the final orderBy range exchange.
+    val budgets: Seq[(String, DataFrame, Int)] = Seq(
+      ("sales_totals", graft.operators.ReferenceOps.salesTotals(spark, Sf0001), 2),
+      ("ktable_latest", graft.operators.Relational.ktableLatest(spark, Sf0001), 2),
+      ("doc_dedup_exact", graft.operators.DocDedup.docDedupExact(spark, Sf0001), 2),
+      ("user_journey", graft.operators.Relational.userJourney(spark, Sf0001), 2),
+      ("domain_cap", graft.operators.TextAnalysis.domainCap(spark, Sf0001, 25), 2))
+    budgets.foreach { case (name, df, budget) =>
+      val n = "Exchange".r.findAllIn(physical(df)).size
+      assert(n <= budget, s"$name plans $n exchanges (budget $budget)")
+    }
+  }
+
   test("no declared query plans a cartesian product or nested-loop join") {
     // Deliberate exceptions: ANN probes join a 1-row probe table against
     // every embedding — a broadcast nested loop of a bounded tiny side is
