@@ -144,10 +144,11 @@ object StreamOps {
 
   /** Streaming twin of `Relational.windowedAgg`: watermarked 1-hour
     * tumbling windows; late events beyond 10 minutes are dropped and state
-    * is evicted — bounded memory at any scale. */
+    * is evicted — bounded memory at any scale. Pass `watermark = ""` when
+    * the input already carries one (Spark disallows redefining it
+    * downstream of another stateful operator). */
   def windowedAgg(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
+    (if (watermark.isEmpty) events else events.withWatermark("ts", watermark))
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
@@ -175,10 +176,11 @@ object StreamOps {
   /** Streaming dedup within the watermark horizon — the streaming twin of
     * `Relational.dedup` (state for each key is dropped once the watermark
     * passes, so state size is bounded by the horizon, not the stream). */
-  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes",
+      keys: Seq[String] = Seq("user_id", "event_type")): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** A14: multi-way event dispatch as a foreachBatch fan-out — each event
     * type's branch is handed to `route` exactly once per micro-batch

@@ -137,6 +137,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.forall { case (_, eid, _) => eid >= 60 })
   }
 
+  test("composed pipeline: guard -> replay dedup -> windowed agg == batch (at-least-once)") {
+    // The reference's whole chapter-4 story in one streaming plan:
+    // malformed guard, then exactly-once semantics recovered from
+    // at-least-once delivery (batch 2 REPLAYS 40 events; event_id dedup
+    // within the watermark drops the duplicates), then windowed totals.
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(rows.take(80))
+    ms.addData(rows.drop(40)) // overlap = replayed delivery
+    val guarded = StreamOps.dedupWithinWatermark(
+      ms.toDF().filter(length($"props") >= 5 && $"props".startsWith("{")),
+      "10 minutes", Seq("event_id"))
+    val q = StreamOps.windowedAgg(guarded, watermark = "").writeStream
+      .format("memory").queryName("pipeline_e2e").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("pipeline_e2e")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 100) / 100)).toSet
+    val batch = StreamOps.windowedAgg(
+      batchDf.filter(length($"props") >= 5 && $"props".startsWith("{"))
+        .dropDuplicates("event_id"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 100) / 100)).toSet
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+
   test("TopKRows aggregate maintains per-group top-k across micro-batches") {
     // The custom TypedImperativeAggregate must serialize/merge its buffer
     // through the streaming state store exactly like the batch partial
