@@ -235,6 +235,9 @@ object DocDedup {
       .toDF("src", "dst").localCheckpoint(true)
     var labels = edges.select($"src".as("doc_id")).distinct()
       .select($"doc_id", $"doc_id".as("label")).localCheckpoint(true)
+    def labelSum(df: DataFrame): BigDecimal = df
+      .agg(sum($"label".cast(DecimalType(38, 0)))).collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < 20) {
@@ -245,10 +248,12 @@ object DocDedup {
         .select(col("l1.doc_id").as("doc_id"), col("l2.label").as("label"))
       val next = labels.unionByName(viaNeighbor).unionByName(viaPointer)
         .groupBy($"doc_id").agg(min($"label").as("label")).localCheckpoint(true)
-      // Labels only ever decrease, so "no row strictly smaller" = fixpoint.
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .where(col("n.label") < col("o.label")).isEmpty
+      // Labels are monotonically non-increasing, so an unchanged EXACT sum
+      // (decimal — no long overflow on arbitrary id spaces) ⇔ fixpoint;
+      // one scalar aggregate per round instead of a compare join.
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       iter += 1
     }
