@@ -45,6 +45,7 @@ object SparkEntry {
     "windowed_agg"         -> (Relational.windowedAgg(_, _)),
     "sliding_window"       -> (Relational.slidingWindow(_, _)),
     "session_window"       -> (Relational.sessionWindow(_, _)),
+    "dynamic_sessions"     -> (Relational.dynamicSessionize(_, _)),
     "ranking_window"       -> (Relational.rankingWindow(_, _)),
     "grouped_topk"         -> (Relational.groupedTopk(_, _)),
     "rank_family"          -> (Relational.rankFamily(_, _)),
@@ -282,6 +283,29 @@ object SparkEntry {
         |               ORDER BY epoch_ns(ts)//1000 DESC, event_id DESC) AS rn
         |      FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "dynamic_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS ts_us, event_id,
+        |                  event_type, value FROM events),
+        |x AS (SELECT user_id, ts_us, event_id, value,
+        |        lag(ts_us) OVER w AS prev_ts,
+        |        lag(event_type) OVER w AS prev_type
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |y AS (SELECT user_id, ts_us, event_id, value,
+        |        CASE WHEN prev_ts IS NULL OR ts_us - prev_ts >
+        |               (CASE WHEN prev_type = 'purchase'
+        |                     THEN 5400000000 ELSE 1800000000 END)
+        |             THEN 1 ELSE 0 END AS is_new FROM x),
+        |z AS (SELECT user_id, ts_us, value,
+        |        CAST(sum(is_new) OVER (PARTITION BY user_id
+        |               ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS BIGINT) AS session_idx
+        |      FROM y)
+        |SELECT user_id, session_idx,
+        |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM z GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
     "unpivot_metrics" ->
       """SELECT l_returnflag, metric, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total

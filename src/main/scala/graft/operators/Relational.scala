@@ -197,6 +197,42 @@ object Relational {
       .orderBy($"w_start", $"event_type")
   }
 
+  /** Core of [[dynamicSessionize]], exposed on a DataFrame so the
+    * streaming spec can run it over the same fixture rows the
+    * flatMapGroupsWithState operator consumes. Expects the raw events
+    * shape (user_id, ts, event_id, event_type, value). */
+  def dynamicSessionizeDf(events: DataFrame, baseGapUs: Long): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    events
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+        $"event_type", $"value")
+      .withColumn("prev_ts", lag($"ts_us", 1).over(w))
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .withColumn("is_new", when($"prev_ts".isNull ||
+        $"ts_us" - $"prev_ts" > when($"prev_type" === "purchase",
+          baseGapUs * 3).otherwise(baseGapUs), 1L).otherwise(0L))
+      .withColumn("session_idx", sum($"is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_idx")
+      .agg(min($"ts_us").as("session_start_us"),
+        max($"ts_us").as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        moneySum($"value").as("session_value"))
+      .orderBy($"user_id", $"session_idx")
+  }
+
+  /** NS: dynamic-gap sessionization, batch form — purchases hold the
+    * session open 3× longer than other events (90 min vs 30 min). This is
+    * the oracle-checked twin of the streaming
+    * [[graft.streaming.DynamicSessions]] operator: built-in
+    * `session_window` can't express per-event gaps, so batch uses the
+    * lag + conditional-gap + running-sum session-id window idiom (one
+    * shuffle on user_id; both windows share it), and streaming uses
+    * flatMapGroupsWithState — the spec proves they agree row for row. */
+  def dynamicSessionize(spark: SparkSession, dir: String): DataFrame =
+    dynamicSessionizeDf(Tables.events(spark, dir), 30L * 60 * 1000000)
+
   /** NS: unpivot (melt) — the wide→long reshape dual of [[pivotReport]]:
     * four lineitem measures into (metric, value) rows, then per-flag
     * decimal-exact sums. Spark plans `unpivot` as a single Expand over ONE

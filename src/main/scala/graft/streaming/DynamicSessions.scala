@@ -69,9 +69,17 @@ object DynamicSessions {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastMs <= s.gapMs =>
+                  // Activity-refresh semantics: the session stays open
+                  // gap(latest event) past the latest event — a late
+                  // out-of-order arrival (t < lastMs) joins the session
+                  // but does not change its deadline. (Deliberately NOT
+                  // max(gapMs, gap(e)): a sticky max would let one early
+                  // purchase hold the session open forever, and has no
+                  // window-SQL batch twin — `dynamic_sessions` oracles
+                  // this exact lag-based contract.)
                   cur = Some(SessionState(s.startMs, math.max(s.lastMs, t),
                     s.nEvents + 1, s.sumValue + e.value,
-                    math.max(s.gapMs, gap(e))))
+                    if (t >= s.lastMs) gap(e) else s.gapMs))
                 case Some(s) =>
                   closed += SessionOut(userId, new Timestamp(s.startMs),
                     new Timestamp(s.lastMs), s.nEvents, s.sumValue)

@@ -75,4 +75,26 @@ class DynamicSessionsSpec extends SparkSpecBase {
     assert(byUser(1L) == 1, s"purchase gap should merge user 1: $out")
     assert(byUser(2L) == 2, s"plain gap should split user 2: $out")
   }
+
+  test("streaming dynamic sessions == batch lag/cumsum formulation (dynamic_sessions)") {
+    // The flatMapGroupsWithState operator and the oracle-checked batch
+    // window idiom must implement the SAME semantics — purchase-weighted
+    // gaps over a 90-event mixed stream.
+    val events = (0 until 90).map { i =>
+      SessionEvent((i % 3).toLong, t(i * 11L),
+        if (i % 5 == 0) "purchase" else "view", (i % 4) + 0.5)
+    }
+    val streamed = run(events, purchaseWeightedGap(Gap), "dynparity")
+      .map(r => (r._1, r._2.getTime * 1000L, r._3.getTime * 1000L, r._4, r._5)).toSeq
+    val batchIn = spark.createDataset(events).toDF()
+      .withColumn("event_id",
+        org.apache.spark.sql.functions.monotonically_increasing_id())
+    val batch = graft.operators.Relational
+      .dynamicSessionizeDf(batchIn, 30L * 60 * 1000000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(streamed === batch && streamed.size > 30,
+      s"streaming=${streamed.take(5)}... batch=${batch.take(5)}...")
+  }
 }
