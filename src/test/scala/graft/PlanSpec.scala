@@ -189,7 +189,11 @@ class PlanSpec extends SparkSpecBase {
       ("ktable_latest", graft.operators.Relational.ktableLatest(spark, Sf0001), 2),
       ("doc_dedup_exact", graft.operators.DocDedup.docDedupExact(spark, Sf0001), 2),
       ("user_journey", graft.operators.Relational.userJourney(spark, Sf0001), 2),
-      ("domain_cap", graft.operators.TextAnalysis.domainCap(spark, Sf0001, 25), 2))
+      ("domain_cap", graft.operators.TextAnalysis.domainCap(spark, Sf0001, 25), 2),
+      // lag window, running-sum window, and the session aggregate must all
+      // reuse ONE user_id exchange (subset-clustering satisfies the agg);
+      // budget = that + the final orderBy range exchange.
+      ("dynamic_sessions", graft.operators.Relational.dynamicSessionize(spark, Sf0001), 2))
     budgets.foreach { case (name, df, budget) =>
       val n = "Exchange".r.findAllIn(physical(df)).size
       assert(n <= budget, s"$name plans $n exchanges (budget $budget)")

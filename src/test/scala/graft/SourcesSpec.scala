@@ -102,4 +102,29 @@ class SourcesSpec extends SparkSpecBase {
     assert(dropped.count() === 2)
     assert(dropped.select($"id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
   }
+
+  test("parquet schema evolution: mergeSchema unions columns, old files null-fill") {
+    // The columnar counterpart of the Avro reader/writer resolution story:
+    // a dataset directory written over time by evolving jobs (v2 adds a
+    // column) must read as ONE table — added columns null-fill for v1
+    // files, and a pre-evolution column still prunes/pushes down.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.parquet(s"$dir/batch=v1")
+    Seq((3L, "c", 0.5), (4L, "d", 1.5)).toDF("id", "name", "score")
+      .write.parquet(s"$dir/batch=v2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("batch", "id", "name", "score"))
+    assert(merged.count() === 4)
+    assert(merged.filter($"score".isNull).select($"id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L), "v1 rows must null-fill score")
+    assert(merged.filter($"score".isNotNull).select($"id").as[Long]
+      .collect().sorted.toSeq === Seq(3L, 4L))
+    // pre-evolution column predicates still reach the scan
+    val ex = merged.filter($"id" > 2L).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(ex.contains("PushedFilters") && ex.contains("GreaterThan(id"),
+      s"id predicate did not reach the merged scan:\n$ex")
+  }
 }
