@@ -64,6 +64,7 @@ object SparkEntry {
     "vector_normalize"     -> (Similarity.vectorNormalize(_, _)),
     "topk_sort"            -> (Relational.topkSort(_, _)),
     "set_ops"              -> (Relational.setOps(_, _)),
+    "set_ops_all"          -> (Relational.setOpsAll(_, _)),
     "distinct_users"       -> (Relational.distinctUsers(_, _)),
     "distinct_users_approx" -> (Relational.distinctUsersApprox(_, _)),
     "rollup_report"        -> (Relational.rollupReport(_, _)),
@@ -566,6 +567,19 @@ object SparkEntry {
         |                            ORDER BY value DESC, event_id) AS rnk
         |  FROM events WHERE event_type = 'purchase') t
         |WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin,
+    "set_ops_all" ->
+      """SELECT 'intersect_all' AS op, user_id, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT user_id FROM events WHERE event_type = 'purchase'
+        |      INTERSECT ALL
+        |      SELECT user_id FROM events WHERE event_type = 'view') t
+        |GROUP BY user_id
+        |UNION ALL
+        |SELECT 'except_all' AS op, user_id, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT user_id FROM events WHERE event_type = 'purchase'
+        |      EXCEPT ALL
+        |      SELECT user_id FROM events WHERE event_type = 'view') t
+        |GROUP BY user_id
+        |ORDER BY op, user_id""".stripMargin,
     "set_ops" ->
       """SELECT user_id, 'both' AS status FROM (
         |  SELECT user_id FROM events WHERE event_type = 'purchase'

@@ -406,6 +406,25 @@ object Relational {
       .orderBy($"status", $"user_id")
   }
 
+  /** NS: multiplicity-preserving set ops — INTERSECT ALL keeps
+    * min(multiplicity), EXCEPT ALL subtracts multiplicities; physically a
+    * different operator from the DISTINCT forms (count-tagged aggregate
+    * instead of semi/anti join). The per-user survivor counts are
+    * aggregated so the output is comparator-deterministic. */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    def ids(t: String) = ev.filter($"event_type" === t).select($"user_id")
+    val p = ids("purchase")
+    val v = ids("view")
+    p.intersectAll(v).groupBy($"user_id")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      .unionByName(p.exceptAll(v).groupBy($"user_id")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all")))
+      .select($"op", $"user_id", $"n")
+      .orderBy($"op", $"user_id")
+  }
+
   /** NS: exact distinct users per event type (shuffle-on-key distinct with
     * partial aggregation). */
   def distinctUsers(spark: SparkSession, dir: String): DataFrame = {
