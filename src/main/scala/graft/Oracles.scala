@@ -211,6 +211,14 @@ object Oracles {
          |FROM a JOIN pc ON a.cell_id = pc.pcell, p
          |WHERE a.vec_id <> 0
          |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin,
+    "cms_vocab" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |h AS (SELECT rs.i,
+        |        CAST(concat('0x', substr(md5(CAST(rs.i AS VARCHAR) || '|' || t), 1, 7))
+        |             AS BIGINT) % 256 AS b
+        |      FROM tok, (SELECT unnest([0, 1, 2, 3]) AS i) rs)
+        |SELECT CAST(i * 256 + b AS BIGINT) AS idx, CAST(count(*) AS BIGINT) AS n
+        |FROM h GROUP BY i, b ORDER BY idx""".stripMargin,
     "embedding_quantize" ->
       """WITH b AS (SELECT vec_id, embedding,
         |             list_max(list_transform(embedding,

@@ -87,6 +87,7 @@ object SparkEntry {
     "corpus_curation"      -> (TextAnalysis.corpusCuration(_, _)),
     "hash_split"           -> (TextAnalysis.hashSplit(_, _)),
     "repetition_score"     -> (TextAnalysis.repetitionScore(_, _)),
+    "cms_vocab"            -> (TextAnalysis.cmsVocab(_, _)),
     "domain_cap"           -> (TextAnalysis.domainCap(_, _, 25)),
     "doc_dedup_exact"      -> (DocDedup.docDedupExact(_, _)),
     "minhash_signatures"   -> (DocDedup.minhashSignatures(_, _)),

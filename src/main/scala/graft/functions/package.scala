@@ -54,6 +54,12 @@ package object functions {
   def kmv_sketch(c: Column, k: Int): Column =
     toCol(KmvSketch(ex(c), k).toAggregateExpression())
 
+  /** Count-Min frequency sketch (aggregate): depth×width counter matrix
+    * over salted md5 buckets, flattened row-major — O(depth·width) state,
+    * element-wise-add merge, fully reproducible cross-engine. */
+  def cms_sketch(c: Column, depth: Int, width: Int): Column =
+    toCol(CmsSketch(ex(c), depth, width).toAggregateExpression())
+
   /** Bounded per-group top-k (aggregate): the k struct rows smallest in
     * natural ascending order, as a sorted array — partial-aggregates
     * map-side, shuffling ≤ k rows per group per partition where a

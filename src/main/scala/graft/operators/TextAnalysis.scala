@@ -229,6 +229,24 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** NS: Count-Min frequency sketch of the corpus vocabulary — the
+    * bounded-memory alternative to `vocab_topk`'s exact path: the
+    * aggregate ships a fixed 4×256 counter matrix per partition where
+    * exact counting shuffles every distinct token. The query emits the
+    * sketch's nonzero cells; the oracle rebuilds the identical matrix
+    * from exact GROUP BY counts over the same salted-md5 buckets, so the
+    * whole sketch is verified cell by cell, not just sampled estimates. */
+  def cmsVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode(tokens($"text")).as("tok"))
+      .agg(graft.functions.cms_sketch($"tok", 4, 256).as("cms"))
+      .select(posexplode($"cms"))
+      .select($"pos".cast(LongType).as("idx"), $"col".as("n"))
+      .where($"n" > 0)
+      .orderBy($"idx")
+  }
+
   /** NS: per-source corpus cap (domain balancing, the C4/Dolma-style
     * curation step): keep at most k docs per source, chosen by
     * deterministic content hash — a stable "random" sample. Reuses the

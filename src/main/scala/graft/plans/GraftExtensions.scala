@@ -126,6 +126,12 @@ object GraftExtensions {
         "top_k_rows(struct, k) - aggregate: k smallest struct rows in natural order, sorted."),
       (args: Seq[Expression]) =>
         TopKRows(args(0), intArg("top_k_rows", args(1))).toAggregateExpression()),
+    "cms_sketch" -> (
+      info("cms_sketch",
+        "cms_sketch(expr, depth, width) - aggregate: Count-Min counter matrix, row-major."),
+      (args: Seq[Expression]) =>
+        CmsSketch(args(0), intArg("cms_sketch", args(1)),
+          intArg("cms_sketch", args(2))).toAggregateExpression()),
     // Spark's own runtime-filter expressions (public Catalyst classes the
     // optimizer uses for InjectRuntimeFilter), surfaced as SQL functions so
     // a pipeline can build the dim-side bloom ONCE and pre-filter many fact

@@ -108,4 +108,27 @@ class FunctionsSpec extends SparkSpecBase {
     assert(r.getStruct(1).getSeq[String](2) === Seq("The Avengers", "Age of Ultron"))
     assert(r.isNullAt(2))
   }
+
+  test("cms_sketch: never undercounts, sums exactly, merges across partitions") {
+    import spark.implicits._
+    import graft.functions.CmsSketch
+    val (depth, width) = (4, 64)
+    val tokens = Seq.fill(50)("alpha") ++ Seq.fill(7)("beta") ++
+      (1 to 40).map(i => s"rare$i")
+    // repartition(8) forces map-side partials + element-wise merge
+    val sketch = tokens.toDF("tok").repartition(8)
+      .agg(graft.functions.cms_sketch($"tok", depth, width))
+      .head().getSeq[Long](0).toArray
+    assert(sketch.length === depth * width)
+    // every row of the matrix counts every token exactly once
+    (0 until depth).foreach { i =>
+      assert(sketch.slice(i * width, (i + 1) * width).sum === tokens.length.toLong)
+    }
+    // CMS guarantee: estimate >= true count, and equals it for the heavy
+    // hitter here (collisions can only inflate the minimum)
+    val est = CmsSketch.estimate(sketch, depth, width, "alpha")
+    assert(est >= 50L && est <= 50L + 47L, s"alpha estimate $est")
+    assert(CmsSketch.estimate(sketch, depth, width, "beta") >= 7L)
+    assert(CmsSketch.estimate(sketch, depth, width, "never-seen") <= 97L)
+  }
 }
