@@ -348,6 +348,23 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === batch && streamed.nonEmpty)
   }
 
+  test("CmsSketch aggregate accumulates across micro-batches == batch sketch") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ms = MemoryStream[Ev]
+    ms.addData(rows.take(60))
+    ms.addData(rows.drop(60))
+    def cms(df: org.apache.spark.sql.DataFrame) =
+      df.agg(graft.functions.cms_sketch(col("event_type"), 4, 64).as("cms"))
+    val q = cms(ms.toDF()).writeStream
+      .format("memory").queryName("stream_cms").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("stream_cms").head().getSeq[Long](0)
+    val batch = cms(batchDf).head().getSeq[Long](0)
+    assert(streamed === batch && streamed.sum == 4L * rows.length)
+  }
+
   test("kafka source/sink configs assemble the reference's options") {
     val src = StreamOps.KafkaSourceConfig(
       Seq("localhost:9092"), Seq("first-topic", "second-topic"),
