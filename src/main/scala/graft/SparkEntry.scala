@@ -65,6 +65,7 @@ object SparkEntry {
     "topk_sort"            -> (Relational.topkSort(_, _)),
     "set_ops"              -> (Relational.setOps(_, _)),
     "set_ops_all"          -> (Relational.setOpsAll(_, _)),
+    "revenue_share"        -> (Relational.revenueShare(_, _)),
     "distinct_users"       -> (Relational.distinctUsers(_, _)),
     "distinct_users_approx" -> (Relational.distinctUsersApprox(_, _)),
     "rollup_report"        -> (Relational.rollupReport(_, _)),
@@ -568,6 +569,14 @@ object SparkEntry {
         |                            ORDER BY value DESC, event_id) AS rnk
         |  FROM events WHERE event_type = 'purchase') t
         |WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin,
+    "revenue_share" ->
+      """WITH per AS (SELECT l_returnflag,
+        |                    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rd
+        |             FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(rd) AS td FROM per)
+        |SELECT l_returnflag, CAST(rd AS DOUBLE) AS revenue,
+        |       CAST(rd AS DOUBLE) / CAST(td AS DOUBLE) AS share
+        |FROM per, tot ORDER BY l_returnflag""".stripMargin,
     "set_ops_all" ->
       """SELECT 'intersect_all' AS op, user_id, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT user_id FROM events WHERE event_type = 'purchase'

@@ -415,6 +415,26 @@ object Relational {
       .orderBy($"status", $"user_id")
   }
 
+  /** NS: ratio-to-report — each return flag's share of total revenue.
+    * The denominator is a scalar aggregate of the SAME per-group subtree,
+    * broadcast back onto the 3 group rows: exchange reuse runs the
+    * groupBy once, and nothing funnels through the single-partition
+    * unpartitioned window that the naive `sum() over ()` plan would
+    * create. Shares divide as doubles derived from exact decimal sums —
+    * both engines compute bit-identical IEEE quotients. */
+  def revenueShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(sum($"l_extendedprice".cast(DecimalType(18, 2))).as("rd"))
+    val tot = per.agg(sum($"rd").as("td"))
+    per.crossJoin(broadcast(tot))
+      .select($"l_returnflag",
+        $"rd".cast(DoubleType).as("revenue"),
+        ($"rd".cast(DoubleType) / $"td".cast(DoubleType)).as("share"))
+      .orderBy($"l_returnflag")
+  }
+
   /** NS: multiplicity-preserving set ops — INTERSECT ALL keeps
     * min(multiplicity), EXCEPT ALL subtracts multiplicities; physically a
     * different operator from the DISTINCT forms (count-tagged aggregate

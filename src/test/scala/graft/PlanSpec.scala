@@ -206,7 +206,8 @@ class PlanSpec extends SparkSpecBase {
     // the intended linear scan, not a blow-up. time_gapfill's grid is
     // hours × distinct types: both sides bounded aggregates, never O(rows).
     val allowNestedLoop = Set("similarity_search", "ngram_jaccard",
-      "ann_lsh_search", "time_gapfill", "ann_recall_eval")
+      "ann_lsh_search", "time_gapfill", "ann_recall_eval",
+      "revenue_share") // 1-row scalar total broadcast onto 3 group rows
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = physical(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
