@@ -28,6 +28,7 @@ object SparkEntry {
     "custom_partition"     -> (ReferenceOps.customPartition(_, _)),
     "offset_commit"        -> (ReferenceOps.offsetCommit(_, _)),
     "json_roundtrip"       -> (ReferenceOps.jsonRoundtrip(_, _)),
+    "json_field_agg"       -> (ReferenceOps.jsonFieldAgg(_, _)),
     "wire_format"          -> (ReferenceOps.wireFormatRoundtrip(_, _)),
     "filter_pushdown_scan" -> (ReferenceOps.filterPushdownScan(_, _)),
     "avro_roundtrip"       -> (ReferenceOps.avroRoundtrip(_, _)),
@@ -577,6 +578,17 @@ object SparkEntry {
         |SELECT l_returnflag, CAST(rd AS DOUBLE) AS revenue,
         |       CAST(rd AS DOUBLE) / CAST(td AS DOUBLE) AS share
         |FROM per, tot ORDER BY l_returnflag""".stripMargin,
+    "json_field_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |         AS sum_k,
+        |       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |         AS min_k,
+        |       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |         AS max_k
+        |FROM events
+        |WHERE length(props) >= 5 AND substr(props, 1, 1) = '{'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "set_ops_all" ->
       """SELECT 'intersect_all' AS op, user_id, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT user_id FROM events WHERE event_type = 'purchase'

@@ -119,6 +119,27 @@ object ReferenceOps {
       .orderBy($"event_id")
   }
 
+  /** A21+A13 composed: semi-structured field extraction + aggregation —
+    * the payload-analytics shape every JSON topic consumer needs (parse
+    * the value, pull a field, aggregate). `from_json` with an explicit
+    * schema is codegen'd and scan-adjacent; the malformed guard runs
+    * FIRST so bad payloads are dropped, not nulled into the aggregate —
+    * the defensive-decode order the reference's consumer uses
+    * (sales_consumer_client.go:89-90 checks the Unmarshal error before
+    * touching fields). */
+  def jsonFieldAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .where(length($"props") >= 5 && $"props".startsWith("{"))
+      .withColumn("k",
+        from_json($"props", StructType(Seq(StructField("k", LongType))))
+          .getField("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
   /** A26+A27: Confluent wire-format encode ∘ decode roundtrip over a
     * projected payload column, surfacing the header bytes for the oracle
     * (reference: golang/util/index.go:16-36; golang/cmd/consumer/main.go:48-51).
