@@ -540,18 +540,25 @@ object SparkEntry {
         |         event_type NULLS FIRST, weekday NULLS FIRST""".stripMargin,
     "corr_report" ->
       """WITH m AS (
+        |  -- decimal -> double goes VIA VARCHAR: DuckDB's direct cast
+        |  -- double-rounds (int128 -> double, then /10^scale) and can be
+        |  -- 1 ulp off the correctly-rounded value Spark's BigDecimal cast
+        |  -- produces once the unscaled value exceeds 2^53 (the scale-4
+        |  -- moments do); strtod of the exact decimal string rounds once.
         |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-        |         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+        |         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |              AS VARCHAR) AS DOUBLE) AS sx,
+        |         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |              AS VARCHAR) AS DOUBLE) AS sy,
+        |         CAST(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
         |                       CAST(l_extendedprice AS DECIMAL(18,2))
-        |                       AS DECIMAL(30,4))) AS DOUBLE) AS sxy,
-        |         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+        |                       AS DECIMAL(30,4))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |         CAST(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
         |                       CAST(l_quantity AS DECIMAL(18,2))
-        |                       AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
-        |         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                       AS DECIMAL(30,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |         CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |                       CAST(l_extendedprice AS DECIMAL(18,2))
-        |                       AS DECIMAL(30,4))) AS DOUBLE) AS syy
+        |                       AS DECIMAL(30,4))) AS VARCHAR) AS DOUBLE) AS syy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
         |       (CAST(n AS DOUBLE) * sxy - sx * sy) /
