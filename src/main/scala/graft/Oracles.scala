@@ -194,7 +194,8 @@ object Oracles {
          |a AS (SELECT vec_id, cell_id, score FROM r WHERE rnk = 1)
          |SELECT cell_id, count(*) AS n_vectors, min(vec_id) AS min_vec_id,
          |       max(vec_id) AS max_vec_id,
-         |       CAST(sum(CAST(score AS DECIMAL(27,12))) AS DOUBLE) AS sum_cos
+         |       CAST(CAST(sum(CAST(score AS DECIMAL(27,12))) AS VARCHAR)
+         |            AS DOUBLE) AS sum_cos
          |FROM a GROUP BY cell_id ORDER BY cell_id""".stripMargin,
     "ann_ivf_search" ->
       s"""WITH c AS (SELECT vec_id AS cell_id, embedding AS ce
