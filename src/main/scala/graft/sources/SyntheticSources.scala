@@ -84,4 +84,24 @@ object SyntheticSources {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
   }
+
+  /** CSV file source with the same explicit-schema + malformed-row
+    * contract as [[readJsonl]]: PERMISSIVE quarantines bad lines into
+    * `_corrupt_record`, DROPMALFORMED silently drops them — never infer
+    * schemas in a pipeline (inference is a second full scan AND a
+    * data-dependent contract). */
+  def readCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      mode: String = "PERMISSIVE", header: Boolean = false): DataFrame = {
+    val withCorrupt =
+      if (mode == "PERMISSIVE")
+        schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+      else schema
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", mode)
+      .option("header", header.toString)
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+  }
 }

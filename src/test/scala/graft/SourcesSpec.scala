@@ -103,6 +103,36 @@ class SourcesSpec extends SparkSpecBase {
     assert(dropped.select($"id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
   }
 
+  test("CSV source quarantines malformed rows like the JSONL source") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv")
+    java.nio.file.Files.writeString(dir.resolve("part.csv"),
+      "1,alpha,2.5\nnot-a-long,beta,0.5\n3,gamma,9.0\n")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("v", DoubleType)))
+    val permissive = SyntheticSources.readCsv(spark, dir.toString, schema).cache()
+    assert(permissive.count() === 3)
+    assert(permissive.filter($"_corrupt_record".isNotNull).count() === 1)
+    val dropped = SyntheticSources.readCsv(
+      spark, dir.toString, schema, mode = "DROPMALFORMED")
+    assert(dropped.select($"id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+  }
+
+  test("ORC round-trips with predicate pushdown (native columnar alternative)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    Tables.lineitem(spark, Sf0001)
+      .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+      .write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() === Tables.lineitem(spark, Sf0001).count())
+    val ex = back.filter($"l_quantity" > 40.0).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(ex.contains("PushedFilters") && ex.contains("GreaterThan(l_quantity"),
+      s"quantity predicate did not reach the ORC scan:\n$ex")
+  }
+
   test("parquet schema evolution: mergeSchema unions columns, old files null-fill") {
     // The columnar counterpart of the Avro reader/writer resolution story:
     // a dataset directory written over time by evolving jobs (v2 adds a
