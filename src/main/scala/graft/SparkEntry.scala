@@ -42,6 +42,7 @@ object SparkEntry {
     "full_outer_join"      -> (Relational.fullOuterJoin(_, _)),
     "asof_join"            -> (Relational.asofJoin(_, _)),
     "asof_join_left"       -> (Relational.asofJoinLeft(_, _)),
+    "asof_join_tolerance"  -> (Relational.asofJoinTolerance(_, _, 3600000000L)),
     "funnel_conversion"    -> (Relational.funnelConversion(_, _)),
     "windowed_agg"         -> (Relational.windowedAgg(_, _)),
     "sliding_window"       -> (Relational.slidingWindow(_, _)),
@@ -456,6 +457,22 @@ object SparkEntry {
         |FROM e ASOF LEFT JOIN p
         |  ON e.user_id = p.p_user_id AND e.ts_us >= p.p_ts_us
         |ORDER BY e.event_id""".stripMargin,
+    "asof_join_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us,
+        |                  event_type FROM events),
+        |p AS (SELECT user_id AS p_user_id, epoch_ns(ts)//1000 AS p_ts_us,
+        |             event_id AS p_event_id, value AS p_value
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT e.event_id, e.user_id, e.ts_us, e.event_type,
+        |             p.p_event_id, p.p_ts_us, p.p_value,
+        |             row_number() OVER (PARTITION BY e.event_id
+        |               ORDER BY p.p_ts_us DESC, p.p_event_id DESC) AS rn
+        |      FROM e LEFT JOIN p
+        |        ON p.p_user_id = e.user_id AND p.p_ts_us <= e.ts_us
+        |       AND p.p_ts_us >= e.ts_us - 3600000000)
+        |SELECT event_id, user_id, ts_us, event_type,
+        |       p_event_id, p_ts_us, p_value
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "funnel_conversion" ->
       """WITH p AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS t, value
         |           FROM events WHERE event_type = 'purchase'),

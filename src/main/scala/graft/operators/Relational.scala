@@ -552,6 +552,34 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** NS: as-of join with a tolerance bound — the feature-store
+    * point-in-time lookup with max staleness: a purchase older than the
+    * tolerance window does NOT qualify as context. Because the as-of
+    * match is already the LATEST at-or-before row, "latest within
+    * tolerance" is a post-condition on the custom operator's output
+    * (anything older than the latest is older still): null out stale
+    * matches, no second operator needed. Oracle = windowed latest-match
+    * SQL with the same bound. */
+  def asofJoinTolerance(spark: SparkSession, dir: String,
+      toleranceUs: Long = 3600000000L): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+    val purchases = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user_id"), $"ts".as("p_ts"),
+        $"event_id".as("p_event_id"), $"value".as("p_value"))
+    val fresh = unix_micros($"p_ts") >= unix_micros($"ts") - toleranceUs
+    graft.plans.AsOfJoin(ev, purchases, "user_id", "p_user_id", "ts", "p_ts",
+        joinType = "left_outer")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        $"event_type",
+        when(fresh, $"p_event_id").as("p_event_id"),
+        when(fresh, unix_micros($"p_ts")).as("p_ts_us"),
+        when(fresh, $"p_value").as("p_value"))
+      .orderBy($"event_id")
+  }
+
   /** NS: funnel conversion — purchases whose latest preceding view by the
     * same user happened within the previous hour, aggregated per user.
     * Composes the custom as-of operator with ordinary groupBy: the
