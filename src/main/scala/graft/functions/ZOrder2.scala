@@ -49,6 +49,16 @@ object ZOrder2 {
     x
   }
 
-  /** Morton code: x bits at even positions, y bits at odd positions. */
-  def interleave(x: Long, y: Long): Long = spread(x) | (spread(y) << 1)
+  /** Morton code: x bits at even positions, y bits at odd positions.
+    * Inputs outside [0, 2^32) raise — silently masking them (the previous
+    * behavior) would alias unrelated keys onto the same z-value and quietly
+    * destroy clustering/pruning for wide key domains. Callers with wider
+    * domains must pre-normalize (rank or hash to 32 bits) first. */
+  def interleave(x: Long, y: Long): Long = {
+    if (((x | y) & 0xFFFFFFFF00000000L) != 0L)
+      throw new IllegalArgumentException(
+        s"z_order2 inputs must be in [0, 2^32): got ($x, $y); " +
+          "rank or hash wider keys to 32 bits before interleaving")
+    spread(x) | (spread(y) << 1)
+  }
 }

@@ -257,6 +257,13 @@ object DocDedup {
       labels = next
       iter += 1
     }
+    // A silent non-converged exit would hand out wrong cluster_ids for deep
+    // components with no signal — fail loudly instead. 20 rounds covers
+    // components of diameter ~2^20 under pointer jumping; real near-dup
+    // clusters are orders of magnitude shallower.
+    require(converged,
+      s"dedup_clusters did not converge within $iter min-label rounds; " +
+        "component diameter exceeds the round budget — raise the cap")
     Tables.documents(spark, dir).select($"doc_id")
       .join(labels, Seq("doc_id"), "left_outer")
       .select($"doc_id", coalesce($"label", $"doc_id").as("cluster_id"))

@@ -174,7 +174,9 @@ object Scale {
     * parquet file covers a small rectangle in (c1, c2) space and min/max
     * row-group stats prune scans filtering on EITHER column — the layout
     * trick behind z-ordered table formats, for when two independent
-    * predicates matter and hive-partitioning can only serve one. */
+    * predicates matter and hive-partitioning can only serve one.
+    * Keys must lie in [0, 2^32) — `z_order2` raises otherwise; rank or
+    * hash wider/negative domains down to 32 bits before calling. */
   def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
       numFiles: Int): Unit =
     df.withColumn("__z", graft.functions.z_order2(col(c1).cast("long"),

@@ -39,7 +39,12 @@ case class ViewState(v_event_id: Long, v_ts_us: Long)
   */
 object StreamingAsOf {
 
-  private def us(t: Timestamp): Long = t.getTime * 1000L
+  /** Microseconds since epoch from the Timestamp's full nanosecond field —
+    * `getTime * 1000` would truncate to millisecond precision and diverge
+    * from the batch twin's `unix_micros` on sub-ms timestamps (the events
+    * fixture is TIMESTAMP(NANOS); Spark keeps µs). */
+  private def us(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   def funnelMatches(events: Dataset[AsOfEvent],
       gapUs: Long = 3600000000L): Dataset[AsOfMatch] = {

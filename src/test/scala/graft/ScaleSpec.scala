@@ -132,6 +132,10 @@ class ScaleSpec extends SparkSpecBase {
     assert(ZOrder2.interleave(0xFFFFFFFFL, 0xFFFFFFFFL) == -1L) // all 64 bits set
     // spread is exact on the full 32-bit domain boundary
     assert(ZOrder2.spread(0x80000000L) == 0x4000000000000000L)
+    // out-of-range keys raise instead of silently aliasing onto the
+    // low 32 bits (which would destroy clustering with no signal)
+    intercept[IllegalArgumentException](ZOrder2.interleave(0x100000000L, 0L))
+    intercept[IllegalArgumentException](ZOrder2.interleave(0L, -1L))
   }
 
   test("z-ordered layout: each file covers a small rectangle in BOTH key dims") {

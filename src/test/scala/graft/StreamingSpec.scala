@@ -325,6 +325,31 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming as-of keeps sub-millisecond timestamps at µs precision") {
+    import graft.streaming.{AsOfEvent, StreamingAsOf}
+    implicit val ctx = spark.sqlContext
+    def tsUs(us: Long): Timestamp = {
+      val ts = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      ts.setNanos(((us % 1000000L) * 1000L).toInt)
+      ts
+    }
+    // view and purchase inside the SAME millisecond: getTime*1000 would
+    // round both to 1_000_000 µs and break the batch-parity contract
+    val ms = MemoryStream[AsOfEvent]
+    ms.addData(Seq(
+      AsOfEvent(1L, tsUs(1000250L), 7L, "view", 0.0),
+      AsOfEvent(2L, tsUs(1000750L), 7L, "purchase", 5.0)))
+    val q = StreamingAsOf.funnelMatches(ms.toDS()).writeStream
+      .format("memory").queryName("asof_subms").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("asof_subms").collect()
+      assert(out.length === 1)
+      assert(out(0).getAs[Long]("ts_us") === 1000750L)
+      assert(out(0).getAs[Long]("v_ts_us") === 1000250L)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join == batch inequality join") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
