@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DocDedup
+
+/** Connected-components (star contraction) unit coverage — the transitive-
+  * closure core behind dedup_clusters, driven with synthetic graphs whose
+  * shapes the documents fixture can't produce. */
+class DocDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    DocDedup.connectedComponents(pairs.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("star contraction converges on a deep path graph (diameter >> rounds)") {
+    // A 64-node path has eccentricity 63 from the min node: min-label
+    // propagation would need 63 rounds; star contraction must finish
+    // inside the 16-round cap or the require() in connectedComponents
+    // throws. Every node must land on label 0.
+    val labels = cc((0L until 63L).map(i => (i, i + 1)))
+    assert(labels.size === 64)
+    assert(labels.values.toSet === Set(0L))
+  }
+
+  test("star contraction separates components and picks min labels") {
+    val labels = cc(Seq(
+      (5L, 3L), (3L, 9L),          // component {3,5,9}       -> 3
+      (100L, 200L),                // component {100,200}     -> 100
+      (42L, 42L),                  // self-loop: drops out entirely
+      (7L, 8L), (8L, 7L), (7L, 8L) // dup/reversed edges {7,8} -> 7
+    ))
+    assert(labels === Map(
+      3L -> 3L, 5L -> 3L, 9L -> 3L,
+      100L -> 100L, 200L -> 100L,
+      7L -> 7L, 8L -> 7L))
+  }
+
+  test("star contraction on an empty edge set returns an empty labeling") {
+    assert(cc(Seq.empty).isEmpty)
+  }
+
+  test("dedup_clusters labels agree with pair connectivity on the fixture") {
+    val clusters = DocDedup.dedupClusters(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = DocDedup.simhashNearDupPairs(spark, Sf0001)
+      .select($"doc_a", $"doc_b").collect()
+    pairs.foreach { r =>
+      assert(clusters(r.getLong(0)) === clusters(r.getLong(1)))
+    }
+    // singletons keep their own id
+    val paired = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    clusters.filterNot { case (d, _) => paired(d) }.foreach { case (d, l) =>
+      assert(d === l)
+    }
+  }
+}
