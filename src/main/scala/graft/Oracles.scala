@@ -331,6 +331,88 @@ object Oracles {
         |SELECT doc_id, CAST(length(text) AS INTEGER), substr(md5(text), 1, 16),
         |       'source', source FROM documents
         |ORDER BY doc_id, meta_key""".stripMargin,
+    "tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, term, tf, df,
+        |        CAST(floor(CAST(tf AS DOUBLE) *
+        |               ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) *
+        |               1048576.0 + 0.5) AS BIGINT) AS score_u20
+        |      FROM tf JOIN df USING (term), n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score_u20 DESC, term) AS rnk FROM s)
+        |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, tf, df, score_u20
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "decontaminate" -> (gramsCte +
+      """,
+        |e AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+        |b AS (SELECT DISTINCT gr AS bg FROM e WHERE doc_id % 50 = 0),
+        |c AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |             CAST(count(bg) AS BIGINT) AS n_contam
+        |      FROM e LEFT JOIN b ON e.gr = b.bg
+        |      WHERE e.doc_id % 50 <> 0 GROUP BY 1)
+        |SELECT doc_id, n_grams, n_contam,
+        |       CAST(n_contam AS DOUBLE) / n_grams AS contam_ratio,
+        |       CASE WHEN n_contam >= 5 THEN 1 ELSE 0 END AS flagged
+        |FROM c ORDER BY doc_id""".stripMargin),
+    "pii_scrub" ->
+      """WITH raw AS (SELECT doc_id,
+        |  split_part(text, ' ', 1) ||
+        |  CASE WHEN doc_id % 3 <> 0
+        |       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |       ELSE '' END ||
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN ' call (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0
+        |       THEN ' id ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+        |            '-00-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       ELSE '' END ||
+        |  substr(text, length(split_part(text, ' ', 1)) + 1) AS raw
+        |  FROM documents),
+        |s AS (SELECT doc_id, raw,
+        |        regexp_replace(regexp_replace(regexp_replace(raw,
+        |          '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+        |          '\(555\) [0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |          '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g') AS scrubbed
+        |      FROM raw)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS INTEGER)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '\(555\) [0-9]{3}-[0-9]{4}')) AS INTEGER)
+        |    AS n_phones,
+        |  CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS INTEGER)
+        |    AS n_ssns,
+        |  CAST(length(raw) AS INTEGER) AS raw_len,
+        |  substr(scrubbed, 1, 40) AS scrubbed_head,
+        |  md5(scrubbed) AS scrubbed_md5
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "sequence_pack" ->
+      """WITH t AS (SELECT source, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(COALESCE(sum(len(string_split(text, ' '))) OVER (
+        |         PARTITION BY source ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |       0) AS BIGINT) AS start_off
+        |  FROM documents)
+        |SELECT source, doc_id, n_tok, start_off,
+        |       start_off // 512 AS first_win,
+        |       (start_off + n_tok - 1) // 512 AS last_win,
+        |       (start_off + n_tok - 1) // 512 - start_off // 512 + 1 AS n_windows,
+        |       CASE WHEN (start_off + n_tok - 1) // 512 > start_off // 512
+        |            THEN 1 ELSE 0 END AS crosses_boundary
+        |FROM t ORDER BY source, doc_id""".stripMargin,
+    "inverted_index" ->
+      """WITH e AS (SELECT DISTINCT doc_id, token FROM (
+        |        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents))
+        |SELECT token, CAST(count(*) AS BIGINT) AS df,
+        |       array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings_head
+        |FROM e GROUP BY token ORDER BY token""".stripMargin,
     // media_decode_stub: typed mapPartitions pipeline — rows-only check.
     "media_frame_sample" ->
       """WITH d AS (SELECT doc_id, text,

@@ -92,6 +92,11 @@ object SparkEntry {
     "repetition_score"     -> (TextAnalysis.repetitionScore(_, _)),
     "cms_vocab"            -> (TextAnalysis.cmsVocab(_, _)),
     "domain_cap"           -> (TextAnalysis.domainCap(_, _, 25)),
+    "tfidf_topk"           -> (CorpusOps.tfidfTopk(_, _, 3)),
+    "decontaminate"        -> (CorpusOps.decontaminate(_, _, 5)),
+    "pii_scrub"            -> (CorpusOps.piiScrub(_, _)),
+    "sequence_pack"        -> (CorpusOps.sequencePack(_, _, 512)),
+    "inverted_index"       -> (CorpusOps.invertedIndex(_, _, 20)),
     "doc_dedup_exact"      -> (DocDedup.docDedupExact(_, _)),
     "minhash_signatures"   -> (DocDedup.minhashSignatures(_, _)),
     "minhash_dedup_pairs"  -> (DocDedup.minhashDedupPairs(_, _)),

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.operators.TextAnalysis.{shingles, tokens}
+
+/** Corpus-preparation operators for LLM-data pipelines over `documents`:
+  * TF-IDF term weighting, benchmark decontamination, PII scrubbing,
+  * context-window sequence packing, and inverted-index construction.
+  * Everything partial-aggregates map-side and broadcasts the small side;
+  * no operator here shuffles more than the surviving rows, so the same
+  * plans hold at 100 TB.
+  */
+object CorpusOps {
+
+  /** NS: TF-IDF top-3 terms per document — the classic keyword/weighting
+    * step (query expansion, near-dup feature vectors, topic tagging).
+    *
+    * tf from one explode + (doc, term) count; df from a second count over
+    * the tf rows (already distinct per doc); both aggregations partial
+    * map-side. df and N are corpus-small → broadcast back, so the corpus
+    * is scanned ONCE and nothing but (doc, term, tf) rows ever shuffle.
+    * Top-3 uses the bounded [[graft.functions.TopKRows]] aggregate — ≤3
+    * rows per (doc, partition) shuffle where a window would move all.
+    *
+    * Scores are emitted (and RANKED) in fixed-point 2^-20 units:
+    * floor(tf·ln(N/df)·2^20 + 0.5). Java's Math.log and C's log disagree
+    * by 1 ulp on ~0.1% of inputs (measured), so raw-double scores are not
+    * cross-engine comparable; quantizing both the output and the ordering
+    * keeps engine and oracle bit-identical. */
+  def tfidfTopk(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, dir)
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scoreU20 = floor(
+      $"tf".cast(DoubleType) *
+        log($"n_docs".cast(DoubleType) / $"df".cast(DoubleType)) *
+        1048576.0 + 0.5).cast(LongType)
+    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+      .withColumn("score_u20", scoreU20)
+    scored
+      .groupBy($"doc_id")
+      .agg(graft.functions.top_k_rows(
+        struct((-$"score_u20").as("neg"), $"term", $"tf", $"df"), k).as("top"))
+      .select($"doc_id", posexplode($"top"))
+      .select($"doc_id", ($"pos" + 1).cast(IntegerType).as("rnk"),
+        $"col.term".as("term"), $"col.tf".as("tf"), $"col.df".as("df"),
+        (-$"col.neg").as("score_u20"))
+      .orderBy($"doc_id", $"rnk")
+  }
+
+  /** NS: benchmark decontamination — the eval-integrity gate every
+    * training pipeline needs: flag corpus documents that share too many
+    * word-3-gram shingles with a held-out benchmark set (here: doc_id ≡ 0
+    * mod 50, standing in for an eval suite). Corpus side is exploded once
+    * and LEFT-joined against the broadcast benchmark gram set — overlap
+    * counting is one linear pass, no all-pairs anywhere; at 100 TB the
+    * benchmark grams (an eval suite, not a corpus) stay broadcast-small. */
+  def decontaminate(spark: SparkSession, dir: String,
+      flagAt: Int = 5): DataFrame = {
+    import spark.implicits._
+    def grams(df: DataFrame) =
+      df.select($"doc_id", explode(array_distinct(shingles($"text", 3))).as("g"))
+    val docs = Tables.documents(spark, dir)
+    val bench = grams(docs.where($"doc_id" % 50 === 0))
+      .select($"g".as("bg")).distinct()
+    grams(docs.where($"doc_id" % 50 =!= 0))
+      .join(broadcast(bench), $"g" === $"bg", "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"), count($"bg").as("n_contam"))
+      .select($"doc_id", $"n_grams", $"n_contam",
+        ($"n_contam".cast(DoubleType) / $"n_grams").as("contam_ratio"),
+        when($"n_contam" >= flagAt, 1).otherwise(0).as("flagged"))
+      .orderBy($"doc_id")
+  }
+
+  /** NS: PII scrubbing — regex redaction of emails / phone numbers / SSNs
+    * with per-class counts (the audit trail a compliance pass needs). The
+    * corpus is synthetic prose with no PII, so a deterministic contact
+    * blurb (email when doc_id % 3 ≠ 0, phone when doc_id % 2 = 0, SSN
+    * when doc_id % 5 = 0) is spliced mid-document first, then scrubbed —
+    * the mechanics are real, the injection makes them verifiable. Pure
+    * per-row expressions, zero shuffle. Patterns are deliberately
+    * ambiguity-free character-class runs so Java regex (leftmost-first)
+    * and RE2 (leftmost-longest) match identically. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val email = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val phone = "\\(555\\) [0-9]{3}-[0-9]{4}"
+    val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    val blurb = concat(
+      when($"doc_id" % 3 =!= 0,
+        concat(lit(" contact user"), $"doc_id", lit("@example.com"))).otherwise(""),
+      when($"doc_id" % 2 === 0,
+        concat(lit(" call (555) 010-"), lpad(($"doc_id" % 10000).cast(StringType), 4, "0")))
+        .otherwise(""),
+      when($"doc_id" % 5 === 0,
+        concat(lit(" id "), lpad(($"doc_id" % 1000).cast(StringType), 3, "0"),
+          lit("-00-"), lpad(($"doc_id" % 10000).cast(StringType), 4, "0")))
+        .otherwise(""))
+    // splice after the first word so redaction is mid-string, not appended
+    val withPii = Tables.documents(spark, dir)
+      .withColumn("raw", concat(
+        substring_index($"text", " ", 1), blurb,
+        substring($"text", length(substring_index($"text", " ", 1)) + 1,
+          lit(Int.MaxValue))))
+    // SSN before phone: the phone tail ([0-9]{3}-[0-9]{4}) is a substring
+    // of the SSN shape, so scrub the more specific pattern first.
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(
+      $"raw", ssn, "<SSN>"), phone, "<PHONE>"), email, "<EMAIL>")
+    withPii.select(
+      $"doc_id",
+      regexp_count($"raw", lit(email)).as("n_emails"),
+      regexp_count($"raw", lit(phone)).as("n_phones"),
+      regexp_count($"raw", lit(ssn)).as("n_ssns"),
+      length($"raw").as("raw_len"),
+      scrubbed.as("scrubbed_head"))
+      .withColumn("scrubbed_md5", md5($"scrubbed_head".cast(BinaryType)))
+      .withColumn("scrubbed_head", substring($"scrubbed_head", 1, 40))
+      .orderBy($"doc_id")
+  }
+
+  /** NS: sequence packing — the pretraining batch-prep step: concatenate
+    * the token stream in curriculum order and cut fixed 512-token context
+    * windows; each doc reports its start offset and the window span it
+    * lands in (a doc crossing a boundary is the attention-masking case
+    * downstream loaders care about). Packing is per-source: contiguous
+    * packing is inherently sequential WITHIN a shard, so the shard key is
+    * the parallelism unit — at 100 TB you pack per (source, hash-bucket)
+    * and this plan is exactly that with one bucket. One shuffle on
+    * source; cumulative sums are per-partition window frames. */
+  def sequencePack(spark: SparkSession, dir: String,
+      windowTokens: Int = 512): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select($"source", $"doc_id", size(tokens($"text")).cast(LongType).as("n_tok"))
+      .withColumn("start_off", coalesce(sum($"n_tok").over(w), lit(0L)))
+      .withColumn("first_win", floor($"start_off" / windowTokens))
+      .withColumn("last_win", floor(($"start_off" + $"n_tok" - 1) / windowTokens))
+      .select($"source", $"doc_id", $"n_tok", $"start_off",
+        $"first_win", $"last_win",
+        ($"last_win" - $"first_win" + 1).as("n_windows"),
+        when($"last_win" > $"first_win", 1).otherwise(0).as("crosses_boundary"))
+      .orderBy($"source", $"doc_id")
+  }
+
+  /** NS: inverted index — token → document-frequency + the first 20
+    * postings (the retrieval/BM25 building block). Postings are bounded
+    * BEFORE collection by [[graft.functions.TopKRows]]: the aggregate
+    * ships ≤20 doc_ids per (token, partition), where collect_list-then-
+    * slice would move every posting of every stop-word-grade token
+    * through the shuffle — the difference between O(k·|vocab|) and
+    * O(corpus) exchange volume at 100 TB. */
+  def invertedIndex(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(array_distinct(tokens($"text"))).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("df"),
+        graft.functions.top_k_rows(struct($"doc_id"), k).as("keep"))
+      .select($"token", $"df",
+        concat_ws(",", transform($"keep", r => r.getField("doc_id"))).as("postings_head"))
+      .orderBy($"token")
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusOps
+
+/** Semantic + plan-shape coverage for the corpus-preparation operators
+  * (tfidf_topk, decontaminate, pii_scrub, sequence_pack, inverted_index).
+  * Oracle hashes prove value equality; these specs pin the invariants and
+  * the scale-relevant plan shapes. */
+class CorpusOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("tfidf_topk: ranks are 1..k and scores non-increasing within a doc") {
+    val rows = CorpusOps.tfidfTopk(spark, Sf0001, 3)
+      .select($"doc_id", $"rnk", $"score_u20").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq === (1 to byRank.length))
+      assert(byRank.length <= 3)
+      val scores = byRank.map(_.getLong(2)).toSeq
+      assert(scores === scores.sorted(Ordering[Long].reverse),
+        s"scores not non-increasing: $scores")
+    }
+  }
+
+  test("tfidf_topk: df join broadcasts and top-k is the bounded aggregate") {
+    val p = CorpusOps.tfidfTopk(spark, Sf0001, 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"df join did not broadcast:\n$p")
+    assert(p.contains("top_k_rows"), s"top-k not the bounded aggregate:\n$p")
+    assert(!p.contains("Window"), s"unexpected window shuffle:\n$p")
+  }
+
+  test("decontaminate: benchmark docs are excluded and flag matches threshold") {
+    val rows = CorpusOps.decontaminate(spark, Sf0001, 5).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 50 != 0, s"benchmark doc ${r.getLong(0)} in output")
+      val (nContam, flagged) = (r.getLong(2), r.getInt(4))
+      assert(flagged === (if (nContam >= 5) 1 else 0))
+      assert(nContam <= r.getLong(1))
+    }
+    // the synthetic corpus shares vocabulary, so overlap must exist
+    assert(rows.exists(_.getLong(2) > 0), "no overlap found at all — suspicious")
+  }
+
+  test("pii_scrub: injected PII is counted per the doc_id rules and removed") {
+    val rows = CorpusOps.piiScrub(spark, Sf0001).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === (if (id % 3 != 0) 1 else 0), s"emails doc $id")
+      assert(r.getInt(2) === (if (id % 2 == 0) 1 else 0), s"phones doc $id")
+      assert(r.getInt(3) === (if (id % 5 == 0) 1 else 0), s"ssns doc $id")
+    }
+    // spot-check full scrub output on one doc with all three classes
+    val full = graft.Tables.documents(spark, Sf0001).where($"doc_id" === 30)
+    if (full.count() > 0) {
+      val scrubbed = CorpusOps.piiScrub(spark, Sf0001)
+        .where($"doc_id" === 30).select($"scrubbed_head").head().getString(0)
+      assert(scrubbed.contains("<EMAIL>") || scrubbed.contains("<PHONE>") ||
+        scrubbed.contains("<SSN>"), s"no redaction marker in: $scrubbed")
+      assert(!scrubbed.contains("@example.com"), s"email survived: $scrubbed")
+    }
+  }
+
+  test("sequence_pack: offsets are contiguous within each source") {
+    val rows = CorpusOps.sequencePack(spark, Sf0001, 512)
+      .select($"source", $"doc_id", $"n_tok", $"start_off", $"n_windows")
+      .collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getLong(1))
+      ordered.foldLeft(0L) { (expectedOff, r) =>
+        assert(r.getLong(3) === expectedOff,
+          s"doc ${r.getLong(1)}: start_off ${r.getLong(3)} != $expectedOff")
+        assert(r.getLong(4) >= 1)
+        expectedOff + r.getLong(2)
+      }
+    }
+  }
+
+  test("inverted_index: postings are sorted heads of df-many docs") {
+    val rows = CorpusOps.invertedIndex(spark, Sf0001, 20).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getLong(1)
+      val postings = r.getString(2).split(",").map(_.toLong).toSeq
+      assert(postings === postings.sorted, s"postings unsorted for ${r.getString(0)}")
+      assert(postings.length === math.min(df, 20L).toInt)
+      assert(postings.distinct.length === postings.length)
+    }
+  }
+
+  test("inverted_index: bounded aggregate, single shuffle, no Window/sort-all") {
+    val p = CorpusOps.invertedIndex(spark, Sf0001, 20)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("top_k_rows"), s"postings not bounded map-side:\n$p")
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+  }
+}
