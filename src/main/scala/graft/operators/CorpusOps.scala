@@ -37,7 +37,14 @@ object CorpusOps {
     val tf = Tables.documents(spark, dir)
       .select($"doc_id", explode(tokens($"text")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    // df straight off per-row distinct tokens: ONE term-keyed aggregate
+    // with map-side partials (deriving it from tf would re-run the
+    // (doc, term) exchange — Catalyst prunes the count and the subtree
+    // stops being reusable; a count-over-term window would instead sort
+    // stop-word-sized partitions — a skew hazard at corpus scale).
+    val df = Tables.documents(spark, dir)
+      .select(explode(array_distinct(tokens($"text"))).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val scoreU20 = floor(
       $"tf".cast(DoubleType) *
