@@ -406,6 +406,28 @@ object Oracles {
         |       CASE WHEN (start_off + n_tok - 1) // 512 > start_off // 512
         |            THEN 1 ELSE 0 END AS crosses_boundary
         |FROM t ORDER BY source, doc_id""".stripMargin,
+    "lm_score" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, len(ts)),
+        |           i -> ts[i] || ' ' || ts[i+1])) AS bg
+        |       FROM tok WHERE len(ts) >= 2),
+        |bw AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM bg),
+        |cb AS (SELECT bg, CAST(count(*) AS BIGINT) AS cnt_bg FROM bw GROUP BY 1),
+        |cw AS (SELECT w1, CAST(count(*) AS BIGINT) AS cnt_w1 FROM bw GROUP BY 1),
+        |s AS (SELECT doc_id,
+        |        CAST(floor(ln(CAST(cnt_bg AS DOUBLE) / CAST(cnt_w1 AS DOUBLE))
+        |               * 1048576.0 + 0.5) AS BIGINT) AS u20
+        |      FROM bw JOIN cb USING (bg) JOIN cw USING (w1)),
+        |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |             CAST(sum(u20) AS BIGINT) AS sum_logprob_u20
+        |      FROM s GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, sum_logprob_u20,
+        |       CAST(sum_logprob_u20 AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+        |         AS avg_logprob_u20,
+        |       CASE WHEN CAST(sum_logprob_u20 AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+        |                 < -4101694.0 THEN 1 ELSE 0 END AS flagged
+        |FROM d ORDER BY doc_id""".stripMargin,
     "inverted_index" ->
       """WITH e AS (SELECT DISTINCT doc_id, token FROM (
         |        SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -160,6 +160,46 @@ object CorpusOps {
       .orderBy($"source", $"doc_id")
   }
 
+  /** NS: bigram language-model scoring — the perplexity-proxy quality
+    * filter (CCNet/Gopher-style): train bigram statistics ON the corpus,
+    * then score each document by its mean bigram log-probability
+    * P(w2|w1) = C(w1 w2) / C(w1 ·); documents far below the corpus norm
+    * (avg log-prob < −ln 50, i.e. perplexity > 50) get flagged.
+    *
+    * Cross-engine determinism is the interesting part: a double SUM of ln
+    * terms is fold-order-dependent, so each bigram's log-prob is
+    * quantized to 2^-20 fixed point FIRST and the per-doc sum is integer
+    * arithmetic — order-free and exact; only the final mean is a single
+    * (correctly-rounded) double division. Plans as three aggregates over
+    * one exploded shape + two joins keyed on bigram/prefix — all
+    * partial-aggregated, vocabulary-bounded, no skew hot spots. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def bgRows = Tables.documents(spark, dir)
+      .withColumn("toks", tokens($"text"))
+      .where(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(toks)-1), i -> " +
+          "concat(element_at(toks, i), ' ', element_at(toks, i+1)))")).as("bg"))
+      .withColumn("w1", substring_index($"bg", " ", 1))
+    val cntBg = bgRows.groupBy($"bg").agg(count(lit(1)).as("cnt_bg"))
+    val cntW1 = bgRows.groupBy($"w1").agg(count(lit(1)).as("cnt_w1"))
+    val u20 = floor(
+      log($"cnt_bg".cast(DoubleType) / $"cnt_w1".cast(DoubleType)) *
+        1048576.0 + 0.5).cast(LongType)
+    val flagAt = -4101694.0 // -ln(50) * 2^20: perplexity-50 gate
+    bgRows.join(cntBg, "bg").join(cntW1, "w1")
+      .select($"doc_id", u20.as("u20"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"u20").as("sum_logprob_u20"))
+      .select($"doc_id", $"n_bigrams", $"sum_logprob_u20",
+        ($"sum_logprob_u20".cast(DoubleType) / $"n_bigrams".cast(DoubleType))
+          .as("avg_logprob_u20"))
+      .withColumn("flagged",
+        when($"avg_logprob_u20" < flagAt, 1).otherwise(0))
+      .orderBy($"doc_id")
+  }
+
   /** NS: inverted index — token → document-frequency + the first 20
     * postings (the retrieval/BM25 building block). Postings are bounded
     * BEFORE collection by [[graft.functions.TopKRows]]: the aggregate

@@ -79,6 +79,22 @@ class CorpusOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("lm_score: bigram counts, exact integer sums, and the flag line up") {
+    val toks = graft.Tables.documents(spark, Sf0001)
+      .select($"doc_id", size(split($"text", " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = CorpusOps.lmScore(spark, Sf0001).collect()
+    assert(rows.length === toks.count(_._2 >= 2))
+    rows.foreach { r =>
+      val (id, nBg, sum, avg, flagged) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))
+      assert(nBg === toks(id) - 1, s"doc $id bigram count")
+      assert(sum <= 0, s"doc $id: positive log-prob sum $sum")
+      assert(avg === sum.toDouble / nBg.toDouble)
+      assert(flagged === (if (avg < -4101694.0) 1 else 0))
+    }
+  }
+
   test("inverted_index: postings are sorted heads of df-many docs") {
     val rows = CorpusOps.invertedIndex(spark, Sf0001, 20).collect()
     assert(rows.nonEmpty)

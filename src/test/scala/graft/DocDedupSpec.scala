@@ -41,6 +41,33 @@ class DocDedupSpec extends SparkSpecBase {
     assert(cc(Seq.empty).isEmpty)
   }
 
+  test("star contraction matches union-find on random graphs (fixed seeds)") {
+    // independent reference implementation: path-compressing union-find
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(x => x -> find(x)).toMap
+    }
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(seed)
+      val n = 5 + rnd.nextInt(35)
+      val m = 1 + rnd.nextInt(2 * n)
+      // sparse ids exercise non-contiguous node spaces
+      val pairs = Seq.fill(m)(
+        (rnd.nextInt(n).toLong * 17, rnd.nextInt(n).toLong * 17))
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(pairs)
+      assert(cc(pairs) === expected, s"seed $seed: n=$n m=${pairs.length}")
+    }
+  }
+
   test("dedup_clusters labels agree with pair connectivity on the fixture") {
     val clusters = DocDedup.dedupClusters(spark, Sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
