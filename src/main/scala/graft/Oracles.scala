@@ -126,6 +126,17 @@ object Oracles {
         |    i -> CASE WHEN x.sig[i] = y.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 AS est_jaccard
         |FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin),
+    "minhash_incremental" -> (minhashCte +
+      """,
+        |b AS (SELECT doc_id, ks.k, array_to_string(sig[4*ks.k+1:4*ks.k+4], ',') AS bv, sig
+        |      FROM s, (SELECT unnest([0,1,2,3]) AS k) ks)
+        |SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS index_doc,
+        |  CAST(list_sum(list_transform(range(1, 17),
+        |    i -> CASE WHEN x.sig[i] = y.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16
+        |    AS est_jaccard
+        |FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv
+        |WHERE x.doc_id % 10 = 7 AND y.doc_id % 10 <> 7
+        |ORDER BY new_doc, index_doc""".stripMargin),
     "simhash_docs" -> (simhashCte +
       """
         |SELECT doc_id, simhash,

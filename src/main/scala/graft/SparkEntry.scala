@@ -101,6 +101,7 @@ object SparkEntry {
     "doc_dedup_exact"      -> (DocDedup.docDedupExact(_, _)),
     "minhash_signatures"   -> (DocDedup.minhashSignatures(_, _)),
     "minhash_dedup_pairs"  -> (DocDedup.minhashDedupPairs(_, _)),
+    "minhash_incremental"  -> (DocDedup.minhashIncremental(_, _)),
     "simhash_docs"         -> (DocDedup.simhashDocs(_, _)),
     "simhash_neardup_pairs" -> (DocDedup.simhashNearDupPairs(_, _)),
     "ngram_jaccard"        -> (DocDedup.ngramJaccardProbe(_, _)),

@@ -89,6 +89,32 @@ object DocDedup {
     pairs.orderBy($"doc_a", $"doc_b")
   }
 
+  /** NS: incremental MinHash dedup — the ingest-time shape: a small NEW
+    * batch (docs with doc_id ≡ 7 mod 10, standing in for today's crawl)
+    * is checked against the persisted signature index (everything else)
+    * WITHOUT recomputing or reshuffling the index: new-batch band keys
+    * BROADCAST against the index's band keys, so the big side is one
+    * linear probe-side scan. This is `minhashDedupPairs`' candidate logic
+    * with the symmetry broken the way a daily pipeline actually runs it —
+    * at 100 TB the index is a bucketed table on (band, band_value) and
+    * the new batch is always broadcast-small relative to it. */
+  def minhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = minhashSigs(spark, dir)
+      .select($"doc_id", $"sig",
+        posexplode(array($"b0", $"b1", $"b2", $"b3")).as(Seq("k", "bv")))
+    val newBatch = bands.where($"doc_id" % 10 === 7)
+    val index = bands.where($"doc_id" % 10 =!= 7)
+    index.as("y").join(broadcast(newBatch.as("x")),
+        col("x.k") === col("y.k") && col("x.bv") === col("y.bv"))
+      .select(
+        col("x.doc_id").as("new_doc"), col("y.doc_id").as("index_doc"),
+        (size(filter(zip_with(col("x.sig"), col("y.sig"), (u, v) => u === v),
+          b => b)).cast(DoubleType) / NumHashes).as("est_jaccard"))
+      .distinct()
+      .orderBy($"new_doc", $"index_doc")
+  }
+
   // SimHash: 32-bit signature from md5-60 token hashes, frequency-weighted.
   private val SimHashBits = 32
 

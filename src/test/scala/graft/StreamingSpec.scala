@@ -350,6 +350,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static join: streamed new-batch signatures probe the minhash index") {
+    // The ingest-time shape of minhash_incremental: signatures are
+    // computed at produce time, the signed rows arrive as a stream, and
+    // each micro-batch probes the STATIC index with a stateless
+    // stream-static join — no watermark, no state store, per-row append.
+    implicit val ctx = spark.sqlContext
+    import graft.operators.DocDedup
+    val expected = DocDedup.minhashIncremental(spark, Sf0001)
+      .select($"new_doc", $"index_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bands = DocDedup.minhashSignatures(spark, Sf0001)
+      .select($"doc_id",
+        posexplode(array($"b0", $"b1", $"b2", $"b3")).as(Seq("k", "bv")))
+    val index = bands.where($"doc_id" % 10 =!= 7)
+      .select($"doc_id".as("index_doc"), $"k", $"bv")
+    val newRows = bands.where($"doc_id" % 10 === 7)
+      .select($"doc_id", $"k", $"bv")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val ms = MemoryStream[(Long, Int, String)]
+    ms.addData(newRows.toSeq)
+    val joined = ms.toDF().toDF("new_doc", "k", "bv")
+      .join(index, Seq("k", "bv"))
+      .select($"new_doc", $"index_doc")
+    val q = joined.writeStream.format("memory").queryName("mh_inc")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("mh_inc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === expected)
+  }
+
   test("stream-stream interval join == batch inequality join") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
