@@ -425,7 +425,8 @@ object Oracles {
         |       FROM tok WHERE len(ts) >= 2),
         |bw AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM bg),
         |cb AS (SELECT bg, CAST(count(*) AS BIGINT) AS cnt_bg FROM bw GROUP BY 1),
-        |cw AS (SELECT w1, CAST(count(*) AS BIGINT) AS cnt_w1 FROM bw GROUP BY 1),
+        |cw AS (SELECT split_part(bg, ' ', 1) AS w1,
+        |              CAST(sum(cnt_bg) AS BIGINT) AS cnt_w1 FROM cb GROUP BY 1),
         |s AS (SELECT doc_id,
         |        CAST(floor(ln(CAST(cnt_bg AS DOUBLE) / CAST(cnt_w1 AS DOUBLE))
         |               * 1048576.0 + 0.5) AS BIGINT) AS u20

@@ -183,7 +183,10 @@ object CorpusOps {
           "concat(element_at(toks, i), ' ', element_at(toks, i+1)))")).as("bg"))
       .withColumn("w1", substring_index($"bg", " ", 1))
     val cntBg = bgRows.groupBy($"bg").agg(count(lit(1)).as("cnt_bg"))
-    val cntW1 = bgRows.groupBy($"w1").agg(count(lit(1)).as("cnt_w1"))
+    // prefix totals roll up from the (vocabulary-bounded) bigram counts —
+    // NOT from a third pass over the exploded corpus
+    val cntW1 = cntBg.select(substring_index($"bg", " ", 1).as("w1"), $"cnt_bg")
+      .groupBy($"w1").agg(sum($"cnt_bg").as("cnt_w1"))
     val u20 = floor(
       log($"cnt_bg".cast(DoubleType) / $"cnt_w1".cast(DoubleType)) *
         1048576.0 + 0.5).cast(LongType)
