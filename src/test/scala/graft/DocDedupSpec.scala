@@ -66,6 +66,12 @@ class DocDedupSpec extends SparkSpecBase {
       val expected = unionFind(pairs)
       assert(cc(pairs) === expected, s"seed $seed: n=$n m=${pairs.length}")
     }
+    // one larger instance: sub-critical random graph (m < n/2) leaves many
+    // mid-size tree components — the regime real near-dup graphs live in
+    val rnd = new scala.util.Random(99)
+    val big = Seq.fill(900)((rnd.nextInt(2000).toLong, rnd.nextInt(2000).toLong))
+      .filter { case (a, b) => a != b }
+    assert(cc(big) === unionFind(big), "2000-node random graph")
   }
 
   test("dedup_clusters labels agree with pair connectivity on the fixture") {
