@@ -440,6 +440,19 @@ object Oracles {
         |       CASE WHEN CAST(sum_logprob_u20 AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
         |                 < -4101694.0 THEN 1 ELSE 0 END AS flagged
         |FROM d ORDER BY doc_id""".stripMargin,
+    "source_mix" ->
+      """WITH p AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |             CAST(count(*) AS BIGINT) AS n_sources FROM p)
+        |SELECT source, n_docs, n_tokens,
+        |       CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+        |         AS token_share,
+        |       CAST(total_tokens AS DOUBLE) /
+        |         (CAST(n_sources AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+        |         AS mix_weight
+        |FROM p, t ORDER BY source""".stripMargin,
     "inverted_index" ->
       """WITH e AS (SELECT DISTINCT doc_id, token FROM (
         |        SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -203,6 +203,34 @@ object CorpusOps {
       .orderBy($"doc_id")
   }
 
+  /** NS: data-mixture report — the sampling-weight computation behind
+    * corpus rebalancing (DoReMi-style static reweighting, C4/Pile mixture
+    * tables): per-source document and token totals, the source's share of
+    * the corpus token stream, and the up/down-sampling weight that would
+    * equalize the mixture (target = uniform across sources). Two map-side
+    * partial aggregates (per-source, then the 1-row total broadcast
+    * back); weights are pure double divisions of exact longs, so the
+    * oracle matches bit-for-bit without quantization. */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perSource = Tables.documents(spark, dir)
+      .select($"source", size(tokens($"text")).cast(LongType).as("n_tok"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+    val totals = perSource.agg(
+      sum($"n_tokens").as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .select($"source", $"n_docs", $"n_tokens",
+        ($"n_tokens".cast(DoubleType) / $"total_tokens".cast(DoubleType))
+          .as("token_share"),
+        // uniform-target weight: (1/n_sources) / share
+        ($"total_tokens".cast(DoubleType) /
+          ($"n_sources".cast(DoubleType) * $"n_tokens".cast(DoubleType)))
+          .as("mix_weight"))
+      .orderBy($"source")
+  }
+
   /** NS: inverted index — token → document-frequency + the first 20
     * postings (the retrieval/BM25 building block). Postings are bounded
     * BEFORE collection by [[graft.functions.TopKRows]]: the aggregate

@@ -214,10 +214,15 @@ object DocDedup {
   def fuzzyJoinPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = Tables.customer(spark, dir).select($"c_custkey", $"c_name")
-    // (key, name, pos, del = name minus the character at pos)
+    // (key, name, pos, del = name minus the character at pos) —
+    // materialized ONCE: it feeds three join inputs on two different keys
+    // ((pos, del) and (del)), so the per-character explode would otherwise
+    // run per input (no common exchange for Spark to reuse). On a cluster:
+    // persist() / a staging table instead of the local checkpoint.
     val keyed = base.select($"c_custkey", $"c_name",
       posexplode(expr("transform(sequence(1, length(c_name)), i -> " +
         "concat(substr(c_name, 1, i-1), substr(c_name, i+1)))")))
+      .localCheckpoint(true)
     val subst = keyed.as("x").join(keyed.as("y"),
         $"x.pos" === $"y.pos" && $"x.col" === $"y.col" &&
           $"x.c_custkey" < $"y.c_custkey")

@@ -95,6 +95,16 @@ class CorpusOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("source_mix: shares sum to 1 and weights equalize the mixture") {
+    val rows = CorpusOps.sourceMix(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"shares sum to $shareSum")
+    // reweighted token mass is the same for every source: tokens*weight
+    val masses = rows.map(r => r.getLong(2) * r.getDouble(4))
+    masses.foreach(m => assert(math.abs(m - masses.head) < 1e-6))
+  }
+
   test("inverted_index: postings are sorted heads of df-many docs") {
     val rows = CorpusOps.invertedIndex(spark, Sf0001, 20).collect()
     assert(rows.nonEmpty)

@@ -208,7 +208,8 @@ class PlanSpec extends SparkSpecBase {
     val allowNestedLoop = Set("similarity_search", "ngram_jaccard",
       "ann_lsh_search", "time_gapfill", "ann_recall_eval",
       "revenue_share", // 1-row scalar total broadcast onto 3 group rows
-      "tfidf_topk")    // 1-row corpus-size N broadcast onto (doc,term) rows
+      "tfidf_topk",    // 1-row corpus-size N broadcast onto (doc,term) rows
+      "source_mix")    // 1-row corpus-totals broadcast onto per-source rows
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = physical(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
