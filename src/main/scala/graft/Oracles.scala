@@ -438,7 +438,7 @@ object Oracles {
         |       CAST(sum_logprob_u20 AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
         |         AS avg_logprob_u20,
         |       CASE WHEN CAST(sum_logprob_u20 AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
-        |                 < -4101694.0 THEN 1 ELSE 0 END AS flagged
+        |                 < -4102053.0 THEN 1 ELSE 0 END AS flagged
         |FROM d ORDER BY doc_id""".stripMargin,
     "source_mix" ->
       """WITH p AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

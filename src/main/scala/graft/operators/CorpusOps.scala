@@ -20,12 +20,13 @@ object CorpusOps {
   /** NS: TF-IDF top-3 terms per document — the classic keyword/weighting
     * step (query expansion, near-dup feature vectors, topic tagging).
     *
-    * tf from one explode + (doc, term) count; df from a second count over
-    * the tf rows (already distinct per doc); both aggregations partial
-    * map-side. df and N are corpus-small → broadcast back, so the corpus
-    * is scanned ONCE and nothing but (doc, term, tf) rows ever shuffle.
-    * Top-3 uses the bounded [[graft.functions.TopKRows]] aggregate — ≤3
-    * rows per (doc, partition) shuffle where a window would move all.
+    * Three bounded passes: tf from one explode + (doc, term) count; df
+    * from a second scan aggregating per-row-distinct tokens by term; N
+    * from a column-pruned count scan. All aggregations partial map-side;
+    * df and N are vocabulary/1-row small → broadcast back, so only
+    * (doc, term, tf) rows ever shuffle. Top-3 uses the bounded
+    * [[graft.functions.TopKRows]] aggregate — ≤3 rows per
+    * (doc, partition) shuffle where a window would move all.
     *
     * Scores are emitted (and RANKED) in fixed-point 2^-20 units:
     * floor(tf·ln(N/df)·2^20 + 0.5). Java's Math.log and C's log disagree
@@ -190,7 +191,7 @@ object CorpusOps {
     val u20 = floor(
       log($"cnt_bg".cast(DoubleType) / $"cnt_w1".cast(DoubleType)) *
         1048576.0 + 0.5).cast(LongType)
-    val flagAt = -4101694.0 // -ln(50) * 2^20: perplexity-50 gate
+    val flagAt = -4102053.0 // -ln(50) * 2^20 = -4102053.43: perplexity-50 gate
     bgRows.join(cntBg, "bg").join(cntW1, "w1")
       .select($"doc_id", u20.as("u20"))
       .groupBy($"doc_id")

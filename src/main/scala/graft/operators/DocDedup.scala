@@ -100,9 +100,14 @@ object DocDedup {
     * the new batch is always broadcast-small relative to it. */
   def minhashIncremental(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // LAZY checkpoint: the signature pipeline (corpus scan + per-shingle
+    // md5 + 16-perm aggregation) feeds BOTH join inputs — without the
+    // materialization it would execute twice (the filters differ, so no
+    // ReusedExchange applies); lazy so constructing the plan stays free.
     val bands = minhashSigs(spark, dir)
       .select($"doc_id", $"sig",
         posexplode(array($"b0", $"b1", $"b2", $"b3")).as(Seq("k", "bv")))
+      .localCheckpoint(false)
     val newBatch = bands.where($"doc_id" % 10 === 7)
     val index = bands.where($"doc_id" % 10 =!= 7)
     index.as("y").join(broadcast(newBatch.as("x")),
@@ -215,14 +220,15 @@ object DocDedup {
     import spark.implicits._
     val base = Tables.customer(spark, dir).select($"c_custkey", $"c_name")
     // (key, name, pos, del = name minus the character at pos) —
-    // materialized ONCE: it feeds three join inputs on two different keys
-    // ((pos, del) and (del)), so the per-character explode would otherwise
-    // run per input (no common exchange for Spark to reuse). On a cluster:
+    // materialized ONCE (lazily, so plan construction/inspection stays
+    // free): it feeds three join inputs on two different keys ((pos, del)
+    // and (del)), so the per-character explode would otherwise run per
+    // input (no common exchange for Spark to reuse). On a cluster:
     // persist() / a staging table instead of the local checkpoint.
     val keyed = base.select($"c_custkey", $"c_name",
       posexplode(expr("transform(sequence(1, length(c_name)), i -> " +
         "concat(substr(c_name, 1, i-1), substr(c_name, i+1)))")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val subst = keyed.as("x").join(keyed.as("y"),
         $"x.pos" === $"y.pos" && $"x.col" === $"y.col" &&
           $"x.c_custkey" < $"y.c_custkey")

@@ -91,7 +91,7 @@ class CorpusOpsSpec extends SparkSpecBase {
       assert(nBg === toks(id) - 1, s"doc $id bigram count")
       assert(sum <= 0, s"doc $id: positive log-prob sum $sum")
       assert(avg === sum.toDouble / nBg.toDouble)
-      assert(flagged === (if (avg < -4101694.0) 1 else 0))
+      assert(flagged === (if (avg < -4102053.0) 1 else 0))
     }
   }
 
