@@ -195,6 +195,16 @@ object Oracles {
          |SELECT vec_id, label, bucket, ${cosSql("embedding", "pe")} AS score
          |FROM b, p WHERE bucket = pbucket AND vec_id <> 0
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+    "ann_multiprobe" ->
+      s"""WITH b AS (SELECT vec_id, label, embedding,
+         |             ${lshBucket(4, "embedding")} AS bucket FROM embeddings),
+         |p AS (SELECT embedding AS pe, bucket AS pbucket FROM b WHERE vec_id = 0)
+         |SELECT vec_id, label, bucket, ${cosSql("embedding", "pe")} AS score
+         |FROM b, p
+         |WHERE vec_id <> 0 AND (bucket = pbucket OR bucket = xor(pbucket, 1)
+         |   OR bucket = xor(pbucket, 2) OR bucket = xor(pbucket, 4)
+         |   OR bucket = xor(pbucket, 8))
+         |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
     "ann_ivf_cells" ->
       s"""WITH c AS (SELECT vec_id AS cell_id, embedding AS ce
          |           FROM embeddings WHERE vec_id < 16),
@@ -370,6 +380,16 @@ object Oracles {
         |       CAST(n_contam AS DOUBLE) / n_grams AS contam_ratio,
         |       CASE WHEN n_contam >= 5 THEN 1 ELSE 0 END AS flagged
         |FROM c ORDER BY doc_id""".stripMargin),
+    "decontaminate_pairs" -> (gramsCte +
+      """,
+        |e AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+        |b AS (SELECT DISTINCT doc_id AS bench_doc, gr AS bg FROM e
+        |      WHERE doc_id % 50 = 0)
+        |SELECT e.doc_id, b.bench_doc, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM e JOIN b ON e.gr = b.bg
+        |WHERE e.doc_id % 50 <> 0
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY doc_id, bench_doc""".stripMargin),
     "pii_scrub" ->
       """WITH raw AS (SELECT doc_id,
         |  split_part(text, ' ', 1) ||

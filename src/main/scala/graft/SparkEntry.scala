@@ -94,6 +94,7 @@ object SparkEntry {
     "domain_cap"           -> (TextAnalysis.domainCap(_, _, 25)),
     "tfidf_topk"           -> (CorpusOps.tfidfTopk(_, _, 3)),
     "decontaminate"        -> (CorpusOps.decontaminate(_, _, 5)),
+    "decontaminate_pairs"  -> (CorpusOps.decontaminatePairs(_, _, 3)),
     "pii_scrub"            -> (CorpusOps.piiScrub(_, _)),
     "sequence_pack"        -> (CorpusOps.sequencePack(_, _, 512)),
     "inverted_index"       -> (CorpusOps.invertedIndex(_, _, 20)),
@@ -111,6 +112,7 @@ object SparkEntry {
     "similarity_search"    -> (Similarity.similaritySearch(_, _)),
     "ann_lsh_buckets"      -> (Similarity.annLshBuckets(_, _)),
     "ann_lsh_search"       -> (Similarity.annLshSearch(_, _)),
+    "ann_multiprobe"       -> (Similarity.annMultiprobe(_, _)),
     "ann_ivf_cells"        -> (Similarity.annIvfCells(_, _)),
     "ann_ivf_search"       -> (Similarity.annIvfSearch(_, _)),
     "ann_recall_eval"      -> (Similarity.annRecallEval(_, _)),

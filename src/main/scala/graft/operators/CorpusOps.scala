@@ -89,6 +89,28 @@ object CorpusOps {
       .orderBy($"doc_id")
   }
 
+  /** NS: contamination ATTRIBUTION — the drill-down behind
+    * [[decontaminate]]: for every (corpus doc, benchmark doc) pair sharing
+    * ≥3 word-3-gram shingles, report the overlap — which eval suite
+    * leaked, not just that something did. Same broadcast-gram shape, one
+    * extra (doc, bench_doc) aggregate; output is bounded by true overlap
+    * (pairs below the floor never leave the partial aggregate). */
+  def decontaminatePairs(spark: SparkSession, dir: String,
+      minShared: Int = 3): DataFrame = {
+    import spark.implicits._
+    def grams(df: DataFrame) =
+      df.select($"doc_id", explode(array_distinct(shingles($"text", 3))).as("g"))
+    val docs = Tables.documents(spark, dir)
+    val bench = grams(docs.where($"doc_id" % 50 === 0))
+      .select($"doc_id".as("bench_doc"), $"g".as("bg")).distinct()
+    grams(docs.where($"doc_id" % 50 =!= 0))
+      .join(broadcast(bench), $"g" === $"bg")
+      .groupBy($"doc_id", $"bench_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .where($"n_shared" >= minShared)
+      .orderBy($"doc_id", $"bench_doc")
+  }
+
   /** NS: PII scrubbing — regex redaction of emails / phone numbers / SSNs
     * with per-class counts (the audit trail a compliance pass needs). The
     * corpus is synthetic prose with no PII, so a deterministic contact

@@ -87,6 +87,32 @@ object Similarity {
       .limit(5)
   }
 
+  /** NS: multi-probe LSH search — the standard recall/cost middle ground
+    * between one-bucket lookup ([[annLshSearch]]) and more hash tables:
+    * probe the query's own 4-plane bucket PLUS the 4 neighbors that flip
+    * exactly one plane bit (the most likely buckets for a near neighbor
+    * that landed on the other side of one hyperplane). Candidate set is
+    * 5 of 16 buckets via a broadcast `isin` on plan-time-constant probe
+    * buckets — still an equi-filter scan + TakeOrdered, never all-pairs. */
+  def annMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planes = 4
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket", lshBucket($"embedding", planes = planes))
+    val probe = emb.filter($"vec_id" === 0)
+      .select($"embedding".as("p"), $"bucket".as("pbucket"))
+    val withProbes = emb.crossJoin(broadcast(probe))
+      .withColumn("probes", array(
+        (Seq($"pbucket") ++
+          (0 until planes).map(j => $"pbucket".bitwiseXOR(lit(1L << j)))): _*))
+    withProbes
+      .where(array_contains($"probes", $"bucket") && $"vec_id" =!= 0)
+      .select($"vec_id", $"label", $"bucket",
+        cosine($"embedding", $"p").as("score"))
+      .orderBy($"score".desc, $"vec_id")
+      .limit(5)
+  }
+
   /** IVF (inverted-file) cell assignment: nearest of 16 seed centroids by
     * cosine, ties broken toward the lowest cell id. Centroids here are the
     * first 16 vectors by `vec_id` — deterministic and oracle-able; a

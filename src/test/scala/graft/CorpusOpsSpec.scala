@@ -45,6 +45,20 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(rows.exists(_.getLong(2) > 0), "no overlap found at all — suspicious")
   }
 
+  test("decontaminate_pairs: attribution is consistent with the aggregate gate") {
+    val pairs = CorpusOps.decontaminatePairs(spark, Sf0001, 3).collect()
+    val contam = CorpusOps.decontaminate(spark, Sf0001, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    pairs.foreach { r =>
+      val (doc, bench, shared) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(doc % 50 != 0 && bench % 50 == 0)
+      assert(shared >= 3)
+      // grams shared with ONE bench doc are a subset of grams shared with
+      // the union of all bench docs
+      assert(contam(doc) >= shared, s"doc $doc: union overlap < pair overlap")
+    }
+  }
+
   test("pii_scrub: injected PII is counted per the doc_id rules and removed") {
     val rows = CorpusOps.piiScrub(spark, Sf0001).collect()
     rows.foreach { r =>

@@ -26,6 +26,18 @@ class OperatorSmokeSpec extends SparkSpecBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("ann_multiprobe dominates single-bucket LSH search rank-for-rank") {
+    // multi-probe scans a strict superset of the single-bucket candidates,
+    // so its rank-i score can never be worse
+    val single = graft.operators.Similarity.annLshSearch(spark, Sf0001)
+      .collect().map(_.getAs[Double]("score"))
+    val multi = graft.operators.Similarity.annMultiprobe(spark, Sf0001)
+      .collect().map(_.getAs[Double]("score"))
+    single.zip(multi).foreach { case (s, m) =>
+      assert(m >= s, s"multiprobe rank score $m < single-bucket $s")
+    }
+  }
+
   test("k-means codebook training does not reduce assignment cohesion") {
     val seed = Similarity.trainIvfCodebook(spark, Sf0001, k = 8, iters = 0)
     val trained = Similarity.trainIvfCodebook(spark, Sf0001, k = 8, iters = 2)

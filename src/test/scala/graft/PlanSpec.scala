@@ -209,7 +209,8 @@ class PlanSpec extends SparkSpecBase {
       "ann_lsh_search", "time_gapfill", "ann_recall_eval",
       "revenue_share", // 1-row scalar total broadcast onto 3 group rows
       "tfidf_topk",    // 1-row corpus-size N broadcast onto (doc,term) rows
-      "source_mix")    // 1-row corpus-totals broadcast onto per-source rows
+      "source_mix",    // 1-row corpus-totals broadcast onto per-source rows
+      "ann_multiprobe") // 1-row probe broadcast, bucket isin-filter scan
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = physical(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
