@@ -473,6 +473,15 @@ object Oracles {
         |         (CAST(n_sources AS DOUBLE) * CAST(n_tokens AS DOUBLE))
         |         AS mix_weight
         |FROM p, t ORDER BY source""".stripMargin,
+    "length_quartiles" ->
+      """WITH q AS (SELECT source, doc_id, n_chars,
+        |             CAST(ntile(4) OVER (PARTITION BY source
+        |               ORDER BY n_chars, doc_id) AS INTEGER) AS quartile
+        |           FROM documents)
+        |SELECT source, quartile, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM q GROUP BY 1, 2 ORDER BY source, quartile""".stripMargin,
     "inverted_index" ->
       """WITH e AS (SELECT DISTINCT doc_id, token FROM (
         |        SELECT doc_id, unnest(string_split(text, ' ')) AS token

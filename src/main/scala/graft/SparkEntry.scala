@@ -100,6 +100,7 @@ object SparkEntry {
     "inverted_index"       -> (CorpusOps.invertedIndex(_, _, 20)),
     "lm_score"             -> (CorpusOps.lmScore(_, _)),
     "source_mix"           -> (CorpusOps.sourceMix(_, _)),
+    "length_quartiles"     -> (CorpusOps.lengthQuartiles(_, _)),
     "doc_dedup_exact"      -> (DocDedup.docDedupExact(_, _)),
     "minhash_signatures"   -> (DocDedup.minhashSignatures(_, _)),
     "minhash_dedup_pairs"  -> (DocDedup.minhashDedupPairs(_, _)),

@@ -226,6 +226,28 @@ object CorpusOps {
       .orderBy($"doc_id")
   }
 
+  /** NS: per-source length quartiles — `ntile` bucketing (the one rank
+    * window function `rank_family` doesn't cover) with the scale-correct
+    * partitioning: quartiles WITHIN each source, so the window sorts one
+    * source per partition — a corpus-global ntile would funnel 100 TB
+    * through a single sort partition (for global quantile labels at scale
+    * you broadcast approx-quantile cutpoints instead, as
+    * `winsorized_stats` does). Output: per (source, quartile) doc counts
+    * and length ranges — the curation report that shows where each
+    * source's length mass sits. */
+  def lengthQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy($"source", $"quartile")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"),
+        sum($"n_chars").as("sum_chars"))
+      .orderBy($"source", $"quartile")
+  }
+
   /** NS: data-mixture report — the sampling-weight computation behind
     * corpus rebalancing (DoReMi-style static reweighting, C4/Pile mixture
     * tables): per-source document and token totals, the source's share of
