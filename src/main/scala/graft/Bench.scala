@@ -49,7 +49,15 @@ object Bench {
     // page-cache misses) sporadically inflates single runs 5-15x; the min
     // of two spaced runs is a far better estimate of the query's true cost
     // than any single sample.
-    def onePass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // Dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the run to named queries
+    // (unset — the driver's case — runs everything).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    def onePass(): Map[String, Double] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -60,10 +68,28 @@ object Bench {
     val p1 = onePass()
     val p2 = onePass()
     val results = p1.map { case (name, s) => name -> math.min(s, p2(name)) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def ent(k: String, v: Double) = "\"" + k + "\":" + f"$v%.3f"
+    // Full per-query map on its own prefixed line (humans / logs only — the
+    // prefix keeps it from being mistaken for the machine line below).
+    val bySlowest = results.toSeq.sortBy(-_._2)
+    System.err.println("bench-full: " + bySlowest.map((ent _).tupled)
+      .mkString("{", ",", "}"))
+    // Machine-readable line LAST, kept under ~1500 chars: the driver
+    // captures only the final 2000 chars of output, so a map of every query
+    // at full double precision (observed ~2.6 KB) never fits and the driver
+    // records parsed=null. Emit the slowest queries greedily until the
+    // budget is hit; "queries_n" records the true total so a truncated map
+    // is explicit, not silent.
+    val budget = 1400
+    val kept = scala.collection.mutable.ArrayBuffer[String]()
+    var len = 0
+    bySlowest.foreach { case (k, v) =>
+      val e = ent(k, v)
+      if (len + e.length + 1 <= budget) { kept += e; len += e.length + 1 }
+    }
+    val qs = kept.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

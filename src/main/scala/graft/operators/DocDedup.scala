@@ -278,12 +278,14 @@ object DocDedup {
     // Materialize the pair pipeline ONCE — it feeds both the initial edge
     // set and the final validation join (without this the whole upstream
     // candidate-generation DAG would run twice).
-    val pairs0 = pairs.toDF("a", "b").localCheckpoint(true)
+    // (lazy: the isEmpty/first-fingerprint action below materializes both
+    // checkpoints in one pass)
+    val pairs0 = pairs.toDF("a", "b").localCheckpoint(false)
     // Orient (bigger, smaller), drop self-loops; multiset semantics
     // throughout — groupBys dedup where it matters.
     var edges = pairs0.where($"a" =!= $"b")
       .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // large-star: every node hangs its LARGER neighbors onto the min of
     // its closed neighborhood. Output edges are (larger, smaller) again.
@@ -310,7 +312,10 @@ object DocDedup {
     var iter = 0
     var stable = false
     while (!stable && iter < 16) {
-      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      // LAZY checkpoint: the fingerprint action right below materializes
+      // it — an eager checkpoint would run the round's shuffles twice-ish
+      // (one job to materialize, one to fingerprint) for no benefit.
+      edges = smallStar(largeStar(edges)).localCheckpoint(false)
       val cur = fingerprint(edges)
       stable = cur == prev
       prev = cur
@@ -324,7 +329,7 @@ object DocDedup {
     val labels = nonRoot
       .unionByName(nonRoot.select($"label".as("doc_id"), $"label"))
       .groupBy($"doc_id").agg(min($"label").as("label"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // materialized by the validation count
     val la = labels.select($"doc_id".as("a"), $"label".as("la"))
     val lb = labels.select($"doc_id".as("b"), $"label".as("lb"))
     val bad = pairs0
