@@ -233,6 +233,26 @@ object Oracles {
          |FROM a JOIN pc ON a.cell_id = pc.pcell, p
          |WHERE a.vec_id <> 0
          |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin,
+    "semantic_dedup" ->
+      s"""WITH c AS (SELECT vec_id AS cell_id, embedding AS ce
+         |           FROM embeddings WHERE vec_id < 16),
+         |s AS (SELECT e.vec_id, c.cell_id,
+         |        ${cosSql("e.embedding", "c.ce")} AS score FROM embeddings e, c),
+         |r AS (SELECT vec_id, cell_id, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY score DESC, cell_id) AS rnk FROM s),
+         |a AS (SELECT r.vec_id, r.cell_id, e.embedding
+         |      FROM r JOIN embeddings e USING (vec_id) WHERE rnk = 1),
+         |p AS (SELECT x.vec_id, x.cell_id, y.vec_id AS cand,
+         |        ${cosSql("x.embedding", "y.embedding")} AS score
+         |      FROM a x JOIN a y
+         |        ON x.cell_id = y.cell_id AND x.vec_id > y.vec_id),
+         |d AS (SELECT vec_id, cell_id, CAST(min(cand) AS BIGINT) AS dup_keeper,
+         |        max(score) AS max_dup_score
+         |      FROM p WHERE score >= 0.40 GROUP BY vec_id, cell_id)
+         |SELECT a.vec_id, a.cell_id, d.dup_keeper IS NOT NULL AS is_dup,
+         |       coalesce(d.dup_keeper, a.vec_id) AS keeper, d.max_dup_score
+         |FROM a LEFT JOIN d ON a.vec_id = d.vec_id AND a.cell_id = d.cell_id
+         |ORDER BY a.vec_id""".stripMargin,
     "cms_vocab" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
         |h AS (SELECT rs.i,
@@ -473,6 +493,81 @@ object Oracles {
         |         (CAST(n_sources AS DOUBLE) * CAST(n_tokens AS DOUBLE))
         |         AS mix_weight
         |FROM p, t ORDER BY source""".stripMargin,
+    "dup_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, md5(array_to_string(w[i:i+15], ' ')) AS fp
+        |      FROM d, unnest(generate_series(1, len(w) - 15)) AS u(i)),
+        |f AS (SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |      FROM g GROUP BY fp HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |       CAST(count(f.fp) AS BIGINT) AS n_dup_spans,
+        |       CAST(count(f.fp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |         AS dup_frac
+        |FROM g LEFT JOIN f USING (fp)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "mixture_resample" ->
+      """WITH p AS (SELECT source,
+        |             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |               AS src_tokens
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+        |             CAST(count(*) AS BIGINT) AS n_sources FROM p),
+        |w AS (SELECT source,
+        |        (total_tokens * 1048576) // (n_sources * src_tokens) AS w_fp
+        |      FROM p, t),
+        |d AS (SELECT d.source, d.doc_id, w.w_fp,
+        |        (w.w_fp // 1048576) +
+        |        (CASE WHEN CAST(concat('0x',
+        |             substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+        |             AS BIGINT) % 1048576 < w.w_fp % 1048576
+        |         THEN 1 ELSE 0 END) AS n_copies
+        |      FROM documents d JOIN w USING (source))
+        |SELECT source, doc_id, w_fp, n_copies,
+        |       unnest(generate_series(1, n_copies)) AS copy_idx
+        |FROM d WHERE n_copies > 0
+        |ORDER BY source, doc_id, copy_idx""".stripMargin,
+    "chunk_overlap" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |s AS (SELECT doc_id, toks, n_tok,
+        |        unnest(generate_series(0, n_tok - 1, 24)) AS start_tok
+        |      FROM d WHERE n_tok > 0)
+        |SELECT doc_id, start_tok // 24 AS chunk_id, start_tok,
+        |       least(32, n_tok - start_tok) AS n_chunk_tok,
+        |       (n_tok - start_tok) >= 32 AS is_full,
+        |       md5(array_to_string(
+        |         toks[CAST(start_tok + 1 AS INT):CAST(start_tok + 32 AS INT)],
+        |         ' ')) AS chunk_md5
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |           FROM documents),
+        |ls AS (SELECT CAST(sum(dl) AS BIGINT) AS sum_dl,
+        |              CAST(count(*) AS BIGINT) AS n_docs FROM d),
+        |tf AS (SELECT doc_id, dl, t AS term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM (SELECT doc_id, dl, unnest(toks) AS t FROM d)
+        |       WHERE t IN ('dup', 'spark', 'vector', 'stream', 'window')
+        |       GROUP BY doc_id, dl, t),
+        |df AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS df
+        |       FROM (SELECT doc_id, unnest(list_distinct(toks)) AS t FROM d)
+        |       WHERE t IN ('dup', 'spark', 'vector', 'stream', 'window')
+        |       GROUP BY t),
+        |sc AS (SELECT tf.doc_id,
+        |         CAST(floor(
+        |           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |                    / (CAST(df AS DOUBLE) + 0.5))
+        |           * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+        |              / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75
+        |                 * (CAST(dl AS DOUBLE)
+        |                    / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |           * 1048576.0 + 0.5) AS BIGINT) AS part_u20
+        |       FROM tf JOIN df USING (term), ls)
+        |SELECT doc_id, CAST(sum(part_u20) AS BIGINT) AS score_u20,
+        |       CAST(count(*) AS BIGINT) AS n_hit_terms
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score_u20 DESC, doc_id LIMIT 10""".stripMargin,
     "length_quartiles" ->
       """WITH q AS (SELECT source, doc_id, n_chars,
         |             CAST(ntile(4) OVER (PARTITION BY source

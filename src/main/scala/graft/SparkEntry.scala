@@ -75,6 +75,8 @@ object SparkEntry {
     "pivot_report"         -> (Relational.pivotReport(_, _)),
     "vocab_topk"           -> (Relational.vocabTopk(_, _)),
     "quantile_report"      -> (Relational.quantileReport(_, _)),
+    "loglin_quantiles"     -> (Relational.loglinQuantiles(_, _)),
+    "scd2_build"           -> (Relational.scd2Build(_, _)),
     "dedup"                -> (Relational.dedup(_, _)),
     "salted_join"          -> (Scale.saltedJoinQuery(_, _)),
     "range_join"           -> (Scale.bucketedRangeJoin(_, _)),
@@ -100,7 +102,10 @@ object SparkEntry {
     "inverted_index"       -> (CorpusOps.invertedIndex(_, _, 20)),
     "lm_score"             -> (CorpusOps.lmScore(_, _)),
     "source_mix"           -> (CorpusOps.sourceMix(_, _)),
+    "mixture_resample"     -> (CorpusOps.mixtureResample(_, _)),
     "length_quartiles"     -> (CorpusOps.lengthQuartiles(_, _)),
+    "chunk_overlap"        -> (CorpusOps.chunkOverlap(_, _, 32, 24)),
+    "bm25_topk"            -> (CorpusOps.bm25Topk(_, _, 10)),
     "doc_dedup_exact"      -> (DocDedup.docDedupExact(_, _)),
     "minhash_signatures"   -> (DocDedup.minhashSignatures(_, _)),
     "minhash_dedup_pairs"  -> (DocDedup.minhashDedupPairs(_, _)),
@@ -110,6 +115,7 @@ object SparkEntry {
     "ngram_jaccard"        -> (DocDedup.ngramJaccardProbe(_, _)),
     "fuzzy_join"           -> (DocDedup.fuzzyJoinPairs(_, _)),
     "dedup_clusters"       -> (DocDedup.dedupClusters(_, _)),
+    "dup_spans"            -> (DocDedup.dupSpans(_, _, 16)),
     "similarity_search"    -> (Similarity.similaritySearch(_, _)),
     "ann_lsh_buckets"      -> (Similarity.annLshBuckets(_, _)),
     "ann_lsh_search"       -> (Similarity.annLshSearch(_, _)),
@@ -119,6 +125,7 @@ object SparkEntry {
     "ann_recall_eval"      -> (Similarity.annRecallEval(_, _)),
     "embedding_quantize"   -> (Similarity.embeddingQuantize(_, _)),
     "embedding_neardup"    -> (Similarity.embeddingNearDupPairs(_, _)),
+    "semantic_dedup"       -> (Similarity.semanticDedup(_, _, 0.40)),
     "multimodal_cols"      -> (Multimodal.multimodalCols(_, _)),
     "media_decode_stub"    -> (Multimodal.mediaDecodeStub(_, _)),
     "media_frame_sample"   -> (Multimodal.mediaFrameSample(_, _)),
@@ -692,6 +699,42 @@ object SparkEntry {
         |       min(l_quantity) AS q_min, max(l_quantity) AS q_max,
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "loglin_quantiles" ->
+      """WITH v AS (SELECT l_returnflag,
+        |             greatest(CAST(floor(l_extendedprice * 100) AS BIGINT), 1)
+        |               AS v FROM lineitem),
+        |b AS (SELECT l_returnflag, v, CAST(length(bin(v)) - 1 AS BIGINT) AS e,
+        |        greatest(CAST(length(bin(v)) - 1 - 3 AS BIGINT), 0) AS sh
+        |      FROM v),
+        |h AS (SELECT l_returnflag, e * 16 + (v >> sh) AS bucket,
+        |        (v >> sh) << sh AS lo_cents,
+        |        (((v >> sh) + 1) << sh) - 1 AS hi_cents,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM b GROUP BY 1, 2, 3, 4),
+        |c AS (SELECT *,
+        |        CAST(sum(n) OVER (PARTITION BY l_returnflag ORDER BY bucket)
+        |             AS BIGINT) AS cum_n,
+        |        CAST(sum(n) OVER (PARTITION BY l_returnflag) AS BIGINT)
+        |          AS total_n
+        |      FROM h),
+        |q AS (SELECT c.*, CAST(q_pct AS BIGINT) AS q_pct
+        |      FROM c, (SELECT unnest([50, 95, 99]) AS q_pct) qq
+        |      WHERE cum_n >= (q_pct * total_n + 99) // 100),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag, q_pct
+        |        ORDER BY bucket) AS rnk FROM q)
+        |SELECT l_returnflag, q_pct, bucket, lo_cents, hi_cents,
+        |       n AS bucket_n, cum_n, total_n
+        |FROM r WHERE rnk = 1 ORDER BY l_returnflag, q_pct""".stripMargin,
+    "scd2_build" ->
+      """WITH e AS (SELECT user_id, event_type AS state,
+        |             epoch_ns(ts) // 1000 AS ts_us, event_id FROM events)
+        |SELECT user_id, CAST(row_number() OVER w AS INT) AS version, state,
+        |       ts_us AS valid_from_us,
+        |       lead(ts_us) OVER w - 1 AS valid_to_us,
+        |       lead(ts_us) OVER w IS NULL AS is_current,
+        |       event_id
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     "range_join" ->
       """WITH b AS (SELECT user_id, event_id, event_type,
         |                  epoch_ns(ts)//1000 AS t, value FROM events),

@@ -276,6 +276,128 @@ object CorpusOps {
       .orderBy($"source")
   }
 
+  /** NS: overlapping context-window chunking — the RAG/fine-tune ingestion
+    * shape [[sequencePack]] doesn't cover: each document is cut into
+    * `size`-token windows advancing by `stride` < size tokens, so
+    * consecutive chunks share (size − stride) tokens of context and no
+    * boundary sentence is ever lost to a hard cut. One row per chunk with
+    * the md5 of its text (compact + order-free; the full chunk text would
+    * bloat the result without testing anything more).
+    *
+    * Pure per-row generate/project — tokenize once, explode the stride
+    * grid, slice the token array per chunk. Zero shuffle, embarrassingly
+    * parallel, linear at any corpus scale. */
+  def chunkOverlap(spark: SparkSession, dir: String,
+      size: Int = 32, stride: Int = 24): DataFrame = {
+    import spark.implicits._
+    require(stride > 0 && stride <= size, "need 0 < stride <= size")
+    Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .withColumn("n_tok", org.apache.spark.sql.functions.size($"toks").cast(LongType))
+      .where($"n_tok" > 0)
+      .select($"doc_id", $"toks", $"n_tok",
+        explode(sequence(lit(0L), $"n_tok" - 1, lit(stride.toLong))).as("start_tok"))
+      .select($"doc_id",
+        ($"start_tok" / stride).cast(LongType).as("chunk_id"),
+        $"start_tok",
+        least(lit(size.toLong), $"n_tok" - $"start_tok").as("n_chunk_tok"),
+        (($"n_tok" - $"start_tok") >= size).as("is_full"),
+        md5(array_join(slice($"toks", ($"start_tok" + 1).cast(IntegerType),
+          lit(size)), " ").cast(BinaryType)).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** NS: apply the [[sourceMix]] mixture weights — deterministic
+    * up/down-sampling that turns a weight w per source into an integer
+    * copy count per document: every doc gets ⌊w⌋ copies, plus one more
+    * iff md5("mix:" + doc_id) mod 2^20 falls under frac(w)·2^20 — so the
+    * realized per-source token mass converges to w × original mass with
+    * zero coordination (DoReMi-style static reweighting, materialized).
+    *
+    * Everything is integer fixed-point: w is computed as
+    * ⌊total_tokens·2^20 / (n_sources·source_tokens)⌋ — bigint floor
+    * division, no doubles anywhere — so engine and oracle agree exactly
+    * even at copy-count boundaries. (At 100 TB token counts approach
+    * 2^63/2^20: compute the same quotient in DECIMAL(38,0) — same floor
+    * semantics, no overflow.) Plan: two bounded aggs (per-source, totals)
+    * broadcast back onto the scan, then a sequence/explode fan-out of the
+    * surviving copies. No shuffle beyond the |sources|-row aggregates. */
+  def mixtureResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val FP = 1048576L // 2^20
+    val perSource = Tables.documents(spark, dir)
+      .select($"source", org.apache.spark.sql.functions.size(tokens($"text"))
+        .cast(LongType).as("n_tok"))
+      .groupBy($"source").agg(sum($"n_tok").as("src_tokens"))
+    val totals = perSource.agg(sum($"src_tokens").as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    val weighted = perSource.crossJoin(broadcast(totals))
+      .select($"source",
+        expr(s"(total_tokens * $FP) div (n_sources * src_tokens)").as("w_fp"))
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source")
+      .join(broadcast(weighted), "source")
+      .withColumn("n_copies",
+        expr(s"w_fp div $FP") +
+          when(graft.functions.md5_long(
+            concat(lit("mix:"), $"doc_id".cast(StringType)), 15) % FP <
+            $"w_fp" % FP, 1L).otherwise(0L))
+      .where($"n_copies" > 0)
+      .select($"source", $"doc_id", $"w_fp", $"n_copies",
+        explode(sequence(lit(1L), $"n_copies")).as("copy_idx"))
+      .orderBy($"source", $"doc_id", $"copy_idx")
+  }
+
+  /** NS: BM25 ranked retrieval over the corpus — the scoring loop behind
+    * the [[invertedIndex]]: Okapi BM25 (k1=1.2, b=0.75, the Robertson/
+    * Spärck Jones formulation) of a fixed query-term set, top-10
+    * documents. The plan is the 100 TB retrieval shape: the explode is
+    * pre-filtered to query terms (scan-side `isin`, so only hit rows ever
+    * reach the (doc, term) aggregate), df and N are term-/1-row-bounded
+    * broadcasts, and the final ranking is TakeOrdered — no window, no
+    * global sort.
+    *
+    * Determinism: each (doc, term) partial score is quantized to 2^-20
+    * fixed point — floor(idf·tfnorm·2^20 + 0.5) — and the per-doc total
+    * is an integer SUM, so fold order cannot change the result and the
+    * ln() 1-ulp engine divergence is absorbed by the quantizer (same
+    * scheme as [[tfidfTopk]] / [[lmScore]]). */
+  def bm25Topk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val qterms = Seq("dup", "spark", "vector", "stream", "window")
+    val k1 = 1.2
+    val b = 0.75
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .withColumn("dl", org.apache.spark.sql.functions.size($"toks").cast(LongType))
+    val lenStats = docs.agg(sum($"dl").as("sum_dl"),
+      count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select($"doc_id", $"dl", explode($"toks").as("term"))
+      .where($"term".isin(qterms: _*))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+    val df = docs
+      .select(explode(array_distinct($"toks")).as("term"))
+      .where($"term".isin(qterms: _*))
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val xd: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      _.cast(DoubleType)
+    val avgdl = xd($"sum_dl") / xd($"n_docs")
+    val idf = log(lit(1.0) + (xd($"n_docs") - xd($"df") + 0.5) / (xd($"df") + 0.5))
+    // constant subterms fold the same way the SQL twin's literals do:
+    // (k1 + 1.0) and (1.0 - b) are single IEEE ops in both engines
+    val tfnorm = (xd($"tf") * lit(k1 + 1.0)) /
+      (xd($"tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (xd($"dl") / avgdl)))
+    tf.join(broadcast(df), "term").crossJoin(broadcast(lenStats))
+      .withColumn("part_u20",
+        floor(idf * tfnorm * 1048576.0 + 0.5).cast(LongType))
+      .groupBy($"doc_id")
+      .agg(sum($"part_u20").as("score_u20"),
+        count(lit(1)).as("n_hit_terms"))
+      .orderBy($"score_u20".desc, $"doc_id")
+      .limit(k)
+  }
+
   /** NS: inverted index — token → document-frequency + the first 20
     * postings (the retrieval/BM25 building block). Postings are bounded
     * BEFORE collection by [[graft.functions.TopKRows]]: the aggregate

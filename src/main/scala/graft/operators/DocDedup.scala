@@ -244,6 +244,41 @@ object DocDedup {
     subst.unionByName(indel).distinct().orderBy($"a_key", $"b_key")
   }
 
+  /** NS: exact duplicate-substring spans — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499) metric behind exact-substring dedup: for every
+    * document, how many of its n-token spans (n=16) also occur verbatim in
+    * at least one OTHER document, and what fraction of the doc that is —
+    * the number a curation pipeline thresholds to cut boilerplate and
+    * cross-doc plagiarism that whole-doc hashing can't see.
+    *
+    * Plan: one shingle explode (linear in corpus tokens), one fingerprint
+    * aggregate (shuffle on md5 span keys — uniformly distributed by
+    * construction), one equi-join back, one doc_id aggregate. No
+    * suffix-array machinery and nothing quadratic; a pathologically hot
+    * boilerplate span makes one big fp group, which AQE skew-splitting
+    * handles (the group only feeds countDistinct + the join fan-back).
+    * Docs shorter than n tokens have no spans and no output row (same in
+    * the oracle). */
+  def dupSpans(spark: SparkSession, dir: String, n: Int = 16): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, dir)
+      .select($"doc_id", explode(shingles($"text", n)).as("gram"))
+      .select($"doc_id", md5($"gram".cast(BinaryType)).as("fp"))
+    val dupFps = sh.groupBy($"fp")
+      .agg(countDistinct($"doc_id").as("n_docs"))
+      .where($"n_docs" >= 2)
+      .select($"fp", $"n_docs")
+    sh.join(dupFps, Seq("fp"), "left_outer")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        count($"n_docs").as("n_dup_spans"))
+      .select($"doc_id", $"n_spans", $"n_dup_spans",
+        ($"n_dup_spans".cast(DoubleType) / $"n_spans".cast(DoubleType))
+          .as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+
   /** Distributed connected components over an undirected edge list via
     * alternating large-star / small-star contraction (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC 2014 — public

@@ -662,6 +662,77 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** NS: SCD2 (slowly-changing-dimension type 2) version-table build —
+    * the warehouse shape [[mergeUpsert]]'s CDC apply feeds: each per-key
+    * change event becomes a version row carrying a validity interval,
+    * half-open in µs — valid_from = its event time, valid_to = the next
+    * change's time minus 1µs, NULL-ended + is_current on the latest. One
+    * window over (user, time, id); per-key state is the key's own history,
+    * so the shuffle is the same one any per-key operator pays and no
+    * global sort exists. (The reference's KTable is exactly this table
+    * with only the is_current row retained — [[ktableLatest]].) */
+  def scd2Build(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_type".as("state"),
+        unix_micros($"ts").as("ts_us"), $"event_id")
+      .select($"user_id", row_number().over(w).as("version"), $"state",
+        $"ts_us".as("valid_from_us"),
+        (lead($"ts_us", 1).over(w) - 1).as("valid_to_us"),
+        lead($"ts_us", 1).over(w).isNull.as("is_current"),
+        $"event_id")
+      .orderBy($"user_id", $"version")
+  }
+
+  /** NS: mergeable log-linear histogram quantiles — the quantile SKETCH
+    * companion to [[quantileReport]]'s exact percentiles (HdrHistogram /
+    * DDSketch family, but built on pure integer math so engine and oracle
+    * agree bit-for-bit): value → bucket via (exponent, 4-bit mantissa
+    * head) of the price in integer cents, giving ≤6.7% relative error per
+    * bucket; per-flag bucket counts are a plain hash aggregate (order-free,
+    * mergeable — the 100 TB path: partials combine by adding counters,
+    * unlike exact percentile which holds every value), and p50/p95/p99 are
+    * read off the cumulative histogram.
+    *
+    * Integer-exactness notes: cents go through an explicit floor() because
+    * Spark truncates double→long casts while DuckDB rounds them; the
+    * bucket exponent is length(bin(v))−1 — integer bit-length, no
+    * float log2 anywhere; sub-bucket/bounds are shifts. The quantile rank
+    * is the ceiling ⌈q·n/100⌉ in integer arithmetic. The cumulative window
+    * runs over the HISTOGRAM (≤ ~64·16 rows per flag — bounded by the
+    * value RANGE, not the data), so the per-flag sort never sees data-
+    * scale rows. */
+  def loglinQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = Tables.lineitem(spark, dir)
+      .select($"l_returnflag",
+        greatest(floor($"l_extendedprice" * 100).cast(LongType), lit(1L)).as("v"))
+      .withColumn("e", (length(bin($"v")) - 1).cast(LongType))
+      .withColumn("sh", greatest($"e" - 3, lit(0L)))
+      .withColumn("sub", expr("shiftright(v, cast(sh as int))"))
+      .select($"l_returnflag",
+        ($"e" * 16 + $"sub").as("bucket"),
+        expr("shiftleft(sub, cast(sh as int))").as("lo_cents"),
+        (expr("shiftleft(sub + 1, cast(sh as int))") - 1).as("hi_cents"))
+      .groupBy($"l_returnflag", $"bucket", $"lo_cents", $"hi_cents")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"l_returnflag").orderBy($"bucket")
+    val cum = hist.withColumn("cum_n", sum($"n").over(w))
+    val tot = hist.groupBy($"l_returnflag").agg(sum($"n").as("total_n"))
+    cum.join(broadcast(tot), "l_returnflag")
+      .withColumn("q_pct", explode(array(lit(50L), lit(95L), lit(99L))))
+      .where($"cum_n" >= expr("(q_pct * total_n + 99) div 100")) // int ceil
+      .groupBy($"l_returnflag", $"q_pct", $"total_n")
+      .agg(min_by(
+        struct($"bucket", $"lo_cents", $"hi_cents", $"n", $"cum_n"),
+        $"bucket").as("b"))
+      .select($"l_returnflag", $"q_pct", $"b.bucket".as("bucket"),
+        $"b.lo_cents".as("lo_cents"), $"b.hi_cents".as("hi_cents"),
+        $"b.n".as("bucket_n"), $"b.cum_n".as("cum_n"), $"total_n")
+      .orderBy($"l_returnflag", $"q_pct")
+  }
+
   /** NS: the rank-function family beyond `row_number` — rank, dense_rank,
     * percent_rank, cume_dist per event type ordered by value DESC. Ties
     * are REAL here (values repeat), which is exactly what makes these

@@ -357,4 +357,44 @@ object Similarity {
         (coalesce($"hits", lit(0L)).cast(DoubleType) / 5.0).as("recall"))
       .orderBy($"p_id")
   }
+
+  /** NS: semantic (embedding-space) deduplication — the SemDeDup recipe
+    * (Abbas et al. 2023, arXiv:2303.09540): cluster the embeddings, form
+    * cosine pairs ONLY within a cluster, and drop every vector that has a
+    * lower-id cluster-mate above the threshold; the surviving lowest id is
+    * the keeper. Output is one row per vector: (vec_id, cell_id, is_dup,
+    * keeper, max_dup_score) — the keep/drop decision a curation pipeline
+    * applies before training.
+    *
+    * Clustering reuses the IVF codebook assignment (zero-shuffle literal-
+    * codebook argmax). The within-cell self-join is the method's cost
+    * model: O(Σ|cell|²) = N × avg cell size, so the cluster COUNT is the
+    * scale knob — production SemDeDup sizes k ≈ N / (a few thousand) so
+    * cells stay bounded and cost stays linear in N (the paper runs 50k
+    * clusters on LAION); the 16-cell fixture codebook stands in for that
+    * trained codebook here exactly as in the IVF queries. max() over the
+    * pair scores is permutation-safe (a double SUM would be fold-order-
+    * dependent), so the oracle compare is exact. */
+  def semanticDedup(spark: SparkSession, dir: String,
+      tau: Double = 0.40): DataFrame = {
+    import spark.implicits._
+    val assigned = ivfAssigned(spark, dir, codebook(spark, dir))
+      .select($"vec_id", $"cell_id", $"embedding")
+    val dup = assigned.as("x").join(assigned.as("y"),
+        col("x.cell_id") === col("y.cell_id") &&
+          col("x.vec_id") > col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("x.cell_id").as("cell_id"),
+        col("y.vec_id").as("cand"),
+        cosine(col("x.embedding"), col("y.embedding")).as("score"))
+      .where($"score" >= tau)
+      .groupBy($"vec_id", $"cell_id")
+      .agg(min($"cand").as("dup_keeper"), max($"score").as("max_dup_score"))
+    assigned.select($"vec_id", $"cell_id")
+      .join(dup, Seq("vec_id", "cell_id"), "left_outer")
+      .select($"vec_id", $"cell_id",
+        $"dup_keeper".isNotNull.as("is_dup"),
+        coalesce($"dup_keeper", $"vec_id").as("keeper"),
+        $"max_dup_score")
+      .orderBy($"vec_id")
+  }
 }

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusOps, DocDedup, Relational, Similarity}
+
+/** Semantics + plan-shape checks for the round-3 curation/sketch family:
+  * loglin_quantiles, semantic_dedup, chunk_overlap, mixture_resample,
+  * bm25_topk. Exact-value checks live in the DuckDB oracle gate; these
+  * specs pin the invariants the oracle can't express (error bounds,
+  * coverage, physical shape). */
+class CurationOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("loglin_quantiles: bucket bounds bracket the exact percentile") {
+    val rows = Relational.loglinQuantiles(spark, Sf0001).collect()
+    assert(rows.length === 9) // 3 flags x 3 quantiles
+    // ground truth: exact per-flag cent values
+    val cents = Tables.lineitem(spark, Sf0001)
+      .select($"l_returnflag".as[String],
+        greatest(floor($"l_extendedprice" * 100), lit(1L)).as[Long])
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val (flag, q) = (r.getAs[String]("l_returnflag"), r.getAs[Long]("q_pct"))
+      val (lo, hi) = (r.getAs[Long]("lo_cents"), r.getAs[Long]("hi_cents"))
+      val vs = cents(flag)
+      val exact = vs((((q * vs.length + 99) / 100) - 1).toInt)
+      assert(lo <= exact && exact <= hi,
+        s"$flag p$q: exact $exact outside bucket [$lo,$hi]")
+      // log-linear guarantee: <= 2^-3 relative bucket width above 16
+      if (lo >= 16) assert((hi - lo + 1).toDouble / lo <= 0.125 + 1e-9)
+    }
+  }
+
+  test("semantic_dedup: keep/drop decisions are consistent") {
+    val rows = Similarity.semanticDedup(spark, Sf0001, 0.40).collect()
+    val nVec = Tables.embeddings(spark, Sf0001).count()
+    assert(rows.length.toLong === nVec) // one decision per vector
+    rows.foreach { r =>
+      val (id, keeper, isDup) = (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("keeper"), r.getAs[Boolean]("is_dup"))
+      if (isDup) {
+        assert(keeper < id, s"dup $id kept for non-lower id $keeper")
+        assert(r.getAs[Double]("max_dup_score") >= 0.40)
+      } else {
+        assert(keeper === id)
+        assert(r.isNullAt(r.fieldIndex("max_dup_score")))
+      }
+    }
+  }
+
+  test("semantic_dedup: within-cell pairs join on the cell key, no cartesian") {
+    val p = Similarity.semanticDedup(spark, Sf0001, 0.40)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$p")
+  }
+
+  test("chunk_overlap: stride grid covers every token; neighbors overlap") {
+    val rows = CorpusOps.chunkOverlap(spark, Sf0001, 32, 24)
+      .select($"doc_id", $"chunk_id", $"start_tok", $"n_chunk_tok", $"is_full")
+      .collect()
+    val nTok = Tables.documents(spark, Sf0001)
+      .select($"doc_id".as[Long], size(split($"text", " ")).cast("long").as[Long])
+      .collect().toMap
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val byId = rs.sortBy(_.getLong(1))
+      // starts are exactly the stride grid 0, 24, 48, ...
+      assert(byId.map(_.getLong(2)).toSeq ===
+        byId.indices.map(_ * 24L))
+      val n = nTok(doc)
+      // last chunk reaches the end of the doc; none overruns
+      assert(byId.last.getLong(2) + byId.last.getLong(3) === n)
+      byId.foreach { r =>
+        assert(r.getLong(3) <= 32 && r.getLong(3) > 0)
+        assert(r.getBoolean(4) === (n - r.getLong(2) >= 32))
+      }
+    }
+  }
+
+  test("mixture_resample: copy counts realize the fixed-point weight") {
+    val rows = CorpusOps.mixtureResample(spark, Sf0001).collect()
+    rows.groupBy(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+      .foreach { case ((_, _), rs) =>
+        val n = rs.head.getAs[Long]("n_copies")
+        val wFp = rs.head.getAs[Long]("w_fp")
+        // n_copies is floor(w) or floor(w)+1, and copy_idx is dense 1..n
+        assert(n === wFp / 1048576 || n === wFp / 1048576 + 1)
+        assert(rs.map(_.getAs[Long]("copy_idx")).sorted.toSeq === (1L to n))
+      }
+  }
+
+  test("bm25_topk: rare query term dominates the ranking") {
+    val top = CorpusOps.bm25Topk(spark, Sf0001, 10).collect()
+    assert(top.length === 10)
+    val scores = top.map(_.getAs[Long]("score_u20")).toSeq
+    assert(scores === scores.sorted(Ordering[Long].reverse))
+    assert(scores.forall(_ > 0))
+    // docs containing the rare term 'dup' must outrank common-term-only
+    // docs: every top doc with 'dup' scores above every one without it
+    val hasDup = Tables.documents(spark, Sf0001)
+      .select($"doc_id".as[Long],
+        array_contains(split($"text", " "), "dup").as[Boolean])
+      .collect().toMap
+    val (withDup, without) = top.partition(r => hasDup(r.getAs[Long]("doc_id")))
+    if (withDup.nonEmpty && without.nonEmpty) {
+      assert(withDup.map(_.getAs[Long]("score_u20")).min >
+        without.map(_.getAs[Long]("score_u20")).max)
+    }
+  }
+
+  test("dup_spans: fractions are consistent and planted dups are found") {
+    val rows = DocDedup.dupSpans(spark, Sf0001, 16).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, d) = (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"))
+      assert(n > 0 && d >= 0 && d <= n)
+      assert(r.getAs[Double]("dup_frac") === d.toDouble / n)
+    }
+    // exact-duplicate docs (doc_dedup_exact's groups) must show dup_frac 1.0
+    val copies = DocDedup.docDedupExact(spark, Sf0001)
+      .where($"n_copies" >= 2).count()
+    if (copies > 0) {
+      assert(rows.exists(_.getAs[Double]("dup_frac") == 1.0),
+        "exact duplicate docs exist but no doc is fully span-duplicated")
+    }
+  }
+
+  test("scd2_build: validity intervals chain per user without gaps") {
+    val rows = Relational.scd2Build(spark, Sf0001).collect()
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val byV = rs.sortBy(_.getAs[Int]("version"))
+      assert(byV.map(_.getAs[Int]("version")).toSeq === (1 to byV.length))
+      byV.sliding(2).foreach {
+        case Array(a, b) =>
+          // half-open chain: next valid_from = this valid_to + 1
+          assert(a.getAs[Long]("valid_to_us") + 1 ===
+            b.getAs[Long]("valid_from_us"))
+          assert(!a.getAs[Boolean]("is_current"))
+        case _ =>
+      }
+      assert(byV.last.getAs[Boolean]("is_current"))
+      assert(byV.last.isNullAt(byV.last.fieldIndex("valid_to_us")))
+    }
+  }
+
+  test("bm25_topk: df/len stats broadcast; ranking is TakeOrdered") {
+    val p = CorpusOps.bm25Topk(spark, Sf0001, 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"df join did not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+  }
+}

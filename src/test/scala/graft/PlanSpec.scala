@@ -210,7 +210,9 @@ class PlanSpec extends SparkSpecBase {
       "revenue_share", // 1-row scalar total broadcast onto 3 group rows
       "tfidf_topk",    // 1-row corpus-size N broadcast onto (doc,term) rows
       "source_mix",    // 1-row corpus-totals broadcast onto per-source rows
-      "ann_multiprobe") // 1-row probe broadcast, bucket isin-filter scan
+      "ann_multiprobe", // 1-row probe broadcast, bucket isin-filter scan
+      "mixture_resample", // 1-row corpus-totals broadcast onto per-source rows
+      "bm25_topk")     // 1-row (sum_dl, n_docs) broadcast onto hit rows
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = physical(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
