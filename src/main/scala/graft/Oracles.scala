@@ -493,9 +493,42 @@ object Oracles {
         |         (CAST(n_sources AS DOUBLE) * CAST(n_tokens AS DOUBLE))
         |         AS mix_weight
         |FROM p, t ORDER BY source""".stripMargin,
+    "compaction_plan" ->
+      """WITH f AS (SELECT source, doc_id, n_chars AS bytes,
+        |             coalesce(sum(n_chars) OVER (PARTITION BY source
+        |               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND 1 PRECEDING), 0) AS off
+        |           FROM documents)
+        |SELECT source, off // 4096 AS bin_id,
+        |       CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM f GROUP BY source, bin_id ORDER BY source, bin_id""".stripMargin,
+    "cooccur_pmi" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |pr AS (SELECT least(toks[i], toks[i+1]) AS wa,
+        |              greatest(toks[i], toks[i+1]) AS wb
+        |       FROM d, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+        |pc AS (SELECT wa, wb, CAST(count(*) AS BIGINT) AS pair_n
+        |       FROM pr WHERE wa <> wb GROUP BY wa, wb),
+        |un AS (SELECT w, CAST(count(*) AS BIGINT) AS uni_n
+        |       FROM (SELECT unnest(toks) AS w FROM d) GROUP BY w),
+        |t AS (SELECT (SELECT CAST(sum(uni_n) AS BIGINT) FROM un) AS t_uni,
+        |             (SELECT CAST(sum(pair_n) AS BIGINT) FROM pc) AS t_pair)
+        |SELECT pc.wa, pc.wb, pc.pair_n, a.uni_n AS na, b.uni_n AS nb,
+        |       CAST(floor(ln(
+        |         (CAST(pair_n AS DOUBLE) / CAST(t_pair AS DOUBLE)) /
+        |         ((CAST(a.uni_n AS DOUBLE) / CAST(t_uni AS DOUBLE))
+        |          * (CAST(b.uni_n AS DOUBLE) / CAST(t_uni AS DOUBLE))))
+        |         * 1048576.0 + 0.5) AS BIGINT) AS pmi_u20
+        |FROM pc JOIN un a ON pc.wa = a.w JOIN un b ON pc.wb = b.w, t
+        |WHERE pair_n >= 5
+        |ORDER BY pmi_u20 DESC, wa, wb LIMIT 20""".stripMargin,
     "dup_spans" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |g AS (SELECT doc_id, md5(array_to_string(w[i:i+15], ' ')) AS fp
+        |g AS (SELECT doc_id, CAST(concat('0x',
+        |        substr(md5(array_to_string(w[i:i+15], ' ')), 1, 15))
+        |        AS BIGINT) AS fp
         |      FROM d, unnest(generate_series(1, len(w) - 15)) AS u(i)),
         |f AS (SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |      FROM g GROUP BY fp HAVING count(DISTINCT doc_id) >= 2)

@@ -82,6 +82,7 @@ object SparkEntry {
     "range_join"           -> (Scale.bucketedRangeJoin(_, _)),
     "bloom_prune_join"     -> (Scale.bloomPruneJoin(_, _)),
     "zorder_key"           -> (Scale.zorderKey(_, _)),
+    "compaction_plan"      -> (Scale.compactionPlan(_, _, 4096L)),
     "kmv_distinct"         -> (Relational.kmvDistinct(_, _)),
     // — LLM-data-pipeline operators —
     "text_analysis"        -> (TextAnalysis.textAnalysis(_, _)),
@@ -101,6 +102,7 @@ object SparkEntry {
     "sequence_pack"        -> (CorpusOps.sequencePack(_, _, 512)),
     "inverted_index"       -> (CorpusOps.invertedIndex(_, _, 20)),
     "lm_score"             -> (CorpusOps.lmScore(_, _)),
+    "cooccur_pmi"          -> (CorpusOps.cooccurPmi(_, _, 5L, 20)),
     "source_mix"           -> (CorpusOps.sourceMix(_, _)),
     "mixture_resample"     -> (CorpusOps.mixtureResample(_, _)),
     "length_quartiles"     -> (CorpusOps.lengthQuartiles(_, _)),

@@ -398,6 +398,50 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** NS: pointwise-mutual-information word associations — the word2vec-era
+    * collocation miner: for every unordered adjacent token pair,
+    * PMI = ln( p(a,b) / (p(a)·p(b)) ) from corpus counts, top-20 pairs
+    * with support ≥ minCount. The plan is two bounded explodes (pair and
+    * unigram counts, both partial-aggregated and vocabulary-bounded), the
+    * 1-row totals broadcast back, and a TakeOrdered — no corpus-scale
+    * shuffle beyond the two count aggregates.
+    *
+    * PMI is emitted and RANKED in 2^-20 fixed point (same cross-engine
+    * log discipline as [[tfidfTopk]]); count ratios divide exact bigints,
+    * so the double inputs to ln() are bit-identical in any engine. */
+  def cooccurPmi(spark: SparkSession, dir: String,
+      minCount: Long = 5L, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(tokens($"text").as("toks"))
+    val pairCnt = docs
+      .select(explode(expr(
+        "transform(sequence(1, size(toks)-1), i -> " +
+          "struct(least(element_at(toks, i), element_at(toks, i+1)) AS wa, " +
+          "greatest(element_at(toks, i), element_at(toks, i+1)) AS wb))"))
+        .as("p"))
+      .where($"p.wa" =!= $"p.wb") // self-pairs have no association signal
+      .groupBy($"p.wa".as("wa"), $"p.wb".as("wb"))
+      .agg(count(lit(1)).as("pair_n"))
+    val uniCnt = docs.select(explode($"toks").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("uni_n"))
+    val totals = uniCnt.agg(sum($"uni_n").as("t_uni"))
+      .crossJoin(pairCnt.agg(sum($"pair_n").as("t_pair")))
+    val xd: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      _.cast(DoubleType)
+    pairCnt
+      .join(broadcast(uniCnt.select($"w".as("wa"), $"uni_n".as("na"))), "wa")
+      .join(broadcast(uniCnt.select($"w".as("wb"), $"uni_n".as("nb"))), "wb")
+      .crossJoin(broadcast(totals))
+      .where($"pair_n" >= minCount)
+      .withColumn("pmi_u20", floor(
+        log((xd($"pair_n") / xd($"t_pair")) /
+          ((xd($"na") / xd($"t_uni")) * (xd($"nb") / xd($"t_uni")))) *
+          1048576.0 + 0.5).cast(LongType))
+      .select($"wa", $"wb", $"pair_n", $"na", $"nb", $"pmi_u20")
+      .orderBy($"pmi_u20".desc, $"wa", $"wb")
+      .limit(k)
+  }
+
   /** NS: inverted index — token → document-frequency + the first 20
     * postings (the retrieval/BM25 building block). Postings are bounded
     * BEFORE collection by [[graft.functions.TopKRows]]: the aggregate

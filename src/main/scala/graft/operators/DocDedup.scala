@@ -262,9 +262,14 @@ object DocDedup {
     * the oracle). */
   def dupSpans(spark: SparkSession, dir: String, n: Int = 16): DataFrame = {
     import spark.implicits._
+    // 60-bit md5 fingerprints: 8-byte shuffle keys instead of 32-char hex
+    // strings (collision odds at 100 TB span counts ~2^44: ~2^27 expected
+    // collisions of 2^88 pairs — each merges two spans into one "dup", a
+    // vanishing overcount for a thresholded fraction; the oracle hashes
+    // identically so the compare is unaffected)
     val sh = Tables.documents(spark, dir)
       .select($"doc_id", explode(shingles($"text", n)).as("gram"))
-      .select($"doc_id", md5($"gram".cast(BinaryType)).as("fp"))
+      .select($"doc_id", md5Long60($"gram").as("fp"))
     val dupFps = sh.groupBy($"fp")
       .agg(countDistinct($"doc_id").as("n_docs"))
       .where($"n_docs" >= 2)

