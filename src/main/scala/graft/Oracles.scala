@@ -493,6 +493,20 @@ object Oracles {
         |         (CAST(n_sources AS DOUBLE) * CAST(n_tokens AS DOUBLE))
         |         AS mix_weight
         |FROM p, t ORDER BY source""".stripMargin,
+    "text_normalize" ->
+      """WITH r AS (SELECT doc_id,
+        |    split_part(text, ' ', 1) ||
+        |    (CASE WHEN doc_id % 2 = 0
+        |      THEN ' cafe' || chr(769) || ' A' || chr(778) || 'ngstro'
+        |           || chr(776) || 'm ' || chr(8491)
+        |      ELSE '' END) ||
+        |    substr(text, length(split_part(text, ' ', 1)) + 1) AS raw
+        |  FROM documents)
+        |SELECT doc_id, raw <> nfc_normalize(raw) AS changed,
+        |       CAST(length(raw) AS INT) AS len_raw,
+        |       CAST(length(nfc_normalize(raw)) AS INT) AS len_nfc,
+        |       md5(nfc_normalize(raw)) AS nfc_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
     "compaction_plan" ->
       """WITH f AS (SELECT source, doc_id, n_chars AS bytes,
         |             coalesce(sum(n_chars) OVER (PARTITION BY source

@@ -91,6 +91,7 @@ object SparkEntry {
     "lang_id"              -> (TextAnalysis.langId(_, _)),
     "fingerprint"          -> (TextAnalysis.fingerprint(_, _)),
     "corpus_curation"      -> (TextAnalysis.corpusCuration(_, _)),
+    "text_normalize"       -> (TextAnalysis.textNormalize(_, _)),
     "hash_split"           -> (TextAnalysis.hashSplit(_, _)),
     "repetition_score"     -> (TextAnalysis.repetitionScore(_, _)),
     "cms_vocab"            -> (TextAnalysis.cmsVocab(_, _)),

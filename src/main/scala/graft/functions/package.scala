@@ -66,4 +66,10 @@ package object functions {
     * row_number window would shuffle everything. */
   def top_k_rows(c: Column, k: Int): Column =
     toCol(TopKRows(ex(c), k).toAggregateExpression())
+
+  /** Unicode normalization (UAX #15; form NFC/NFD/NFKC/NFKD) — the text
+    * canonicalization pass before any hash/dedup (codegen'd; Spark has no
+    * built-in). */
+  def unicode_normalize(c: Column, form: String = "NFC"): Column =
+    toCol(UnicodeNormalize(ex(c), form))
 }

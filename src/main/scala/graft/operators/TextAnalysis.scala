@@ -203,6 +203,37 @@ object TextAnalysis {
       .orderBy($"split")
   }
 
+  /** NS: Unicode canonicalization report — the normalization pass that
+    * must run BEFORE any fingerprint/dedup: combining sequences and
+    * compatibility characters make visually-identical text hash
+    * differently ("é" vs "e"+U+0301, the U+212B angstrom singleton), so
+    * an unnormalized corpus leaks near-dups past every downstream hash.
+    * The corpus fixture is ASCII-clean, so (exactly like [[CorpusOps
+    * .piiScrub]]'s planted PII) every even doc gets a deterministic
+    * denormalized blurb spliced in after the first word first — NFC must
+    * then change precisely those docs and fix precisely those sequences,
+    * which the md5 of the normalized text proves against the oracle's
+    * utf8proc-backed `nfc_normalize`. Per-row expression, zero shuffle;
+    * odd docs exercise the already-normalized fast path. */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // " café Ångström Å" written denormalized: combining acute (U+0301),
+    // combining ring (U+030A), combining diaeresis (U+0308), angstrom
+    // sign (U+212B) — NFC composes all four.
+    val blurb = when($"doc_id" % 2 === 0,
+      lit(" cafe\u0301 A\u030Angstro\u0308m \u212B")).otherwise(lit(""))
+    val firstWord = substring_index($"text", " ", 1)
+    val raw = concat(firstWord, blurb,
+      substring($"text", length(firstWord) + 1, lit(Int.MaxValue)))
+    Tables.documents(spark, dir)
+      .select($"doc_id", raw.as("raw"))
+      .withColumn("nfc", graft.functions.unicode_normalize($"raw", "NFC"))
+      .select($"doc_id", ($"raw" =!= $"nfc").as("changed"),
+        length($"raw").as("len_raw"), length($"nfc").as("len_nfc"),
+        md5($"nfc".cast(BinaryType)).as("nfc_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** NS: repetition quality signal (the Gopher/Dolma "repeated n-gram"
     * rule): per-document top-bigram share — a doc whose most frequent
     * bigram covers more than 5% of all bigrams is flagged repetitive

@@ -112,6 +112,11 @@ object GraftExtensions {
       info("z_order2",
         "z_order2(x, y) - 2-D Z-order (Morton) interleave of two non-negative bigint keys."),
       (args: Seq[Expression]) => ZOrder2(args(0), args(1))),
+    "unicode_normalize" -> (
+      info("unicode_normalize",
+        "unicode_normalize(str, form) - UAX #15 normalization; form NFC/NFD/NFKC/NFKD."),
+      (args: Seq[Expression]) =>
+        UnicodeNormalize(args(0), strArg("unicode_normalize", args(1)))),
     "word_shingles" -> (
       info("word_shingles",
         "word_shingles(text, n) - distinct lowercase word n-gram shingles."),

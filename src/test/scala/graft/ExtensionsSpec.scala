@@ -113,5 +113,9 @@ class ExtensionsSpec extends SparkSpecBase {
     val viaCol = df.select(graft.functions.fnv1a32(col("k"))).as[Long].collect()
     val viaSql = df.selectExpr("fnv1a32(k)").as[Long].collect()
     assert(viaCol.sameElements(viaSql))
+    val normCol = df.select(graft.functions.unicode_normalize(col("k"), "NFKC"))
+      .as[String].collect()
+    val normSql = df.selectExpr("unicode_normalize(k, 'NFKC')").as[String].collect()
+    assert(normCol.sameElements(normSql))
   }
 }

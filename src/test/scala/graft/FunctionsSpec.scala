@@ -26,6 +26,31 @@ class FunctionsSpec extends SparkSpecBase {
     assert(row.getLong(1) === 0x811c9dc5L)
   }
 
+  test("unicode_normalize: UAX #15 vectors across all four forms") {
+    val composed = "caf\u00e9"   // precomposed e-acute
+    val decomposed = "cafe\u0301" // e + combining acute
+    val row = spark.range(1).select(
+      unicode_normalize(lit(decomposed), "NFC").as("nfc"),
+      unicode_normalize(lit(composed), "NFD").as("nfd"),
+      unicode_normalize(lit("\u212b"), "NFC").as("ang"),  // angstrom sign
+      unicode_normalize(lit("\ufb01le"), "NFKC").as("lig"), // fi ligature
+      unicode_normalize(lit("\u00bd"), "NFKD").as("half"),  // vulgar 1/2
+      unicode_normalize(lit("plain ascii"), "NFC").as("id"))
+      .head()
+    assert(row.getString(0) === composed)
+    assert(row.getString(1) === decomposed)
+    assert(row.getString(2) === "\u00c5") // A-ring letter
+    assert(row.getString(3) === "file")
+    assert(row.getString(4) === "1\u20442") // 1 + fraction slash + 2
+    assert(row.getString(5) === "plain ascii")
+    // null passes through; bad form is rejected at analysis
+    assert(spark.range(1)
+      .select(unicode_normalize(lit(null).cast("string"), "NFC")).head().isNullAt(0))
+    intercept[Exception] {
+      spark.range(1).select(unicode_normalize(lit("x"), "NFX")).collect()
+    }
+  }
+
   test("wire format roundtrips for arbitrary payloads (avro + proto)") {
     val rnd = new Random(42)
     for (_ <- 1 to 200) {
