@@ -375,16 +375,24 @@ object Similarity {
     * trained codebook here exactly as in the IVF queries. max() over the
     * pair scores is permutation-safe (a double SUM would be fold-order-
     * dependent), so the oracle compare is exact. */
+  /** The semantic-dedup index: every vector with its IVF cell and its
+    * norm computed ONCE before any pair join (sqrt(n2x)·sqrt(n2y) then
+    * divide is the identical IEEE op sequence the per-pair form and the
+    * SQL twin use, so downstream scores stay bit-equal while per-pair
+    * work drops to one dot product). Shared by [[semanticDedup]] and the
+    * stream-static ingest twin (StreamingSpec): at ingest time a new
+    * batch probes exactly this index by cell key. */
+  def cellIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ivfAssigned(spark, dir, codebook(spark, dir))
+      .select($"vec_id", $"cell_id", $"embedding",
+        sqrt(norm2($"embedding")).as("nrm"))
+  }
+
   def semanticDedup(spark: SparkSession, dir: String,
       tau: Double = 0.40): DataFrame = {
     import spark.implicits._
-    // per-vector norm ONCE before the pair join (sqrt(n2x)·sqrt(n2y) then
-    // divide — the identical IEEE op sequence the per-pair form and the
-    // SQL twin use, so scores stay bit-equal while per-pair work drops to
-    // one dot product)
-    val assigned = ivfAssigned(spark, dir, codebook(spark, dir))
-      .select($"vec_id", $"cell_id", $"embedding",
-        sqrt(norm2($"embedding")).as("nrm"))
+    val assigned = cellIndex(spark, dir)
     val dup = assigned.as("x").join(assigned.as("y"),
         col("x.cell_id") === col("y.cell_id") &&
           col("x.vec_id") > col("y.vec_id"))

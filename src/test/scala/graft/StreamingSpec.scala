@@ -381,6 +381,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === expected)
   }
 
+  test("stream-static probe: streamed embeddings semantic-dedup against the cell index") {
+    // Ingest-time SemDeDup: the cell index (assignments + norms) is the
+    // persisted static side; a new batch arrives as a stream with its
+    // cell/norm computed at produce time and probes the index with a
+    // stateless stream-static equi-join on the cell key — same recipe as
+    // the minhash incremental path, so batch and streaming decisions
+    // must agree pair-for-pair.
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Similarity
+    val tau = 0.30 // sf0.001 is tiny; the query's 0.40 tail may be empty
+    val assigned = Similarity.cellIndex(spark, Sf0001)
+    val isNew = $"vec_id" % 10 === 7
+    val index = assigned.where(!isNew).select($"vec_id".as("index_vec"),
+      $"cell_id", $"embedding".as("ie"), $"nrm".as("inrm"))
+    def pairs(newSide: org.apache.spark.sql.DataFrame) = newSide
+      .join(index, Seq("cell_id"))
+      .select($"vec_id", $"index_vec",
+        (graft.functions.vector_dot($"embedding", $"ie") /
+          ($"nrm" * $"inrm")).as("score"))
+      .where($"score" >= tau)
+    val newRows = assigned.where(isNew)
+      .select($"vec_id", $"cell_id", $"embedding", $"nrm")
+      .as[(Long, Long, Array[Float], Double)].collect()
+    assert(newRows.nonEmpty)
+    val ms = MemoryStream[(Long, Long, Array[Float], Double)]
+    ms.addData(newRows.toSeq)
+    val q = pairs(ms.toDF().toDF("vec_id", "cell_id", "embedding", "nrm"))
+      .writeStream.format("memory").queryName("sem_inc")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("sem_inc").select($"vec_id", $"index_vec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = pairs(assigned.where(isNew)).select($"vec_id", $"index_vec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+  }
+
   test("stream-stream interval join == batch inequality join") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
