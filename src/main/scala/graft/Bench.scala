@@ -66,6 +66,10 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val p1 = onePass()
+    // between passes: prompt the ContextCleaner to drop checkpoint blocks
+    // the finished queries no longer reference, so pass 2 isn't measured
+    // under pass 1's accumulated block-manager debris
+    System.gc()
     val p2 = onePass()
     val results = p1.map { case (name, s) => name -> math.min(s, p2(name)) }
     val total = if (results.nonEmpty) results.values.sum else 0.0

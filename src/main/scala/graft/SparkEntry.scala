@@ -77,6 +77,8 @@ object SparkEntry {
     "quantile_report"      -> (Relational.quantileReport(_, _)),
     "loglin_quantiles"     -> (Relational.loglinQuantiles(_, _)),
     "scd2_build"           -> (Relational.scd2Build(_, _)),
+    "anomaly_zscore"       -> (Relational.anomalyZscore(_, _, 3.0)),
+    "data_profile"         -> (Relational.dataProfile(_, _)),
     "dedup"                -> (Relational.dedup(_, _)),
     "salted_join"          -> (Scale.saltedJoinQuery(_, _)),
     "range_join"           -> (Scale.bucketedRangeJoin(_, _)),
@@ -738,6 +740,54 @@ object SparkEntry {
         |       event_id
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |ORDER BY user_id, version""".stripMargin,
+    "anomaly_zscore" ->
+      """WITH s AS (SELECT event_type,
+        |             CAST(count(*) AS BIGINT) AS n,
+        |             CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |                  AS VARCHAR) AS DOUBLE) AS sv,
+        |             CAST(CAST(sum(CAST(CAST(value AS DECIMAL(18,2))
+        |                    * CAST(value AS DECIMAL(18,2)) AS DECIMAL(30,4)))
+        |                  AS VARCHAR) AS DOUBLE) AS svv
+        |           FROM events GROUP BY event_type),
+        |m AS (SELECT event_type, sv / CAST(n AS DOUBLE) AS mean,
+        |        sqrt((svv - sv * sv / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+        |          AS std
+        |      FROM s)
+        |SELECT e.event_type, e.event_id, e.value, m.mean, m.std,
+        |       (e.value - m.mean) / m.std AS z
+        |FROM events e JOIN m USING (event_type)
+        |WHERE abs((e.value - m.mean) / m.std) > 3.0
+        |ORDER BY e.event_id""".stripMargin,
+    "data_profile" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us,
+        |                  event_type FROM events),
+        |p AS (SELECT user_id AS p_user_id, epoch_ns(ts)//1000 AS p_ts_us,
+        |             event_id AS p_event_id, value AS p_value
+        |      FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT e.event_id, e.user_id, e.ts_us, e.event_type,
+        |             p.p_event_id, p.p_ts_us, p.p_value
+        |      FROM e ASOF LEFT JOIN p
+        |        ON e.user_id = p.p_user_id AND e.ts_us >= p.p_ts_us),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM a),
+        |u AS (
+        |  SELECT 'event_id' AS column_name, CAST(count(event_id) AS BIGINT) AS nn,
+        |         CAST(count(DISTINCT event_id) AS BIGINT) AS nd FROM a
+        |  UNION ALL SELECT 'user_id', CAST(count(user_id) AS BIGINT),
+        |         CAST(count(DISTINCT user_id) AS BIGINT) FROM a
+        |  UNION ALL SELECT 'ts_us', CAST(count(ts_us) AS BIGINT),
+        |         CAST(count(DISTINCT ts_us) AS BIGINT) FROM a
+        |  UNION ALL SELECT 'event_type', CAST(count(event_type) AS BIGINT),
+        |         CAST(count(DISTINCT event_type) AS BIGINT) FROM a
+        |  UNION ALL SELECT 'p_event_id', CAST(count(p_event_id) AS BIGINT),
+        |         CAST(count(DISTINCT p_event_id) AS BIGINT) FROM a
+        |  UNION ALL SELECT 'p_ts_us', CAST(count(p_ts_us) AS BIGINT),
+        |         CAST(count(DISTINCT p_ts_us) AS BIGINT) FROM a
+        |  UNION ALL SELECT 'p_value', CAST(count(p_value) AS BIGINT),
+        |         CAST(count(DISTINCT p_value) AS BIGINT) FROM a)
+        |SELECT u.column_name, t.n_rows, t.n_rows - u.nn AS n_null,
+        |       u.nd AS n_distinct,
+        |       CAST(u.nn AS DOUBLE) / CAST(t.n_rows AS DOUBLE) AS completeness
+        |FROM u, t ORDER BY u.column_name""".stripMargin,
     "range_join" ->
       """WITH b AS (SELECT user_id, event_id, event_type,
         |                  epoch_ns(ts)//1000 AS t, value FROM events),

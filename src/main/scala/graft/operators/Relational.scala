@@ -662,6 +662,60 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** NS: z-score anomaly gate — the distribution-based outlier filter a
+    * data-quality pass runs per segment: per-event-type mean/σ from EXACT
+    * decimal moments (one bounded aggregate — a double Σ would be
+    * fold-order-dependent and break replay audits), broadcast back onto
+    * the scan, flag |z| > 3. Same two-pass broadcast shape as
+    * [[winsorizedStats]]; the z expression is double arithmetic over
+    * exact moments, so engine and oracle agree bit-for-bit even at the
+    * threshold boundary. */
+  def anomalyZscore(spark: SparkSession, dir: String,
+      threshold: Double = 3.0): DataFrame = {
+    import spark.implicits._
+    val v = $"value".cast(DecimalType(18, 2))
+    val stats = Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(v).cast(DoubleType).as("sv"),
+        sum((v * v).cast(DecimalType(30, 4))).cast(DoubleType).as("svv"))
+      .select($"event_type",
+        ($"sv" / $"n".cast(DoubleType)).as("mean"),
+        sqrt(($"svv" - $"sv" * $"sv" / $"n".cast(DoubleType)) /
+          $"n".cast(DoubleType)).as("std"))
+    Tables.events(spark, dir)
+      .join(broadcast(stats), "event_type")
+      .withColumn("z", ($"value" - $"mean") / $"std")
+      .where(abs($"z") > threshold)
+      .select($"event_type", $"event_id", $"value", $"mean", $"std", $"z")
+      .orderBy($"event_id")
+  }
+
+  /** NS: per-column data-quality profile (the Deequ-style completeness /
+    * cardinality report) of a frame with REAL missing values — the
+    * null-extended output of [[asofJoinLeft]]: for every column, row
+    * count, null count, distinct count, completeness ratio. One pass,
+    * one aggregate row, melted to per-column rows with `stack`. At
+    * 100 TB the exact countDistinct (one Expand path per column) swaps
+    * for approx_count_distinct — same plan shape, sketch-sized state. */
+  def dataProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val df = asofJoinLeft(spark, dir)
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"))) :+ count(lit(1)).as("n_rows")
+    val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.length}, $stackArgs) AS (column_name, n_nonnull, n_distinct)")
+      .select($"column_name", $"n_rows",
+        ($"n_rows" - $"n_nonnull").as("n_null"), $"n_distinct",
+        ($"n_nonnull".cast(DoubleType) / $"n_rows".cast(DoubleType))
+          .as("completeness"))
+      .orderBy($"column_name")
+  }
+
   /** NS: SCD2 (slowly-changing-dimension type 2) version-table build —
     * the warehouse shape [[mergeUpsert]]'s CDC apply feeds: each per-key
     * change event becomes a version row carrying a validity interval,
