@@ -85,6 +85,14 @@ object SparkEntry {
     "bloom_prune_join"     -> (Scale.bloomPruneJoin(_, _)),
     "zorder_key"           -> (Scale.zorderKey(_, _)),
     "compaction_plan"      -> (Scale.compactionPlan(_, _, 4096L)),
+    // the pre-salting diagnostic (full-scan form; saltedJoinQuery samples):
+    // top-16 hottest join keys + their row share, exchange-reuse single scan
+    "skew_profile"         -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, desc}
+      Scale.skewProfile(graft.Tables.events(s, dir).select(col("user_id")),
+          "user_id", 16)
+        .orderBy(desc("n"), col("user_id"))
+    }),
     "kmv_distinct"         -> (Relational.kmvDistinct(_, _)),
     // — LLM-data-pipeline operators —
     "text_analysis"        -> (TextAnalysis.textAnalysis(_, _)),
@@ -788,6 +796,12 @@ object SparkEntry {
         |       u.nd AS n_distinct,
         |       CAST(u.nn AS DOUBLE) / CAST(t.n_rows AS DOUBLE) AS completeness
         |FROM u, t ORDER BY u.column_name""".stripMargin,
+    "skew_profile" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+        |SELECT user_id, n, n / CAST(tot AS DOUBLE) AS share
+        |FROM c, t ORDER BY n DESC, user_id LIMIT 16""".stripMargin,
     "range_join" ->
       """WITH b AS (SELECT user_id, event_id, event_type,
         |                  epoch_ns(ts)//1000 AS t, value FROM events),

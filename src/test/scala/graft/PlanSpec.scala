@@ -213,7 +213,8 @@ class PlanSpec extends SparkSpecBase {
       "ann_multiprobe", // 1-row probe broadcast, bucket isin-filter scan
       "mixture_resample", // 1-row corpus-totals broadcast onto per-source rows
       "bm25_topk",     // 1-row (sum_dl, n_docs) broadcast onto hit rows
-      "cooccur_pmi")   // 1-row (t_uni, t_pair) broadcast onto vocab pairs
+      "cooccur_pmi",   // 1-row (t_uni, t_pair) broadcast onto vocab pairs
+      "skew_profile")  // 1-row total broadcast onto the top-k hot keys
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = physical(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
