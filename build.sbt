@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 48g default on the 128 GiB host: local[32] runs 32 concurrent tasks in
+  // ONE JVM, and an 8g heap GC-thrashed at sf0.1 once the query surface
+  // passed ~100 entries (round-3 bench died on executor-heartbeat timeouts
+  // mid-pass — classic full-GC stall, not a slow query).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -63,15 +63,29 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name $dt%.2fs")
+      name -> dt
     }
+    val startNs = System.nanoTime()
     val p1 = onePass()
     // between passes: prompt the ContextCleaner to drop checkpoint blocks
     // the finished queries no longer reference, so pass 2 isn't measured
     // under pass 1's accumulated block-manager debris
     System.gc()
-    val p2 = onePass()
-    val results = p1.map { case (name, s) => name -> math.min(s, p2(name)) }
+    // Deadline guard: the driver kills this process at a fixed wall-clock
+    // budget and a killed run prints NOTHING (round 3: rc=124, no machine
+    // line). If pass 1 already ate most of the budget, publish pass-1
+    // numbers instead of dying half-way through pass 2.
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_DEADLINE", "1500").toInt
+    val p1Sec = (System.nanoTime() - startNs) / 1e9
+    val results = if (p1Sec * 2.2 > deadlineSec) {
+      System.err.println(f"[bench] pass 1 took $p1Sec%.0fs; skipping pass 2 to fit the ${deadlineSec}s deadline")
+      p1
+    } else {
+      val p2 = onePass()
+      p1.map { case (name, s) => name -> math.min(s, p2(name)) }
+    }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def ent(k: String, v: Double) = "\"" + k + "\":" + f"$v%.3f"
     // Full per-query map on its own prefixed line (humans / logs only — the
