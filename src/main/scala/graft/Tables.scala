@@ -13,15 +13,27 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to TimestampType. Read it as a long (legacy conf) and convert to a
-    * microsecond timestamp with integer division — epoch-nanos (~1.7e18)
-    * exceed 2^53, so double division would silently lose precision.
+  /** `events.ts` arrives in whatever physical shape the driver's generator
+    * chose for the round — parquet TIMESTAMP(NANOS) (Spark 4 refuses to map
+    * it, so read as long via the legacy conf and integer-divide: epoch-nanos
+    * ~1.7e18 exceed 2^53, double division would lose precision), TIMESTAMP_NTZ
+    * (µs, no zone — reinterpret as UTC instant to match DuckDB's epoch_ns
+    * reading of the same naive value), or already a zoned TIMESTAMP. Normalize
+    * all three to session-UTC TimestampType so every downstream operator and
+    * oracle sees identical µs instants.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // epoch-nanos payload
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => // naive µs wall-clock == UTC instant (session tz is UTC)
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
