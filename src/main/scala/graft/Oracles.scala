@@ -51,6 +51,51 @@ object Oracles {
   private def cosSql(a: String, b: String) =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
+  /** Connected components over the simhash near-dup pair graph (no final
+    * ORDER BY — shared by `dedup_clusters` and `cluster_stats`). */
+  private lazy val clustersSql: String =
+    simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |b AS (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
+        |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
+        |pairs AS (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
+        |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
+        |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+        |edges AS (SELECT pa AS src, pb AS dst FROM pairs
+        |          UNION SELECT pb, pa FROM pairs),
+        |reach AS (SELECT doc_id AS v, doc_id AS l FROM m
+        |          UNION
+        |          SELECT e.dst AS v, r.l FROM reach r JOIN edges e ON e.src = r.v)
+        |SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY v""".stripMargin
+
+  /** BM25 scoring CTE chain over the fixed query-term set (shared by
+    * `bm25_topk` and `rrf_fusion`; caller appends the final SELECT). */
+  private val bm25Cte: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |           FROM documents),
+      |ls AS (SELECT CAST(sum(dl) AS BIGINT) AS sum_dl,
+      |              CAST(count(*) AS BIGINT) AS n_docs FROM d),
+      |tf AS (SELECT doc_id, dl, t AS term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM (SELECT doc_id, dl, unnest(toks) AS t FROM d)
+      |       WHERE t IN ('dup', 'spark', 'vector', 'stream', 'window')
+      |       GROUP BY doc_id, dl, t),
+      |df AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS df
+      |       FROM (SELECT doc_id, unnest(list_distinct(toks)) AS t FROM d)
+      |       WHERE t IN ('dup', 'spark', 'vector', 'stream', 'window')
+      |       GROUP BY t),
+      |sc AS (SELECT tf.doc_id,
+      |         CAST(floor(
+      |           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |                    / (CAST(df AS DOUBLE) + 0.5))
+      |           * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+      |              / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75
+      |                 * (CAST(dl AS DOUBLE)
+      |                    / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+      |           * 1048576.0 + 0.5) AS BIGINT) AS part_u20
+      |       FROM tf JOIN df USING (term), ls)""".stripMargin
+
   val llm: Map[String, String] = Map(
     "text_analysis" ->
       """SELECT doc_id,
@@ -154,20 +199,15 @@ object Oracles {
         |FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin),
-    "dedup_clusters" -> (simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      """,
-        |b AS (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
-        |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
-        |pairs AS (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
-        |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
-        |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
-        |edges AS (SELECT pa AS src, pb AS dst FROM pairs
-        |          UNION SELECT pb, pa FROM pairs),
-        |reach AS (SELECT doc_id AS v, doc_id AS l FROM m
-        |          UNION
-        |          SELECT e.dst AS v, r.l FROM reach r JOIN edges e ON e.src = r.v)
-        |SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
-        |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin),
+    "dedup_clusters" -> (clustersSql + " ORDER BY doc_id"),
+    "cluster_stats" ->
+      s"""SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |       CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+         |       CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_dups_removable,
+         |       CAST(sum(cluster_id) AS BIGINT) AS cluster_id_checksum
+         |FROM (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |      FROM ($clustersSql) c GROUP BY cluster_id) s
+         |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "ngram_jaccard" -> (gramsCte +
       """,
         |p AS (SELECT grams AS pg FROM g WHERE doc_id = 0)
@@ -587,34 +627,33 @@ object Oracles {
         |         toks[CAST(start_tok + 1 AS INT):CAST(start_tok + 32 AS INT)],
         |         ' ')) AS chunk_md5
         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
-    "bm25_topk" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
-        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-        |           FROM documents),
-        |ls AS (SELECT CAST(sum(dl) AS BIGINT) AS sum_dl,
-        |              CAST(count(*) AS BIGINT) AS n_docs FROM d),
-        |tf AS (SELECT doc_id, dl, t AS term, CAST(count(*) AS BIGINT) AS tf
-        |       FROM (SELECT doc_id, dl, unnest(toks) AS t FROM d)
-        |       WHERE t IN ('dup', 'spark', 'vector', 'stream', 'window')
-        |       GROUP BY doc_id, dl, t),
-        |df AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS df
-        |       FROM (SELECT doc_id, unnest(list_distinct(toks)) AS t FROM d)
-        |       WHERE t IN ('dup', 'spark', 'vector', 'stream', 'window')
-        |       GROUP BY t),
-        |sc AS (SELECT tf.doc_id,
-        |         CAST(floor(
-        |           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-        |                    / (CAST(df AS DOUBLE) + 0.5))
-        |           * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
-        |              / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75
-        |                 * (CAST(dl AS DOUBLE)
-        |                    / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
-        |           * 1048576.0 + 0.5) AS BIGINT) AS part_u20
-        |       FROM tf JOIN df USING (term), ls)
+    "bm25_topk" -> (bm25Cte +
+      """
         |SELECT doc_id, CAST(sum(part_u20) AS BIGINT) AS score_u20,
         |       CAST(count(*) AS BIGINT) AS n_hit_terms
         |FROM sc GROUP BY doc_id
-        |ORDER BY score_u20 DESC, doc_id LIMIT 10""".stripMargin,
+        |ORDER BY score_u20 DESC, doc_id LIMIT 10""".stripMargin),
+    "rrf_fusion" -> (bm25Cte +
+      s""",
+         |bm AS (SELECT doc_id, CAST(sum(part_u20) AS BIGINT) AS score_u20
+         |       FROM sc GROUP BY doc_id
+         |       ORDER BY score_u20 DESC, doc_id LIMIT 20),
+         |bmr AS (SELECT doc_id, CAST(row_number() OVER
+         |          (ORDER BY score_u20 DESC, doc_id) AS INTEGER) AS bm25_rank
+         |        FROM bm),
+         |p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+         |dn AS (SELECT vec_id AS doc_id, ${cosSql("embedding", "pe")} AS cos_score
+         |       FROM embeddings, p WHERE vec_id <> 0
+         |       ORDER BY cos_score DESC, doc_id LIMIT 20),
+         |dnr AS (SELECT doc_id, CAST(row_number() OVER
+         |          (ORDER BY cos_score DESC, doc_id) AS INTEGER) AS cos_rank
+         |        FROM dn)
+         |SELECT COALESCE(bmr.doc_id, dnr.doc_id) AS doc_id, bm25_rank, cos_rank,
+         |       CAST(floor((COALESCE(1.0 / (60.0 + CAST(bm25_rank AS DOUBLE)), 0.0)
+         |                 + COALESCE(1.0 / (60.0 + CAST(cos_rank AS DOUBLE)), 0.0))
+         |                  * 1048576.0 + 0.5) AS BIGINT) AS rrf_u20
+         |FROM bmr FULL OUTER JOIN dnr ON bmr.doc_id = dnr.doc_id
+         |ORDER BY rrf_u20 DESC, doc_id""".stripMargin),
     "length_quartiles" ->
       """WITH q AS (SELECT source, doc_id, n_chars,
         |             CAST(ntile(4) OVER (PARTITION BY source

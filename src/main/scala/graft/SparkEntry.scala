@@ -60,6 +60,7 @@ object SparkEntry {
     "trailing_1h"          -> (Relational.trailingWindow(_, _)),
     "unpivot_metrics"      -> (Relational.unpivotMetrics(_, _)),
     "merge_upsert"         -> (Relational.mergeUpsert(_, _)),
+    "snapshot_diff"        -> (Relational.snapshotDiff(_, _)),
     "correlated_subquery"  -> (Relational.correlatedSubquery(_, _)),
     "time_gapfill"         -> (Relational.timeGapfill(_, _)),
     "corr_report"          -> (Relational.corrReport(_, _)),
@@ -119,6 +120,8 @@ object SparkEntry {
     "length_quartiles"     -> (CorpusOps.lengthQuartiles(_, _)),
     "chunk_overlap"        -> (CorpusOps.chunkOverlap(_, _, 32, 24)),
     "bm25_topk"            -> (CorpusOps.bm25Topk(_, _, 10)),
+    "rrf_fusion"           -> (CorpusOps.rrfFusion(_, _, 20)),
+    "stratified_sample"    -> (CorpusOps.stratifiedSample(_, _)),
     "doc_dedup_exact"      -> (DocDedup.docDedupExact(_, _)),
     "minhash_signatures"   -> (DocDedup.minhashSignatures(_, _)),
     "minhash_dedup_pairs"  -> (DocDedup.minhashDedupPairs(_, _)),
@@ -128,6 +131,7 @@ object SparkEntry {
     "ngram_jaccard"        -> (DocDedup.ngramJaccardProbe(_, _)),
     "fuzzy_join"           -> (DocDedup.fuzzyJoinPairs(_, _)),
     "dedup_clusters"       -> (DocDedup.dedupClusters(_, _)),
+    "cluster_stats"        -> (DocDedup.clusterStats(_, _)),
     "dup_spans"            -> (DocDedup.dupSpans(_, _, 16)),
     "similarity_search"    -> (Similarity.similaritySearch(_, _)),
     "ann_lsh_buckets"      -> (Similarity.annLshBuckets(_, _)),
@@ -364,6 +368,25 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "snapshot_diff" ->
+      """WITH cur AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+        |o AS (SELECT c_custkey AS k,
+        |        CASE WHEN c_custkey % 13 = 0
+        |             THEN CAST(CAST(c_acctbal AS DECIMAL(18,2))
+        |                       + CAST(100 AS DECIMAL(18,2)) AS DOUBLE)
+        |             ELSE c_acctbal END AS old_bal,
+        |        c_mktsegment AS old_seg
+        |      FROM cur WHERE c_custkey % 97 <> 0),
+        |n AS (SELECT c_custkey AS k, c_acctbal AS new_bal, c_mktsegment AS new_seg
+        |      FROM cur WHERE c_custkey % 89 <> 0)
+        |SELECT COALESCE(o.k, n.k) AS c_custkey,
+        |       CASE WHEN old_bal IS NULL THEN 'I'
+        |            WHEN new_bal IS NULL THEN 'D' ELSE 'U' END AS op,
+        |       old_bal, new_bal,
+        |       COALESCE(new_seg, old_seg) AS c_mktsegment
+        |FROM o FULL OUTER JOIN n ON o.k = n.k
+        |WHERE old_bal IS NULL OR new_bal IS NULL OR old_bal <> new_bal
+        |ORDER BY c_custkey""".stripMargin,
     "merge_upsert" ->
       """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
         |updates AS (SELECT DISTINCT o_custkey AS k, 'U' AS op,
@@ -458,6 +481,18 @@ object SparkEntry {
         |                  ELSE 'test' END AS split
         |      FROM documents) t
         |GROUP BY split ORDER BY split""".stripMargin,
+    "stratified_sample" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS src_n
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT min(src_n) AS target_n FROM s),
+        |k AS (SELECT d.source, d.doc_id, s.src_n, t.target_n
+        |      FROM documents d JOIN s ON d.source = s.source, t
+        |      WHERE (CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+        |              AS BIGINT) % 1000000) * s.src_n < t.target_n * 1000000)
+        |SELECT source, max(src_n) AS src_n, max(target_n) AS target_n,
+        |       CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "domain_cap" ->
       """SELECT source, doc_id, h AS text_hash FROM (
         |  SELECT source, doc_id, h,

@@ -460,4 +460,77 @@ object CorpusOps {
         concat_ws(",", transform($"keep", r => r.getField("doc_id"))).as("postings_head"))
       .orderBy($"token")
   }
+
+  /** NS: reciprocal-rank fusion of sparse (BM25) and dense (cosine) retrieval
+    * — the standard hybrid-search merge (Cormack et al., SIGIR'09): each arm
+    * contributes 1/(60+rank) for the documents it ranked, missing docs
+    * contribute 0. The arms are bounded top-k lists BY CONSTRUCTION (k rows
+    * each after their own TakeOrdered), so the rank windows and the final
+    * full-outer merge touch ≤2k rows no matter the corpus size — the fusion
+    * itself is O(k), all the scale weight stays in the two arm scans, which
+    * are linear (BM25: filtered explode + broadcast df; dense: broadcast-probe
+    * scan + TakeOrdered).
+    *
+    * Cross-engine exactness: each 1/(60+r) is one correctly-rounded IEEE
+    * division, the fused score is one addition of two such doubles, and the
+    * emitted/ranked value is quantized to 2^-20 fixed point — bit-identical
+    * in any IEEE-754 engine, same discipline as [[tfidfTopk]].
+    *
+    * Corpus convention: `embeddings.vec_id` is the embedding of
+    * `documents.doc_id` (the driver generates them aligned), probe = vector 0,
+    * mirroring [[graft.operators.Similarity.similaritySearch]]. */
+  def rrfFusion(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Similarity.cosine
+    val sparseRank = bm25Topk(spark, dir, k)
+      .select($"doc_id", $"score_u20",
+        row_number().over(Window.orderBy($"score_u20".desc, $"doc_id"))
+          .as("bm25_rank"))
+    val emb = Tables.embeddings(spark, dir)
+    val probe = emb.filter($"vec_id" === 0).select($"embedding".as("p"))
+    val denseRank = emb.crossJoin(broadcast(probe))
+      .where($"vec_id" =!= 0)
+      .select($"vec_id".as("doc_id"), cosine($"embedding", $"p").as("cos_score"))
+      .orderBy($"cos_score".desc, $"doc_id").limit(k)
+      .select($"doc_id",
+        row_number().over(Window.orderBy($"cos_score".desc, $"doc_id"))
+          .as("cos_rank"))
+    val contrib: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      r => coalesce(lit(1.0) / (lit(60.0) + r.cast(DoubleType)), lit(0.0))
+    sparseRank.join(denseRank, Seq("doc_id"), "full_outer")
+      .select($"doc_id", $"bm25_rank", $"cos_rank",
+        floor((contrib($"bm25_rank") + contrib($"cos_rank")) * 1048576.0 + 0.5)
+          .cast(LongType).as("rrf_u20"))
+      .orderBy($"rrf_u20".desc, $"doc_id")
+  }
+
+  /** NS: deterministic stratified downsampling — balance every `source`
+    * stratum down to the SMALLEST stratum's size by hash-Bernoulli sampling
+    * (the "balance the mixture without an RNG" shape; reproducible across
+    * runs, engines, and re-partitioning, unlike `sampleBy`'s seed-stream
+    * dependence on partition layout).
+    *
+    * Keep rule: md5₆₀(doc_id) mod 10⁶ · |stratum| < target · 10⁶ — all-bigint
+    * arithmetic, no double ratios, so the kept set is bit-exactly
+    * reproducible anywhere. Per-source counts are one tiny partial-agg
+    * (|sources| rows, broadcast back onto the scan); the sample decision is
+    * scan-side with zero extra shuffle, and the audit agg ships |sources|
+    * rows. Linear at 100 TB.
+    *
+    * Output: per-source audit — stratum size, target, kept count (≈ uniform
+    * across sources), kept-id checksum. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.TextAnalysis.md5Long60
+    val docs = Tables.documents(spark, dir)
+    val bySource = docs.groupBy($"source").agg(count(lit(1)).as("src_n"))
+    val target = bySource.agg(min($"src_n").as("target_n"))
+    docs.join(broadcast(bySource), "source").crossJoin(broadcast(target))
+      .withColumn("h", md5Long60($"doc_id".cast(StringType)) % 1000000L)
+      .where($"h" * $"src_n" < $"target_n" * 1000000L)
+      .groupBy($"source")
+      .agg(max($"src_n").as("src_n"), max($"target_n").as("target_n"),
+        count(lit(1)).as("n_kept"), sum($"doc_id").as("id_checksum"))
+      .orderBy($"source")
+  }
 }

@@ -400,4 +400,29 @@ object DocDedup {
       .select($"doc_id", coalesce($"label", $"doc_id").as("cluster_id"))
       .orderBy($"doc_id")
   }
+
+  /** NS: near-dup cluster-size profile — the report one reads BEFORE acting
+    * on [[dedupClusters]]'s output: how many clusters of each size exist,
+    * how many documents they hold, and the duplicate count each size class
+    * would remove under keep-one-per-cluster. A corpus whose mass sits in a
+    * few giant clusters has a template/boilerplate problem, not a dedup
+    * problem — this histogram is how you tell.
+    *
+    * Two bounded aggregations on top of the cluster labels (per-cluster
+    * size → per-size histogram): the first shuffles ≤|clusters| rows, the
+    * second ≤|distinct sizes| — both strictly smaller than the label set,
+    * so the profile adds no scale risk to the CC computation it reads. */
+  def clusterStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sizes = dedupClusters(spark, dir)
+      .groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+    sizes.groupBy($"cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum($"cluster_id").as("cluster_id_checksum"))
+      .select($"cluster_size", $"n_clusters",
+        ($"cluster_size" * $"n_clusters").as("n_docs"),
+        (($"cluster_size" - 1L) * $"n_clusters").as("n_dups_removable"),
+        $"cluster_id_checksum")
+      .orderBy($"cluster_size")
+  }
 }

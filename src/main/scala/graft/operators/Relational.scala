@@ -320,6 +320,44 @@ object Relational {
       .orderBy($"c_custkey")
   }
 
+  /** NS: snapshot differencing — derive the CDC change feed BETWEEN two
+    * table versions (the inverse of [[mergeUpsert]], which applies one):
+    * full-outer join the snapshots on the key, tag each surviving row
+    * insert / update / delete, drop unchanged rows. This is how a change
+    * feed is recovered from systems that only hand you full dumps — the
+    * day-over-day diff that feeds incremental downstream pipelines.
+    *
+    * Both snapshots derive deterministically from `customer`: the "old"
+    * version is missing every 97th key (⇒ inserts) and carries a +100.00
+    * balance shift on every 13th key (⇒ updates); the "new" version is
+    * missing every 89th key (⇒ deletes). One key-partitioned full-outer
+    * shuffle join, no window, no second scan of either side — linear in
+    * |snapshot| at any scale, and the equality predicate prunes the
+    * (dominant) unchanged rows before they reach the output. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cur = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+    val oldSnap = cur.where($"c_custkey" % 97 =!= 0)
+      .select($"c_custkey".as("k"),
+        when($"c_custkey" % 13 === 0,
+          ($"c_acctbal".cast(DecimalType(18, 2)) + lit(100).cast(DecimalType(18, 2)))
+            .cast(DoubleType))
+          .otherwise($"c_acctbal").as("old_bal"),
+        $"c_mktsegment".as("old_seg"))
+    val newSnap = cur.where($"c_custkey" % 89 =!= 0)
+      .select($"c_custkey".as("k"), $"c_acctbal".as("new_bal"),
+        $"c_mktsegment".as("new_seg"))
+    oldSnap.join(newSnap, Seq("k"), "full_outer")
+      .where($"old_bal".isNull || $"new_bal".isNull || $"old_bal" =!= $"new_bal")
+      .select($"k".as("c_custkey"),
+        when($"old_bal".isNull, "I").when($"new_bal".isNull, "D")
+          .otherwise("U").as("op"),
+        $"old_bal", $"new_bal",
+        coalesce($"new_seg", $"old_seg").as("c_mktsegment"))
+      .orderBy($"c_custkey")
+  }
+
   /** NS: winsorized (IQR-clipped) statistics — the robust-stats
     * preprocessing step: clip each quantity to its return-flag group's
     * [q1, q3] and report exact clipped sums. Two passes (tiny exact-

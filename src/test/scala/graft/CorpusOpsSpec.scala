@@ -137,4 +137,40 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(p.contains("top_k_rows"), s"postings not bounded map-side:\n$p")
     assert(!p.contains("Window"), s"unexpected window:\n$p")
   }
+
+  test("rrf_fusion: ranks bounded by k, scores recompute, output ordered") {
+    val rows = CorpusOps.rrfFusion(spark, Sf0001, 20).collect()
+    assert(rows.nonEmpty && rows.length <= 40, s"${rows.length} rows from two top-20 arms")
+    def rank(r: org.apache.spark.sql.Row, i: Int): Option[Int] =
+      if (r.isNullAt(i)) None else Some(r.getInt(i))
+    rows.foreach { r =>
+      val (bm, cs) = (rank(r, 1), rank(r, 2))
+      assert(bm.nonEmpty || cs.nonEmpty, s"row with no rank: $r")
+      Seq(bm, cs).flatten.foreach(x => assert(x >= 1 && x <= 20))
+      val expect = math.floor(
+        (bm.map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
+          + cs.map(x => 1.0 / (60.0 + x)).getOrElse(0.0)) * 1048576.0 + 0.5).toLong
+      assert(r.getLong(3) === expect, s"rrf_u20 mismatch for $r")
+    }
+    val scores = rows.map(_.getLong(3)).toSeq
+    assert(scores === scores.sorted(Ordering[Long].reverse))
+    // fusion must actually fuse: at least one doc ranked by both arms
+    assert(rows.exists(r => !r.isNullAt(1) && !r.isNullAt(2)),
+      "no document appears in both retrieval arms — fixture degenerate")
+  }
+
+  test("stratified_sample: target is the min stratum, kept sets bounded and deterministic") {
+    val a = CorpusOps.stratifiedSample(spark, Sf0001).collect()
+    assert(a.nonEmpty)
+    val target = a.map(_.getLong(2)).head
+    assert(a.forall(_.getLong(2) == target), "target_n must be global")
+    assert(target === a.map(_.getLong(1)).min, "target != min stratum size")
+    a.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), s"kept more than stratum size: $r")
+      assert(r.getLong(3) > 0, s"stratum sampled to zero: $r")
+    }
+    // hash sampling is a pure function of doc_id — a rerun is bit-identical
+    val b = CorpusOps.stratifiedSample(spark, Sf0001).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+  }
 }

@@ -88,4 +88,18 @@ class DocDedupSpec extends SparkSpecBase {
       assert(d === l)
     }
   }
+
+  test("cluster_stats histogram is consistent with the cluster labeling") {
+    val labels = DocDedup.dedupClusters(spark, Sf0001)
+      .collect().map(_.getLong(1))
+    val bySize = labels.groupBy(identity).values.map(_.length.toLong)
+      .groupBy(identity).map { case (sz, cs) => sz -> cs.size.toLong }
+    val rows = DocDedup.clusterStats(spark, Sf0001).collect()
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap === bySize)
+    rows.foreach { r =>
+      assert(r.getLong(2) === r.getLong(0) * r.getLong(1), "n_docs")
+      assert(r.getLong(3) === (r.getLong(0) - 1) * r.getLong(1), "n_dups_removable")
+    }
+    assert(rows.map(_.getLong(2)).sum === labels.length, "doc mass conserved")
+  }
 }

@@ -51,6 +51,30 @@ class OperatorSmokeSpec extends SparkSpecBase {
     assert(after > before, s"training was a no-op: $before -> $after")
   }
 
+  test("snapshot_diff recovers exactly the injected change feed") {
+    import org.apache.spark.sql.functions.col
+    val diff = Relational.snapshotDiff(spark, Sf0001).collect()
+    val keys = Tables.customer(spark, Sf0001)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    // expected per the deterministic perturbation: %97 keys insert,
+    // %89 (and not %97) delete, %13 (surviving both filters) update
+    val expect = keys.flatMap { k =>
+      if (k % 97 == 0 && k % 89 == 0) None // in neither snapshot
+      else if (k % 97 == 0) Some(k -> "I")
+      else if (k % 89 == 0) Some(k -> "D")
+      else if (k % 13 == 0) Some(k -> "U")
+      else None
+    }.toMap
+    assert(diff.map(r => r.getLong(0) -> r.getString(1)).toMap === expect)
+    diff.foreach { r =>
+      r.getString(1) match {
+        case "I" => assert(r.isNullAt(2) && !r.isNullAt(3))
+        case "D" => assert(!r.isNullAt(2) && r.isNullAt(3))
+        case "U" => assert(r.getDouble(2) != r.getDouble(3))
+      }
+    }
+  }
+
   test("every query has an oracle or a documented exemption") {
     val exempt = Set("distinct_users_approx", "media_decode_stub")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt

@@ -214,7 +214,9 @@ class PlanSpec extends SparkSpecBase {
       "mixture_resample", // 1-row corpus-totals broadcast onto per-source rows
       "bm25_topk",     // 1-row (sum_dl, n_docs) broadcast onto hit rows
       "cooccur_pmi",   // 1-row (t_uni, t_pair) broadcast onto vocab pairs
-      "skew_profile")  // 1-row total broadcast onto the top-k hot keys
+      "skew_profile",  // 1-row total broadcast onto the top-k hot keys
+      "rrf_fusion",    // 1-row probe + 1-row corpus stats broadcast (both arms)
+      "stratified_sample") // 1-row min-stratum target broadcast onto the scan
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = physical(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
