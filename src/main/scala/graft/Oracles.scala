@@ -627,6 +627,16 @@ object Oracles {
         |         toks[CAST(start_tok + 1 AS INT):CAST(start_tok + 32 AS INT)],
         |         ' ')) AS chunk_md5
         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "bpe_merges" ->
+      """WITH v AS (SELECT t AS word, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |           GROUP BY t),
+        |pairs AS (SELECT unnest(list_transform(range(1, length(word)),
+        |                  i -> substr(word, CAST(i AS INT), 2))) AS pair, cnt
+        |          FROM v WHERE length(word) >= 2)
+        |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+        |FROM pairs GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "bm25_topk" -> (bm25Cte +
       """
         |SELECT doc_id, CAST(sum(part_u20) AS BIGINT) AS score_u20,

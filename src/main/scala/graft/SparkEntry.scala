@@ -61,6 +61,7 @@ object SparkEntry {
     "unpivot_metrics"      -> (Relational.unpivotMetrics(_, _)),
     "merge_upsert"         -> (Relational.mergeUpsert(_, _)),
     "snapshot_diff"        -> (Relational.snapshotDiff(_, _)),
+    "retention_cohorts"    -> (Relational.retentionCohorts(_, _)),
     "correlated_subquery"  -> (Relational.correlatedSubquery(_, _)),
     "time_gapfill"         -> (Relational.timeGapfill(_, _)),
     "corr_report"          -> (Relational.corrReport(_, _)),
@@ -121,6 +122,7 @@ object SparkEntry {
     "chunk_overlap"        -> (CorpusOps.chunkOverlap(_, _, 32, 24)),
     "bm25_topk"            -> (CorpusOps.bm25Topk(_, _, 10)),
     "rrf_fusion"           -> (CorpusOps.rrfFusion(_, _, 20)),
+    "bpe_merges"           -> (CorpusOps.bpeMerges(_, _, 20)),
     "stratified_sample"    -> (CorpusOps.stratifiedSample(_, _)),
     "doc_dedup_exact"      -> (DocDedup.docDedupExact(_, _)),
     "minhash_signatures"   -> (DocDedup.minhashSignatures(_, _)),
@@ -368,6 +370,16 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "retention_cohorts" ->
+      """WITH p AS (SELECT user_id, epoch_ns(ts) // 1000 // 86400000000 // 7 AS week
+        |           FROM events WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM p GROUP BY user_id)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |       CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users,
+        |       CAST(count(*) AS BIGINT) AS n_purchases
+        |FROM p JOIN f ON p.user_id = f.user_id
+        |GROUP BY cohort_week, week - cohort_week
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "snapshot_diff" ->
       """WITH cur AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
         |o AS (SELECT c_custkey AS k,

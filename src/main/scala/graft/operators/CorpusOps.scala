@@ -461,7 +461,29 @@ object CorpusOps {
       .orderBy($"token")
   }
 
-  /** NS: reciprocal-rank fusion of sparse (BM25) and dense (cosine) retrieval
+  /** NS: BPE merge candidates — the inner statistic of byte-pair-encoding
+    * tokenizer training (Sennrich et al., arXiv:1508.07909): count every
+    * adjacent character pair across the corpus, weighted by word frequency;
+    * the argmax pair is the next merge rule. The pair explosion runs over
+    * the DISTINCT word vocabulary (each word exploded once, carrying its
+    * corpus count), not over the corpus — vocabulary is sublinear in corpus
+    * size, so the expensive step shrinks as data grows; the corpus-scale
+    * work is one token-count aggregate with map-side partials. */
+  def bpeMerges(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(tokens($"text")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+    vocab.where(length($"word") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"), $"cnt")
+      .groupBy($"pair").agg(sum($"cnt").as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(k)
+  }
+
+  /** NS: reciprocal-rank fusion of sparse (BM25) and cosine (dense) retrieval
     * — the standard hybrid-search merge (Cormack et al., SIGIR'09): each arm
     * contributes 1/(60+rank) for the documents it ranked, missing docs
     * contribute 0. The arms are bounded top-k lists BY CONSTRUCTION (k rows

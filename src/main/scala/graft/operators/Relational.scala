@@ -754,6 +754,29 @@ object Relational {
       .orderBy($"column_name")
   }
 
+  /** NS: cohort retention matrix — the product-analytics staple: users
+    * grouped by their FIRST purchase week (epoch-week, pure integer µs
+    * arithmetic — no calendar/timezone functions to diverge cross-engine),
+    * then for every later purchase the (cohort_week, weeks-since-cohort)
+    * cell counts distinct returning users. Two user-keyed shuffles (first-
+    * purchase agg + join back — same hash exchange, so AQE/exchange reuse
+    * can overlap them) and one small matrix agg; per-key state is one min,
+    * so the shape is linear at 100 TB and never sorts globally. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val purchases = Tables.events(spark, dir)
+      .where($"event_type" === "purchase")
+      .select($"user_id",
+        // `div` (integer division): Column `/` is double division in Spark
+        expr("unix_micros(ts) div 86400000000 div 7").as("week"))
+    val first = purchases.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    purchases.join(first, "user_id")
+      .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_purchases"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
   /** NS: SCD2 (slowly-changing-dimension type 2) version-table build —
     * the warehouse shape [[mergeUpsert]]'s CDC apply feeds: each per-key
     * change event becomes a version row carrying a validity interval,

@@ -239,6 +239,27 @@ object StreamOps {
         writeBatchIdempotent(batch, outPath, batchId)
       }
 
+  /** Pure CDC merge: apply one batch of keyed insert/update/delete change
+    * rows onto the current keeper state — the function a foreachBatch CDC
+    * sink runs per micro-batch (the process-then-commit loop of the
+    * reference's pipelining consumer, concurrent_record_processor.go:66-94,
+    * with Spark's checkpointed batch ids supplying the exactly-once replay
+    * guard). Within a batch the LAST change per key wins, ordered by
+    * `seq` (must be unique per key within a batch — Kafka offsets are);
+    * op "D" removes the key, anything else upserts the value columns.
+    * One key-partitioned full-outer join, no window — state stays
+    * O(live keys) and each batch costs O(|state| + |batch|). */
+  def applyCdc(state: DataFrame, changes: DataFrame, key: String,
+      seq: String, op: String): DataFrame = {
+    val valueCols = state.columns.filterNot(_ == key).toSeq
+    val last = changes.groupBy(col(key))
+      .agg(max_by(struct((op +: valueCols).map(col): _*), col(seq)).as("c"))
+      .select(col(key) +: (op +: valueCols).map(c => col(s"c.$c").as(s"_c_$c")): _*)
+    state.join(last, Seq(key), "full_outer")
+      .where(col(s"_c_$op").isNull || col(s"_c_$op") =!= "D")
+      .select(col(key) +: valueCols.map(c => coalesce(col(s"_c_$c"), col(c)).as(c)): _*)
+  }
+
   def runOnceToMemory(df: DataFrame, queryName: String, outputMode: String): StreamingQuery =
     df.writeStream
       .format("memory")

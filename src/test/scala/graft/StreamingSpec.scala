@@ -476,6 +476,39 @@ class StreamingSpec extends SparkSpecBase {
     sink.writer(StreamOps.toKafkaRecords(MemoryStream[Ev].toDF(), "user_id"))
   }
 
+  test("foreachBatch CDC apply across micro-batches == single batch apply") {
+    val state0 = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "v")
+    val base = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    state0.write.parquet(s"$base/v0")
+    val b1 = Seq((2L, "U", 20.0, 1L), (4L, "I", 4.0, 2L), (1L, "D", 0.0, 3L))
+    val b2 = Seq((4L, "U", 40.0, 4L), (3L, "D", 0.0, 5L),
+      (5L, "I", 5.0, 6L), (5L, "U", 50.0, 7L))
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Double, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ck").toString
+    def drainOnce(): Unit = {
+      val q = ms.toDF().toDF("k", "op", "v", "seq").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val cur = spark.read.parquet(s"$base/v$id")
+          StreamOps.applyCdc(cur, batch, "k", "seq", "op")
+            .write.mode("overwrite").parquet(s"$base/v${id + 1}")
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    ms.addData(b1); drainOnce()
+    ms.addData(b2); drainOnce()
+    val streamed = spark.read.parquet(s"$base/v2").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // parity: the same feed applied as ONE batch (last change per key wins)
+    val oneShot = StreamOps.applyCdc(state0,
+        (b1 ++ b2).toDF("k", "op", "v", "seq"), "k", "seq", "op")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed === Map(2L -> 20.0, 4L -> 40.0, 5L -> 50.0))
+    assert(streamed === oneShot)
+  }
+
   test("toKafkaRecords shapes key/value binary columns") {
     val rec = StreamOps.toKafkaRecords(batchDf, "user_id")
     assert(rec.schema.map(f => (f.name, f.dataType.typeName)) ===
