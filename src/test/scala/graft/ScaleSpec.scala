@@ -119,6 +119,32 @@ class ScaleSpec extends SparkSpecBase {
     assert(back.count() === Tables.events(spark, Sf0001).count())
   }
 
+  test("dynamic partition pruning fires on a partitioned-layout join") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val df = Tables.events(spark, Sf0001)
+      .withColumn("d", date_format(to_date($"ts"), "yyyy-MM-dd"))
+    Scale.writePartitionedSorted(df, path, "d", "ts")
+    val fact = spark.read.parquet(path)
+    // selective dim: the first day by rank — a Filter the optimizer can
+    // neither constant-fold nor propagate as a literal onto the fact side
+    // (rank is computed at runtime), so pruning the fact directories
+    // REQUIRES a runtime DPP subquery — the 100 TB date-dim shape
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"dd")
+    val dim = fact.select($"d".as("dd")).distinct()
+      .select($"dd", row_number().over(w).as("rk"))
+      .filter($"rk" === 1)
+    val joined = fact.join(broadcast(dim), fact("d") === dim("dd"))
+    val ex = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(ex.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$ex")
+    // and it must actually return one partition's rows
+    val oneDay = fact.groupBy($"d").count().orderBy($"d").limit(1)
+      .collect()(0).getLong(1)
+    assert(joined.count() === oneDay)
+  }
+
   test("z_order2 matches hand-computed Morton vectors") {
     import graft.functions.ZOrder2
     // interleave(x, y): x even bits, y odd bits
