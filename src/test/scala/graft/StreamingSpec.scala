@@ -509,6 +509,26 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === oneShot)
   }
 
+  test("applyCdc equals a sequential per-key fold on random change feeds") {
+    // last-change-per-key-wins is exactly a sequential fold's fixpoint, so
+    // an independent in-memory replay is a sound oracle
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val state0 = (0 until 20).map(k => k.toLong -> rnd.nextInt(100).toDouble)
+      val feed = (0 until 60).map { i =>
+        (rnd.nextInt(30).toLong, Seq("I", "U", "D")(rnd.nextInt(3)),
+          rnd.nextInt(1000).toDouble, i.toLong)
+      }
+      val expected = feed.sortBy(_._4).foldLeft(state0.toMap) {
+        case (m, (k, op, v, _)) => if (op == "D") m - k else m + (k -> v)
+      }
+      val got = StreamOps.applyCdc(state0.toDF("k", "v"),
+          feed.toDF("k", "op", "v", "seq"), "k", "seq", "op")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got === expected, s"trial $trial diverged from the fold oracle")
+    }
+  }
+
   test("toKafkaRecords shapes key/value binary columns") {
     val rec = StreamOps.toKafkaRecords(batchDf, "user_id")
     assert(rec.schema.map(f => (f.name, f.dataType.typeName)) ===
