@@ -65,6 +65,8 @@ object SparkEntry {
     "correlated_subquery"  -> (Relational.correlatedSubquery(_, _)),
     "time_gapfill"         -> (Relational.timeGapfill(_, _)),
     "corr_report"          -> (Relational.corrReport(_, _)),
+    "corr_matrix"          -> (Relational.corrMatrix(_, _)),
+    "attribution_report"   -> (Relational.attributionReport(_, _)),
     "vector_normalize"     -> (Similarity.vectorNormalize(_, _)),
     "topk_sort"            -> (Relational.topkSort(_, _)),
     "set_ops"              -> (Relational.setOps(_, _)),
@@ -662,6 +664,47 @@ object SparkEntry {
         |       (CAST(n AS DOUBLE) * sxy - sx * sy) /
         |         (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope_price_per_qty
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "corr_matrix" -> {
+      val ms = Seq("qty" -> "l_quantity", "price" -> "l_extendedprice",
+        "disc" -> "l_discount", "tax" -> "l_tax")
+      def mom(col: String, as: String) =
+        s"""CAST(CAST(sum(CAST($col AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS $as"""
+      def cross(a: String, b: String, as: String) =
+        s"""CAST(CAST(sum(CAST(CAST($a AS DECIMAL(18,2)) * CAST($b AS DECIMAL(18,2))
+           | AS DECIMAL(30,4))) AS VARCHAR) AS DOUBLE) AS $as""".stripMargin.replace("\n", "")
+      val sums = ms.map { case (n, c) => mom(c, s"s_$n") }
+      val squares = ms.map { case (n, c) => cross(c, c, s"q_$n") }
+      val pairs = ms.combinations(2).toSeq.map { case Seq((na, ca), (nb, cb)) =>
+        (na, nb, ca, cb)
+      }
+      val crosses = pairs.map { case (na, nb, ca, cb) => cross(ca, cb, s"x_${na}_$nb") }
+      def corr(a: String, b: String) =
+        s"""(CAST(n AS DOUBLE) * x_${a}_$b - s_$a * s_$b) /
+           | (sqrt(CAST(n AS DOUBLE) * q_$a - s_$a * s_$a) *
+           |  sqrt(CAST(n AS DOUBLE) * q_$b - s_$b * s_$b))""".stripMargin.replace("\n", "")
+      val arms = pairs.map { case (a, b, _, _) =>
+        s"SELECT l_returnflag, n, '${a}_$b' AS pair, ${corr(a, b)} AS corr FROM m"
+      }
+      s"""WITH m AS (
+         |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         |         ${(sums ++ squares ++ crosses).mkString(",\n         ")}
+         |  FROM lineitem GROUP BY l_returnflag)
+         |${arms.mkString("\nUNION ALL\n")}
+         |ORDER BY l_returnflag, pair""".stripMargin
+    },
+    "attribution_report" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id AS t_user_id, epoch_ns(ts)//1000 AS t_ts_us,
+        |             event_type AS t_type
+        |      FROM events WHERE event_type <> 'purchase')
+        |SELECT COALESCE(t_type, 'none') AS touch,
+        |       CAST(count(*) AS BIGINT) AS n_purchases,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM p ASOF LEFT JOIN t
+        |  ON p.user_id = t.t_user_id AND p.ts_us >= t.t_ts_us
+        |GROUP BY COALESCE(t_type, 'none')
+        |ORDER BY touch""".stripMargin,
     "topk_sort" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY value DESC, event_id LIMIT 10""".stripMargin,

@@ -950,6 +950,70 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** NS: full pairwise Pearson correlation matrix of the four lineitem
+    * measures per return flag — [[corrReport]]'s single pair generalized to
+    * the feature-screening shape (which measures co-move?): ONE scan
+    * computes all 15 exact decimal moments (4 sums, 4 squares, 6 cross
+    * products, n) with map-side partials, then the 6 correlations per group
+    * are pure expression arithmetic on the |groups|-row aggregate and melt
+    * via explode — adding measures grows the moment count, never the scan
+    * or shuffle count. Same cross-engine FP discipline as [[corrReport]]:
+    * decimal-exact moments, one correctly-rounded cast to double, an
+    * expression-identical tail. */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ms = Seq("qty" -> $"l_quantity", "price" -> $"l_extendedprice",
+      "disc" -> $"l_discount", "tax" -> $"l_tax")
+    def dec(c: Column) = c.cast(DecimalType(18, 2))
+    val sums = ms.map { case (n, c) => sum(dec(c)).cast(DoubleType).as(s"s_$n") }
+    val pairs = ms.combinations(2).toSeq.map { case Seq((na, a), (nb, b)) => (na, nb) }
+    val crosses = ms.combinations(2).toSeq.map { case Seq((na, a), (nb, b)) =>
+      sum((dec(a) * dec(b)).cast(DecimalType(30, 4))).cast(DoubleType).as(s"x_${na}_$nb")
+    }
+    val squares = ms.map { case (n, c) =>
+      sum((dec(c) * dec(c)).cast(DecimalType(30, 4))).cast(DoubleType).as(s"q_$n")
+    }
+    val aggs = (count(lit(1)).as("n") +: (sums ++ squares ++ crosses))
+    val nD = $"n".cast(DoubleType)
+    def corr(a: String, b: String): Column =
+      (nD * col(s"x_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+        (sqrt(nD * col(s"q_$a") - col(s"s_$a") * col(s"s_$a")) *
+          sqrt(nD * col(s"q_$b") - col(s"s_$b") * col(s"s_$b")))
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(aggs.head, aggs.tail: _*)
+      .select($"l_returnflag", $"n",
+        explode(array(pairs.map { case (a, b) =>
+          struct(lit(s"${a}_$b").as("pair"), corr(a, b).as("corr"))
+        }: _*)).as("pc"))
+      .select($"l_returnflag", $"n", $"pc.pair".as("pair"), $"pc.corr".as("corr"))
+      .orderBy($"l_returnflag", $"pair")
+  }
+
+  /** NS: last-touch revenue attribution — every purchase attributed to the
+    * same user's latest PRIOR non-purchase event (the marketing "touch"),
+    * revenue rolled up by touch type with un-attributed purchases under
+    * 'none'. The attribution step IS the custom as-of operator (one
+    * co-partitioned sort-merge pass, O(1) state per user); the rollup
+    * ships |touch types| rows. The business twin of [[funnelConversion]]:
+    * same operator, revenue-weighted instead of conversion-counted. */
+  def attributionReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val purchases = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val touches = Tables.events(spark, dir)
+      .filter($"event_type" =!= "purchase")
+      .select($"user_id".as("t_user_id"), $"ts".as("t_ts"),
+        $"event_type".as("t_type"))
+    graft.plans.AsOfJoin(purchases, touches, "user_id", "t_user_id",
+        "ts", "t_ts", joinType = "left_outer")
+      .groupBy(coalesce($"t_type", lit("none")).as("touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"value".cast(DecimalType(18, 2))).cast(DoubleType).as("revenue"))
+      .orderBy($"touch")
+  }
+
   /** NS (LLM pipeline): exact dedup with a deterministic keeper — first
     * event per (user_id, event_type) by (ts, event_id). Same single
     * shuffle as groupBy; `dropDuplicates` semantics but reproducible, which
