@@ -200,6 +200,30 @@ object Oracles {
         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin),
     "dedup_clusters" -> (clustersSql + " ORDER BY doc_id"),
+    "dedup_survivorship" ->
+      s"""WITH j AS (SELECT COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+         |             d.doc_id, d.n_chars, d.source, d.lang
+         |           FROM documents d
+         |           LEFT JOIN ($clustersSql) cl ON cl.doc_id = d.doc_id),
+         |w AS (SELECT cluster_id, source, lang,
+         |             row_number() OVER (PARTITION BY cluster_id
+         |               ORDER BY n_chars DESC, doc_id) AS rn FROM j),
+         |a AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |             min(doc_id) AS golden_doc_id, max(n_chars) AS max_chars
+         |      FROM j GROUP BY cluster_id)
+         |SELECT a.cluster_id, a.n_members, a.golden_doc_id, a.max_chars,
+         |       w.source AS survivor_source, w.lang AS survivor_lang
+         |FROM a JOIN w ON a.cluster_id = w.cluster_id AND w.rn = 1
+         |ORDER BY a.cluster_id""".stripMargin,
+    "embedding_centroids" ->
+      """WITH c AS (SELECT label, CAST(d.dim AS INT) AS dim,
+        |             CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(CAST(floor(CAST(embedding[d.dim + 1] AS DOUBLE)
+        |                  * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_u20
+        |           FROM embeddings, (SELECT unnest(range(0, 64)) AS dim) d
+        |           GROUP BY label, d.dim)
+        |SELECT label, dim, n, sum_u20, sum_u20 // n AS mean_u20
+        |FROM c ORDER BY label, dim""".stripMargin,
     "cluster_stats" ->
       s"""SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
          |       CAST(cluster_size * count(*) AS BIGINT) AS n_docs,

@@ -62,6 +62,7 @@ object SparkEntry {
     "merge_upsert"         -> (Relational.mergeUpsert(_, _)),
     "snapshot_diff"        -> (Relational.snapshotDiff(_, _)),
     "retention_cohorts"    -> (Relational.retentionCohorts(_, _)),
+    "order_reconcile"      -> (Relational.orderReconcile(_, _)),
     "correlated_subquery"  -> (Relational.correlatedSubquery(_, _)),
     "time_gapfill"         -> (Relational.timeGapfill(_, _)),
     "corr_report"          -> (Relational.corrReport(_, _)),
@@ -136,6 +137,7 @@ object SparkEntry {
     "fuzzy_join"           -> (DocDedup.fuzzyJoinPairs(_, _)),
     "dedup_clusters"       -> (DocDedup.dedupClusters(_, _)),
     "cluster_stats"        -> (DocDedup.clusterStats(_, _)),
+    "dedup_survivorship"   -> (DocDedup.dedupSurvivorship(_, _)),
     "dup_spans"            -> (DocDedup.dupSpans(_, _, 16)),
     "similarity_search"    -> (Similarity.similaritySearch(_, _)),
     "ann_lsh_buckets"      -> (Similarity.annLshBuckets(_, _)),
@@ -145,6 +147,7 @@ object SparkEntry {
     "ann_ivf_search"       -> (Similarity.annIvfSearch(_, _)),
     "ann_recall_eval"      -> (Similarity.annRecallEval(_, _)),
     "embedding_quantize"   -> (Similarity.embeddingQuantize(_, _)),
+    "embedding_centroids"  -> (Similarity.embeddingCentroids(_, _)),
     "embedding_neardup"    -> (Similarity.embeddingNearDupPairs(_, _)),
     "semantic_dedup"       -> (Similarity.semanticDedup(_, _, 0.40)),
     "multimodal_cols"      -> (Multimodal.multimodalCols(_, _)),
@@ -372,6 +375,23 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "order_reconcile" ->
+      """WITH detail AS (SELECT l_orderkey,
+        |                  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS detail_total
+        |                FROM lineitem GROUP BY l_orderkey),
+        |j AS (SELECT o_orderstatus,
+        |        CASE WHEN detail_total IS NULL THEN 'missing_detail'
+        |             WHEN abs(CAST(o_totalprice AS DECIMAL(18,2))
+        |                      - COALESCE(detail_total, CAST(0 AS DECIMAL(18,2)))) * 100
+        |                  <= CAST(o_totalprice AS DECIMAL(18,2)) THEN 'matched'
+        |             ELSE 'mismatched' END AS recon_status,
+        |        abs(CAST(o_totalprice AS DECIMAL(18,2))
+        |            - COALESCE(detail_total, CAST(0 AS DECIMAL(18,2)))) AS disc
+        |      FROM orders LEFT JOIN detail ON o_orderkey = l_orderkey)
+        |SELECT o_orderstatus, recon_status, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(disc) AS DOUBLE) AS total_discrepancy
+        |FROM j GROUP BY o_orderstatus, recon_status
+        |ORDER BY o_orderstatus, recon_status""".stripMargin,
     "retention_cohorts" ->
       """WITH p AS (SELECT user_id, epoch_ns(ts) // 1000 // 86400000000 // 7 AS week
         |           FROM events WHERE event_type = 'purchase'),

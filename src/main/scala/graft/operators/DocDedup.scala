@@ -412,6 +412,28 @@ object DocDedup {
     * size → per-size histogram): the first shuffles ≤|clusters| rows, the
     * second ≤|distinct sizes| — both strictly smaller than the label set,
     * so the profile adds no scale risk to the CC computation it reads. */
+  /** NS: survivorship — the step AFTER entity resolution: collapse each
+    * near-dup cluster ([[dedupClusters]] labels) into one golden record
+    * with column-level rules (keeper id = min, length = max, source/lang
+    * from the longest member, ties to the smallest id). One documents join
+    * on doc_id + one cluster-keyed aggregate; every rule is an argmax/min
+    * inside the same agg, so the golden-record build costs exactly one
+    * shuffle more than the clustering it consumes. */
+  def dedupSurvivorship(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dedupClusters(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select($"doc_id", $"n_chars", $"source", $"lang"), "doc_id")
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        min($"doc_id").as("golden_doc_id"),
+        max($"n_chars").as("max_chars"),
+        max_by(struct($"source", $"lang"), struct($"n_chars", -$"doc_id")).as("w"))
+      .select($"cluster_id", $"n_members", $"golden_doc_id", $"max_chars",
+        $"w.source".as("survivor_source"), $"w.lang".as("survivor_lang"))
+      .orderBy($"cluster_id")
+  }
+
   def clusterStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sizes = dedupClusters(spark, dir)

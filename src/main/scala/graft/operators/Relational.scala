@@ -1014,6 +1014,34 @@ object Relational {
       .orderBy($"touch")
   }
 
+  /** NS: header/detail reconciliation — the data-quality join every
+    * warehouse runs nightly: roll lineitem up per order (exact decimal),
+    * compare against the order header's total, and bucket each order as
+    * matched (≤1% relative discrepancy), mismatched, or missing detail
+    * rows entirely. The comparison stays in decimal (|h−d|·100 ≤ h — no
+    * float thresholds to diverge cross-engine). One orderkey-keyed detail
+    * agg + one key join + a |status×bucket|-row rollup — linear, and the
+    * detail agg ships one row per order through the join. */
+  def orderReconcile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val detail = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_extendedprice".cast(DecimalType(18, 2))).as("detail_total"))
+    val h = $"o_totalprice".cast(DecimalType(18, 2))
+    val diff = abs(h - coalesce($"detail_total", lit(0).cast(DecimalType(18, 2))))
+    Tables.orders(spark, dir)
+      .join(detail, $"o_orderkey" === $"l_orderkey", "left_outer")
+      .select($"o_orderstatus",
+        when($"detail_total".isNull, "missing_detail")
+          .when(diff * 100 <= h, "matched")
+          .otherwise("mismatched").as("recon_status"),
+        diff.as("disc"))
+      .groupBy($"o_orderstatus", $"recon_status")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"disc").cast(DoubleType).as("total_discrepancy"))
+      .orderBy($"o_orderstatus", $"recon_status")
+  }
+
   /** NS (LLM pipeline): exact dedup with a deterministic keeper — first
     * event per (user_id, event_type) by (ts, event_id). Same single
     * shuffle as groupBy; `dropDuplicates` semantics but reproducible, which

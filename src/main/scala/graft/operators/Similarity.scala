@@ -296,6 +296,32 @@ object Similarity {
     * integer checksum of the codes and the max absolute reconstruction
     * error (max is permutation-safe; a double sum would depend on fold
     * order). Pure per-row HOFs — zero shuffle, linear at any scale. */
+  /** NS: per-label embedding centroids — the class-prototype computation
+    * behind nearest-centroid classifiers, cluster-drift monitors, and
+    * SemDeDup's cell means. Components are quantized to 2^-20 fixed point
+    * BEFORE summing, so the per-(label, dim) sums are order-free integer
+    * arithmetic (a cross-row double sum depends on partition fold order —
+    * not bit-reproducible on any engine pair); the centroid is emitted as
+    * integer mean ⌊Σ/n⌋ in the same units. One bounded posexplode (64
+    * rows/vector) + one (label, dim)-keyed partial-agg shuffle of
+    * |labels|·64 rows — linear at any scale. */
+  def embeddingCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"label", posexplode($"embedding").as(Seq("dim", "x")))
+      .withColumn("x_u20",
+        floor($"x".cast(DoubleType) * 1048576.0 + 0.5).cast(LongType))
+      .groupBy($"label", $"dim")
+      .agg(count(lit(1)).as("n"), sum($"x_u20").as("sum_u20"))
+      .select($"label", $"dim", $"n", $"sum_u20",
+        // integer division, truncating toward zero: Spark's `div` and
+        // DuckDB's BIGINT `//` both truncate (measured: -488498//50 =
+        // -9769), and staying integer keeps exactness past 2^53 where a
+        // double round-trip would not
+        expr("sum_u20 div n").as("mean_u20"))
+      .orderBy($"label", $"dim")
+  }
+
   def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val xd: Column => Column = x => x.cast(DoubleType)
