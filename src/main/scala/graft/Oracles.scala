@@ -651,6 +651,18 @@ object Oracles {
         |         toks[CAST(start_tok + 1 AS INT):CAST(start_tok + 32 AS INT)],
         |         ' ')) AS chunk_md5
         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "vocab_coverage" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |           FROM documents),
+        |v AS (SELECT token FROM (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |                         FROM t GROUP BY token)
+        |      ORDER BY cnt DESC, token LIMIT 256),
+        |j AS (SELECT t.source, CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM t LEFT JOIN v ON t.token = v.token)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(oov) AS BIGINT) AS n_oov,
+        |       CAST((sum(oov) * 1000) // count(*) AS BIGINT) AS oov_permille
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     "bpe_merges" ->
       """WITH v AS (SELECT t AS word, CAST(count(*) AS BIGINT) AS cnt
         |           FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

@@ -126,6 +126,7 @@ object SparkEntry {
     "bm25_topk"            -> (CorpusOps.bm25Topk(_, _, 10)),
     "rrf_fusion"           -> (CorpusOps.rrfFusion(_, _, 20)),
     "bpe_merges"           -> (CorpusOps.bpeMerges(_, _, 20)),
+    "vocab_coverage"       -> (CorpusOps.vocabCoverage(_, _, 256)),
     "stratified_sample"    -> (CorpusOps.stratifiedSample(_, _)),
     "doc_dedup_exact"      -> (DocDedup.docDedupExact(_, _)),
     "minhash_signatures"   -> (DocDedup.minhashSignatures(_, _)),

@@ -461,6 +461,32 @@ object CorpusOps {
       .orderBy($"token")
   }
 
+  /** NS: vocabulary coverage / OOV-rate report — the tokenizer-fit eval
+    * run before committing to a vocab: fix the top-256 corpus tokens as
+    * the vocabulary (count-ranked, ties to the lexicographically smaller
+    * token — deterministic in any engine), then measure per source how
+    * much token mass falls outside it. A rising OOV rate on a new source
+    * is the signal the tokenizer no longer fits the mixture. The vocab is
+    * a bounded TakeOrdered (256 rows, broadcast back); the measurement is
+    * one explode + broadcast membership join + per-source agg — linear,
+    * no corpus-scale shuffle. Rate emitted in integer permille
+    * (truncating div, identical in Spark and DuckDB). */
+  def vocabCoverage(spark: SparkSession, dir: String, vocabSize: Int = 256): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"source", explode(tokens($"text")).as("token"))
+    val vocab = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"token").limit(vocabSize)
+      .select($"token", lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left_outer")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select($"source", $"n_tokens", $"n_oov",
+        expr("(n_oov * 1000) div n_tokens").as("oov_permille"))
+      .orderBy($"source")
+  }
+
   /** NS: BPE merge candidates — the inner statistic of byte-pair-encoding
     * tokenizer training (Sennrich et al., arXiv:1508.07909): count every
     * adjacent character pair across the corpus, weighted by word frequency;
