@@ -199,6 +199,28 @@ object Oracles {
         |FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin),
+    "dedup_ensemble" -> {
+      val mhPairs = minhashCte +
+        """,
+          |b AS (SELECT doc_id, ks.k, array_to_string(sig[4*ks.k+1:4*ks.k+4], ',') AS bv
+          |      FROM s, (SELECT unnest([0,1,2,3]) AS k) ks)
+          |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          |FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id""".stripMargin
+      val shPairs = simhashCte +
+        """,
+          |b AS (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
+          |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks)
+          |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          |FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
+          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin
+      s"""SELECT COALESCE(a.doc_a, s.doc_a) AS doc_a,
+         |       COALESCE(a.doc_b, s.doc_b) AS doc_b,
+         |       CASE WHEN a.doc_a IS NULL THEN 0 ELSE 1 END AS by_minhash,
+         |       CASE WHEN s.doc_a IS NULL THEN 0 ELSE 1 END AS by_simhash
+         |FROM ($mhPairs) a FULL OUTER JOIN ($shPairs) s
+         |  ON a.doc_a = s.doc_a AND a.doc_b = s.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "dedup_clusters" -> (clustersSql + " ORDER BY doc_id"),
     "dedup_survivorship" ->
       s"""WITH j AS (SELECT COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,

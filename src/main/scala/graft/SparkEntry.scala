@@ -139,6 +139,7 @@ object SparkEntry {
     "dedup_clusters"       -> (DocDedup.dedupClusters(_, _)),
     "cluster_stats"        -> (DocDedup.clusterStats(_, _)),
     "dedup_survivorship"   -> (DocDedup.dedupSurvivorship(_, _)),
+    "dedup_ensemble"       -> (DocDedup.dedupEnsemble(_, _)),
     "dup_spans"            -> (DocDedup.dupSpans(_, _, 16)),
     "similarity_search"    -> (Similarity.similaritySearch(_, _)),
     "ann_lsh_buckets"      -> (Similarity.annLshBuckets(_, _)),

@@ -412,6 +412,27 @@ object DocDedup {
     * size → per-size histogram): the first shuffles ≤|clusters| rows, the
     * second ≤|distinct sizes| — both strictly smaller than the label set,
     * so the profile adds no scale risk to the CC computation it reads. */
+  /** NS: ensemble dedup agreement — MinHash (word-3-gram Jaccard proxy)
+    * and SimHash (bit-distance proxy) candidate pairs full-outer merged
+    * with per-method flags: pairs both methods agree on are the
+    * high-confidence removals, single-method pairs are where the two
+    * similarity notions genuinely differ (set overlap vs weighted bit
+    * profile) and human thresholds get tuned. Cost is the two candidate
+    * generators (each already bucketed, no all-pairs) plus one pair-keyed
+    * full-outer join of the candidate sets — candidates, not corpus. */
+  def dedupEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mh = minhashDedupPairs(spark, dir).select($"doc_a", $"doc_b")
+      .withColumn("by_minhash", lit(1))
+    val sh = simhashNearDupPairs(spark, dir).select($"doc_a", $"doc_b")
+      .withColumn("by_simhash", lit(1))
+    mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
+      .select($"doc_a", $"doc_b",
+        coalesce($"by_minhash", lit(0)).as("by_minhash"),
+        coalesce($"by_simhash", lit(0)).as("by_simhash"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** NS: survivorship — the step AFTER entity resolution: collapse each
     * near-dup cluster ([[dedupClusters]] labels) into one golden record
     * with column-level rules (keeper id = min, length = max, source/lang

@@ -1,0 +1,118 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for the reference's synthetic sales generator
+  * (A1, golang/chapter_4/sales/sales_data_source.go:10-33) — the full
+  * connector surface a real source plugs in through, not just a
+  * `spark.range` projection: schema inference, options (`rows`,
+  * `partitions`), executor-side partition planning (each input partition
+  * generates its own id range — nothing materializes on the driver), and
+  * column pruning pushed INTO the reader (a pruned scan never computes the
+  * dropped columns — visible as the scan's output attribute list).
+  *
+  * Row values are generator-identical to
+  * [[SyntheticSources.productTransactions]] (parity-tested), so the same
+  * data can be read either way:
+  * {{{ spark.read.format("graft-sales").option("rows", 1e9).load() }}}
+  *
+  * Scale: partitions default to the session's parallelism knob at the call
+  * site; 10^11 rows is a config change, the driver only ever holds
+  * (start, end) pairs.
+  */
+class SalesTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-sales"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SalesTable.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SalesTable(properties.getOrDefault("rows", "10").toLong,
+      properties.getOrDefault("partitions", "1").toInt)
+}
+
+object SalesTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("row_id", LongType, nullable = false),
+    StructField("customer_name", StringType, nullable = false),
+    StructField("product_name", StringType, nullable = false),
+    StructField("quantity", IntegerType, nullable = false),
+    StructField("price", DoubleType, nullable = false)))
+
+  // Same literal pools as SyntheticSources (reference's constant fixtures).
+  val Customers: Array[String] = Array("Barney Rubble", "Fred Flintstone",
+    "Wilma Flintstone", "Betty Rubble", "Pebbles Flintstone")
+  val Products: Array[String] = Array("quarter pounder", "blue jeans",
+    "red shirt", "black shoes", "tan pants")
+
+  /** Field value for global row i — kept generator-identical to
+    * [[SyntheticSources.productTransactions]] (Spark's `round(_, 2)` is
+    * BigDecimal HALF_UP, mirrored here). */
+  def value(i: Long, field: String): Any = field match {
+    case "row_id"        => i
+    case "customer_name" => UTF8String.fromString(Customers((i % 5).toInt))
+    case "product_name"  => UTF8String.fromString(Products(((i % 7) % 5).toInt))
+    case "quantity"      => (i % 10 + 1).toInt
+    // BigDecimal.valueOf (shortest decimal repr), NOT the exact-binary
+    // constructor: Spark's Round does valueOf, and the two disagree on
+    // decimal ties (2.675 vs 2.67499...)
+    case "price" => java.math.BigDecimal.valueOf(i % 997 * 0.37 + 1.0)
+      .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+}
+
+class SalesTable(rows: Long, parts: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_sales(rows=$rows, partitions=$parts)"
+  override def schema(): StructType = SalesTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SalesScanBuilder(rows, parts)
+}
+
+class SalesScanBuilder(rows: Long, parts: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = SalesTable.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new SalesScan(rows, parts, required)
+}
+
+case class SalesRange(start: Long, end: Long) extends InputPartition
+
+class SalesScan(rows: Long, parts: Int, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-sales rows=$rows cols=${required.fieldNames.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, (rows + parts - 1) / parts)
+    (0L until rows by per)
+      .map(s => SalesRange(s, math.min(rows, s + per))).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SalesReaderFactory(required.fieldNames)
+}
+
+class SalesReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val range = partition.asInstanceOf[SalesRange]
+    new PartitionReader[InternalRow] {
+      private var i = range.start - 1
+      override def next(): Boolean = { i += 1; i < range.end }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(fields.toIndexedSeq.map(f => SalesTable.value(i, f)))
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -70,6 +70,26 @@ class SourcesSpec extends SparkSpecBase {
     assert(a.queryExecution.executedPlan.toString.contains("Range"))
   }
 
+  test("DSv2 sales connector: partition planning, parity, reader-level pruning") {
+    val df = spark.read.format("graft-sales")
+      .option("rows", "100").option("partitions", "4").load()
+    assert(df.count() === 100)
+    assert(df.rdd.getNumPartitions === 4)
+    // generator parity with the range-based A1 source, row for row
+    val viaRange = SyntheticSources.productTransactions(spark, 100)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    val viaDsv2 = df.orderBy("row_id")
+      .select("customer_name", "product_name", "quantity", "price")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    assert(viaDsv2.toSeq === viaRange.toSeq)
+    // column pruning reaches the reader: the scan's output (and its
+    // description) must carry only the required column
+    val pruned = df.select("quantity")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("cols=quantity"), s"pruning not pushed to reader:\n$scan")
+    assert(pruned.collect().map(_.getInt(0)).sum === (0 until 100).map(_ % 10 + 1).sum)
+  }
+
   test("static multi-event source matches the reference's fixed list (A3)") {
     import spark.implicits._
     val rows = SyntheticSources.staticMultiEvents(spark)
