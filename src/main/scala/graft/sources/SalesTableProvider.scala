@@ -73,22 +73,23 @@ class SalesTable(rows: Long, parts: Int) extends Table with SupportsRead {
   override def name(): String = s"graft_sales(rows=$rows, partitions=$parts)"
   override def schema(): StructType = SalesTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SalesScanBuilder(rows, parts)
+    new SalesScanBuilder(rows, parts,
+      options.getOrDefault("rowsPerBatch", "10").toLong)
 }
 
-class SalesScanBuilder(rows: Long, parts: Int)
+class SalesScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = SalesTable.Schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new SalesScan(rows, parts, required)
+  override def build(): Scan = new SalesScan(rows, parts, rowsPerBatch, required)
 }
 
 case class SalesRange(start: Long, end: Long) extends InputPartition
 
-class SalesScan(rows: Long, parts: Int, required: StructType)
+class SalesScan(rows: Long, parts: Int, rowsPerBatch: Long, required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -101,6 +102,47 @@ class SalesScan(rows: Long, parts: Int, required: StructType)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new SalesReaderFactory(required.fieldNames)
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new SalesMicroBatchStream(rows, rowsPerBatch, required.fieldNames)
+}
+
+/** Micro-batch stream over the same generator: the offset is simply "rows
+  * emitted so far", each trigger advances by `rowsPerBatch` (the
+  * reference's 10-records-per-3s produce loop, A1+A31), and a batch replay
+  * regenerates exactly the same id range — deterministic replay is what
+  * makes the checkpoint contract exactly-once into tracked sinks. Under
+  * Trigger.AvailableNow the prepared target is the full row budget. */
+class SalesMicroBatchStream(rows: Long, rowsPerBatch: Long, fields: Array[String])
+    extends streaming.MicroBatchStream with streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  private case class SalesOffset(n: Long) extends Offset {
+    override def json(): String = n.toString
+  }
+  @volatile private var availableNowTarget: Option[Long] = None
+  @volatile private var last: Long = 0L
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(rows)
+  override def initialOffset(): Offset = SalesOffset(0L)
+  // SupportsAdmissionControl path (the one the engine actually calls):
+  // advance from the committed start, never past the row budget
+  override def latestOffset(start: Offset,
+      limit: streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[SalesOffset].n
+    last = availableNowTarget.getOrElse(math.min(rows, s + rowsPerBatch))
+    SalesOffset(last)
+  }
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control entry point")
+  override def deserializeOffset(json: String): Offset = SalesOffset(json.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[SalesOffset].n, end.asInstanceOf[SalesOffset].n)
+    if (s >= e) Array.empty else Array(SalesRange(s, e))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SalesReaderFactory(fields)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class SalesReaderFactory(fields: Array[String])

@@ -90,6 +90,21 @@ class SourcesSpec extends SparkSpecBase {
     assert(pruned.collect().map(_.getInt(0)).sum === (0 until 100).map(_ % 10 + 1).sum)
   }
 
+  test("DSv2 sales connector streams: AvailableNow drain == batch read") {
+    val q = spark.readStream.format("graft-sales")
+      .option("rows", "57").option("rowsPerBatch", "10").load()
+      .writeStream.format("memory").queryName("dsv2_sales")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("dsv2_sales")
+    assert(streamed.count() === 57)
+    val batch = spark.read.format("graft-sales").option("rows", "57").load()
+    assert(streamed.orderBy("row_id").collect().map(_.toString).toSeq ===
+      batch.orderBy("row_id").collect().map(_.toString).toSeq)
+  }
+
   test("static multi-event source matches the reference's fixed list (A3)") {
     import spark.implicits._
     val rows = SyntheticSources.staticMultiEvents(spark)
