@@ -163,6 +163,15 @@ class PlanSpec extends SparkSpecBase {
     assert("FileScan".r.findAllIn(p).size == 1, s"more than one scan:\n$p")
   }
 
+  test("corr_matrix computes all 15 moments in ONE scan, no per-pair subtrees") {
+    val p = physical(graft.operators.Relational.corrMatrix(spark, Sf0001))
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"pairwise moments re-scanned the table:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in the moment plan:\n$p")
+    assert(p.contains("Expand") || p.contains("Generate"),
+      s"melt stage missing:\n$p")
+  }
+
   test("correlated_subquery decorrelates to one aggregate + join") {
     // Catalyst must rewrite the per-row correlated scalar subquery into a
     // per-part aggregate joined back — never a subquery evaluated per row.
