@@ -26,10 +26,14 @@ import graft.functions._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     registry.foreach { case (name, (info, builder)) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // Optimizer rule: collapse provably-redundant unicode_normalize chains
+    // (UAX #15 idempotence / compatibility absorption) — see NormalizeCollapse.
+    ext.injectOptimizerRule(_ => NormalizeCollapse)
+  }
 }
 
 object GraftExtensions {

@@ -118,4 +118,42 @@ class ExtensionsSpec extends SparkSpecBase {
     val normSql = df.selectExpr("unicode_normalize(k, 'NFKC')").as[String].collect()
     assert(normCol.sameElements(normSql))
   }
+
+  test("NormalizeCollapse rewrites redundant chains and ONLY those") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.{unicode_normalize => un, UnicodeNormalize}
+    def normCount(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int = {
+      var n = 0
+      plan.transformAllExpressions { case e: UnicodeNormalize => n += 1; e }
+      n
+    }
+    // non-foldable input column: a literal would be constant-folded before
+    // the rule could be observed; a+acute, fi-ligature, angstrom payload
+    val df = spark.range(1).select(
+      org.apache.spark.sql.functions.concat(
+        col("id").cast("string"),
+        org.apache.spark.sql.functions.lit("á ﬁle Å")).as("s"))
+    // idempotent chain collapses to one call with the outer form
+    val redundant = df.select(un(un(col("s"), "NFD"), "NFKC").as("t"))
+      .queryExecution.optimizedPlan
+    val collapsed = graft.plans.NormalizeCollapse(redundant)
+    assert(normCount(redundant) === 2 && normCount(collapsed) === 1)
+    // canonical-after-compatibility must NOT collapse (different output)
+    val legit = df.select(un(un(col("s"), "NFKD"), "NFC").as("t"))
+      .queryExecution.optimizedPlan
+    assert(normCount(graft.plans.NormalizeCollapse(legit)) === 2)
+    // runtime identities backing the rewrite, on adversarial codepoints
+    val row = df.select(
+      un(un(col("s"), "NFD"), "NFKC").as("chain"),
+      un(col("s"), "NFKC").as("direct"),
+      un(un(col("s"), "NFC"), "NFC").as("idem"),
+      un(col("s"), "NFC").as("once"),
+      un(un(col("s"), "NFKD"), "NFC").as("kd_then_c"))
+      .collect()(0)
+    assert(row.getString(0) === row.getString(1), "NFKC absorbs NFD")
+    assert(row.getString(2) === row.getString(3), "NFC idempotent")
+    assert(row.getString(4) !== row.getString(3),
+      "NFC(NFKD(x)) differs from NFC(x) — correctly not collapsed")
+  }
 }
