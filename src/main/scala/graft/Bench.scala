@@ -24,6 +24,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Every unpartitioned window in the suite is ≤k rows BY CONSTRUCTION
+    // (rank stamps on top-k lists after a TakeOrdered/limit), so
+    // WindowExec's "No Partition Defined" warning is pure noise here —
+    // silence that one logger so real warnings stay visible in the log.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // Warmup: exercise the machinery every timed query relies on — parquet
     // scan, exchange+sort, hash agg, window, HOF/codegen — on the tiny
     // sf0.001 data, so first-JIT and scan-init cost doesn't land on

@@ -24,6 +24,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // bounded-by-construction global rank windows — see the note in Bench
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // Write the oracle SQL BEFORE running any query: if this process is
     // killed at the driver's wall-clock budget, the comparator can still
