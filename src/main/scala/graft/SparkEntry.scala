@@ -82,6 +82,7 @@ object SparkEntry {
     "quantile_report"      -> (Relational.quantileReport(_, _)),
     "loglin_quantiles"     -> (Relational.loglinQuantiles(_, _)),
     "scd2_build"           -> (Relational.scd2Build(_, _)),
+    "scd2_slice"           -> (Relational.scd2Slice(_, _)),
     "anomaly_zscore"       -> (Relational.anomalyZscore(_, _, 3.0)),
     "data_profile"         -> (Relational.dataProfile(_, _)),
     "dedup"                -> (Relational.dedup(_, _)),
@@ -860,6 +861,18 @@ object SparkEntry {
         |       event_id
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |ORDER BY user_id, version""".stripMargin,
+    "scd2_slice" ->
+      """WITH e AS (SELECT user_id, event_type AS state,
+        |             epoch_ns(ts) // 1000 AS ts_us, event_id FROM events),
+        |v AS (SELECT user_id, CAST(row_number() OVER w AS INT) AS version, state,
+        |        ts_us AS valid_from_us,
+        |        lead(ts_us) OVER w - 1 AS valid_to_us, event_id
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |t AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS t_us FROM e)
+        |SELECT user_id, version, state, valid_from_us, event_id
+        |FROM v, t
+        |WHERE valid_from_us <= t_us AND (valid_to_us IS NULL OR t_us <= valid_to_us)
+        |ORDER BY user_id""".stripMargin,
     "anomaly_zscore" ->
       """WITH s AS (SELECT event_type,
         |             CAST(count(*) AS BIGINT) AS n,

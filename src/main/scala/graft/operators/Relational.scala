@@ -800,6 +800,25 @@ object Relational {
       .orderBy($"user_id", $"version")
   }
 
+  /** NS: point-in-time dimension slice — "the table AS OF instant T" read
+    * off the [[scd2Build]] version table: per key, the single version row
+    * whose half-open validity interval covers T. T is data-derived (the
+    * µs midpoint of the corpus time range, one tiny agg broadcast back)
+    * so the query is meaningful at every scale factor. With the version
+    * table pre-built this is a scan-side interval filter — no join, no
+    * window, at most one surviving row per key; completes the SCD2 story:
+    * [[scd2Build]] builds, this slices, [[mergeUpsert]] applies. */
+  def scd2Slice(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables.events(spark, dir)
+      .agg(expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("t_us"))
+    scd2Build(spark, dir).crossJoin(broadcast(t))
+      .where($"valid_from_us" <= $"t_us" &&
+        ($"valid_to_us".isNull || $"t_us" <= $"valid_to_us"))
+      .select($"user_id", $"version", $"state", $"valid_from_us", $"event_id")
+      .orderBy($"user_id")
+  }
+
   /** NS: mergeable log-linear histogram quantiles — the quantile SKETCH
     * companion to [[quantileReport]]'s exact percentiles (HdrHistogram /
     * DDSketch family, but built on pure integer math so engine and oracle

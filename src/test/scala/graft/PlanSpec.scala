@@ -225,7 +225,8 @@ class PlanSpec extends SparkSpecBase {
       "cooccur_pmi",   // 1-row (t_uni, t_pair) broadcast onto vocab pairs
       "skew_profile",  // 1-row total broadcast onto the top-k hot keys
       "rrf_fusion",    // 1-row probe + 1-row corpus stats broadcast (both arms)
-      "stratified_sample") // 1-row min-stratum target broadcast onto the scan
+      "stratified_sample", // 1-row min-stratum target broadcast onto the scan
+      "scd2_slice")    // 1-row as-of instant T broadcast onto the version table
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = physical(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
