@@ -138,6 +138,35 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"unexpected window:\n$p")
   }
 
+  test("bpe_merges: pairs are adjacent char bigrams with consistent mass") {
+    val rows = CorpusOps.bpeMerges(spark, Sf0001, 20).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach(r => assert(r.getString(0).length === 2, s"non-bigram ${r.getString(0)}"))
+    val counts = rows.map(_.getLong(1)).toSeq
+    assert(counts === counts.sorted(Ordering[Long].reverse), "not rank-ordered")
+    assert(counts.forall(_ > 0))
+    // cross-check the top pair's count against a direct recomputation
+    val docs = graft.Tables.documents(spark, Sf0001)
+      .select("text").collect().map(_.getString(0))
+    val direct = docs.iterator.flatMap(_.split(" ").iterator)
+      .flatMap(w => if (w.length < 2) Iterator.empty else w.sliding(2))
+      .foldLeft(Map.empty[String, Long]) { (m, p) => m + (p -> (m.getOrElse(p, 0L) + 1L)) }
+    val (topPair, topN) = (rows.head.getString(0), rows.head.getLong(1))
+    assert(direct(topPair) === topN, s"top pair $topPair count mismatch")
+    assert(direct.values.max === topN, "a heavier pair was missed")
+  }
+
+  test("vocab_coverage: OOV mass bounded and permille consistent") {
+    val rows = CorpusOps.vocabCoverage(spark, Sf0001, 256).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, nOov, pm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nOov <= nTok)
+      assert(pm === nOov * 1000 / nTok, s"permille mismatch for ${r.getString(0)}")
+      assert(nTok > 0)
+    }
+  }
+
   test("rrf_fusion: ranks bounded by k, scores recompute, output ordered") {
     val rows = CorpusOps.rrfFusion(spark, Sf0001, 20).collect()
     assert(rows.nonEmpty && rows.length <= 40, s"${rows.length} rows from two top-20 arms")
