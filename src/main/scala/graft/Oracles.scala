@@ -599,7 +599,7 @@ object Oracles {
         |               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
         |               AND 1 PRECEDING), 0) AS off
         |           FROM documents)
-        |SELECT source, off // 4096 AS bin_id,
+        |SELECT source, CAST(off // 4096 AS BIGINT) AS bin_id,
         |       CAST(count(*) AS BIGINT) AS n_files,
         |       CAST(sum(bytes) AS BIGINT) AS bin_bytes,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc

@@ -36,10 +36,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * array, map, union, record (nested). Not supported: enum and fixed
   * (absent from the reference surface) — rejected at parse time.
   *
-  * Serde demo path, not a bench hot path → interpreted eval
-  * (CodegenFallback), same as [[RecordCodecs]]. Schemas are constant
-  * strings: parsing + static resolution validation happen once at plan
-  * time, never per row.
+  * The expressions are CodegenFallback (like [[RecordCodecs]]) but run
+  * COMPILED closure trees ([[compileEncoder]]/[[compileDecoder]]): schema
+  * parsing, resolution validation, Spark type mapping, record field
+  * actions, defaults, and union branch choice all happen once at plan
+  * time, never per row. The recursive `encode`/`decodeResolved`
+  * interpreters remain as the executable spec tests cross-check against.
   */
 object AvroSchemaCodec {
 
@@ -423,6 +425,280 @@ object AvroSchemaCodec {
         encode(f.tpe, row.get(i, sparkType(f.tpe)), out)
       }
   }
+
+  // ---- compiled codecs ----
+  //
+  // Plan-time specialization of the recursive interpreters above: the
+  // expressions below run these, one closure tree per (writer, reader)
+  // pair built ONCE at first eval. Everything per-schema — Spark
+  // DataTypes, record field actions (decode-into-slot vs skip),
+  // reader-only default values, union branch resolution — is resolved
+  // here, where the interpreted forms re-derived them per row (the
+  // per-row `readerIdx` map + `writerNames` set builds and the
+  // exception-driven `canResolve` probe per union datum were the
+  // measured hot spots). The interpreted `encode`/`decodeResolved`
+  // stay as the executable spec the tests cross-check against.
+
+  /** Unsynchronized growable byte buffer: ByteArrayOutputStream takes a
+    * monitor per write (real per-row cost since JDK 15 removed biased
+    * locking) — this is the same API surface without the lock, reused
+    * across rows via a ThreadLocal in [[AvroEncodeSchema]]. */
+  final class ByteSink {
+    private var buf = new Array[Byte](256)
+    private var len = 0
+    def reset(): Unit = len = 0
+    private def ensure(n: Int): Unit =
+      if (len + n > buf.length) {
+        var cap = buf.length << 1
+        while (cap < len + n) cap <<= 1
+        buf = java.util.Arrays.copyOf(buf, cap)
+      }
+    def writeByte(b: Int): Unit = { ensure(1); buf(len) = b.toByte; len += 1 }
+    def write(bs: Array[Byte], off: Int, n: Int): Unit = {
+      ensure(n); System.arraycopy(bs, off, buf, len, n); len += n
+    }
+    def writeZigZag(n: Long): Unit = {
+      var v = (n << 1) ^ (n >> 63)
+      ensure(10)
+      while ((v & ~0x7fL) != 0) { buf(len) = ((v & 0x7f) | 0x80).toByte; len += 1; v >>>= 7 }
+      buf(len) = v.toByte; len += 1
+    }
+    def toByteArray: Array[Byte] = java.util.Arrays.copyOf(buf, len)
+  }
+
+  /** Mutable decode position — replaces the `(value, nextPos)` tuple (and
+    * its per-value Int boxing) of the interpreted decoder. */
+  final class Cursor { var pos = 0 }
+
+  type Enc = (Any, ByteSink) => Unit
+  type Dec = (Array[Byte], Cursor) => Any
+
+  private def readZigZagC(buf: Array[Byte], c: Cursor): Long = {
+    var x = 0L; var s = 0; var i = c.pos
+    while (true) {
+      val b = buf(i) & 0xff
+      x |= (b & 0x7fL) << s
+      i += 1
+      if ((b & 0x80) == 0) { c.pos = i; return (x >>> 1) ^ -(x & 1) }
+      s += 7
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def writeLeSink(out: ByteSink, v: Long, n: Int): Unit = {
+    var i = 0
+    while (i < n) { out.writeByte(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+  }
+
+  def compileEncoder(t: AvroType): Enc = t match {
+    case ANull => (_, _) => ()
+    case ABoolean => (v, out) => out.writeByte(if (v.asInstanceOf[Boolean]) 1 else 0)
+    case AInt => (v, out) => out.writeZigZag(v.asInstanceOf[Int].toLong)
+    case ALong => (v, out) => out.writeZigZag(v.asInstanceOf[Long])
+    case AFloat => (v, out) =>
+      writeLeSink(out, java.lang.Float.floatToIntBits(v.asInstanceOf[Float]) & 0xffffffffL, 4)
+    case ADouble => (v, out) =>
+      writeLeSink(out, java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 8)
+    case AString => (v, out) => {
+      val b = v.asInstanceOf[UTF8String].getBytes
+      out.writeZigZag(b.length.toLong)
+      out.write(b, 0, b.length)
+    }
+    case ABytes => (v, out) => {
+      val b = v.asInstanceOf[Array[Byte]]
+      out.writeZigZag(b.length.toLong)
+      out.write(b, 0, b.length)
+    }
+    case AArray(it) =>
+      val et = sparkType(it)
+      val itemEnc = compileEncoder(it)
+      (v, out) => {
+        val arr = v.asInstanceOf[ArrayData]
+        val n = arr.numElements()
+        if (n > 0) {
+          out.writeZigZag(n.toLong)
+          var i = 0
+          while (i < n) { itemEnc(arr.get(i, et), out); i += 1 }
+        }
+        out.writeZigZag(0L)
+      }
+    case AMap(vt) =>
+      val et = sparkType(vt)
+      val valEnc = compileEncoder(vt)
+      (v, out) => {
+        val m = v.asInstanceOf[MapData]
+        val n = m.numElements()
+        if (n > 0) {
+          out.writeZigZag(n.toLong)
+          var i = 0
+          while (i < n) {
+            val k = m.keyArray().get(i, StringType).asInstanceOf[UTF8String].getBytes
+            out.writeZigZag(k.length.toLong)
+            out.write(k, 0, k.length)
+            valEnc(m.valueArray().get(i, et), out)
+            i += 1
+          }
+        }
+        out.writeZigZag(0L)
+      }
+    case AUnion(bs) =>
+      val nullIdx = bs.indexOf(ANull)
+      val valIdx = bs.indexWhere(_ != ANull)
+      val valEnc = if (valIdx >= 0) compileEncoder(bs(valIdx)) else null
+      (v, out) =>
+        if (v == null) {
+          require(nullIdx >= 0, "null value but union has no null branch")
+          out.writeZigZag(nullIdx.toLong)
+        } else {
+          out.writeZigZag(valIdx.toLong)
+          valEnc(v, out)
+        }
+    case ARecord(_, fs) =>
+      val fieldTypes = fs.map(f => sparkType(f.tpe)).toArray
+      val fieldEncs = fs.map(f => compileEncoder(f.tpe)).toArray
+      (v, out) => {
+        val row = v.asInstanceOf[InternalRow]
+        var i = 0
+        while (i < fieldEncs.length) { fieldEncs(i)(row.get(i, fieldTypes(i)), out); i += 1 }
+      }
+  }
+
+  def compileDecoder(w: AvroType, r: AvroType): Dec = (w, r) match {
+    case (ANull, ANull) => (_, _) => null
+    case (ABoolean, ABoolean) => (buf, c) => { val v = buf(c.pos) != 0; c.pos += 1; v }
+    case (AInt | ALong, _) => r match {
+      case AInt => (buf, c) => readZigZagC(buf, c).toInt
+      case ALong => (buf, c) => readZigZagC(buf, c)
+      case AFloat => (buf, c) => readZigZagC(buf, c).toFloat
+      case ADouble => (buf, c) => readZigZagC(buf, c).toDouble
+      case other => throw new IllegalArgumentException(s"cannot promote $w to $other")
+    }
+    case (AFloat, _) => r match {
+      case AFloat => (buf, c) => {
+        val v = java.lang.Float.intBitsToFloat(readLe(buf, c.pos, 4).toInt)
+        c.pos += 4; v
+      }
+      case ADouble => (buf, c) => {
+        val v = java.lang.Float.intBitsToFloat(readLe(buf, c.pos, 4).toInt).toDouble
+        c.pos += 4; v
+      }
+      case other => throw new IllegalArgumentException(s"cannot promote float to $other")
+    }
+    case (ADouble, ADouble) => (buf, c) => {
+      val v = java.lang.Double.longBitsToDouble(readLe(buf, c.pos, 8))
+      c.pos += 8; v
+    }
+    case (AString | ABytes, _) => r match {
+      case AString => (buf, c) => {
+        val len = readZigZagC(buf, c).toInt
+        val v = UTF8String.fromBytes(buf, c.pos, len)
+        c.pos += len; v
+      }
+      case ABytes => (buf, c) => {
+        val len = readZigZagC(buf, c).toInt
+        val v = java.util.Arrays.copyOfRange(buf, c.pos, c.pos + len)
+        c.pos += len; v
+      }
+      case other => throw new IllegalArgumentException(s"cannot promote $w to $other")
+    }
+    case (AArray(wi), AArray(ri)) =>
+      val itemDec = compileDecoder(wi, ri)
+      (buf, c) => {
+        val items = mutable.ArrayBuffer.empty[Any]
+        var more = true
+        while (more) {
+          var n = readZigZagC(buf, c)
+          if (n == 0) more = false
+          else {
+            if (n < 0) { readZigZagC(buf, c); n = -n }
+            var i = 0L
+            while (i < n) { items += itemDec(buf, c); i += 1 }
+          }
+        }
+        new GenericArrayData(items.toArray)
+      }
+    case (AMap(wv), AMap(rv)) =>
+      val valDec = compileDecoder(wv, rv)
+      (buf, c) => {
+        val keys = mutable.ArrayBuffer.empty[Any]
+        val vals = mutable.ArrayBuffer.empty[Any]
+        var more = true
+        while (more) {
+          var n = readZigZagC(buf, c)
+          if (n == 0) more = false
+          else {
+            if (n < 0) { readZigZagC(buf, c); n = -n }
+            var i = 0L
+            while (i < n) {
+              val klen = readZigZagC(buf, c).toInt
+              keys += UTF8String.fromBytes(buf, c.pos, klen)
+              c.pos += klen
+              vals += valDec(buf, c)
+              i += 1
+            }
+          }
+        }
+        ArrayBasedMapData(keys.toArray, vals.toArray)
+      }
+    case (AUnion(wbs), _) =>
+      // reader branch chosen per WRITER branch — known here, so the
+      // per-datum try/catch `canResolve` probe compiles away entirely
+      val branchDecs: Array[Dec] = wbs.map { b =>
+        r match {
+          case AUnion(rbs) =>
+            val rb = rbs.find(canResolve(b, _)).getOrElse(
+              throw new IllegalArgumentException(s"no reader branch for writer $b"))
+            compileDecoder(b, rb)
+          case _ => compileDecoder(b, r)
+        }
+      }.toArray
+      (buf, c) => branchDecs(readZigZagC(buf, c).toInt)(buf, c)
+    case (_, AUnion(rbs)) =>
+      val rb = rbs.find(canResolve(w, _)).getOrElse(
+        throw new IllegalArgumentException(s"no reader branch for writer $w"))
+      compileDecoder(w, rb)
+    case (ARecord(_, wf), ARecord(_, rf)) =>
+      val readerIdx = rf.map(_.name).zipWithIndex.toMap
+      // per writer field: target reader slot (-1 = skip) + its decoder
+      val slots = new Array[Int](wf.length)
+      val decs = new Array[Dec](wf.length)
+      wf.zipWithIndex.foreach { case (f, i) =>
+        readerIdx.get(f.name) match {
+          case Some(j) => slots(i) = j; decs(i) = compileDecoder(f.tpe, rf(j).tpe)
+          case None =>
+            slots(i) = -1
+            val t = f.tpe
+            decs(i) = (buf, c) => { c.pos = skip(t, buf, c.pos); null }
+        }
+      }
+      val writerNames = wf.map(_.name).toSet
+      // reader-only fields: (slot, default) materialized ONCE — default
+      // values are immutable Catalyst objects, safe to share across rows
+      val defaults: Array[(Int, Any)] = rf.zipWithIndex.collect {
+        case (f, i) if !writerNames.contains(f.name) =>
+          (i, f.default.map(defaultValue(f.tpe, _)).getOrElse(
+            throw new IllegalArgumentException(
+              s"reader field '${f.name}' absent from writer schema and has no default")))
+      }.toArray
+      val nFields = rf.length
+      (buf, c) => {
+        val values = new Array[Any](nFields)
+        var i = 0
+        while (i < decs.length) {
+          val v = decs(i)(buf, c)
+          if (slots(i) >= 0) values(slots(i)) = v
+          i += 1
+        }
+        var j = 0
+        while (j < defaults.length) {
+          values(defaults(j)._1) = defaults(j)._2
+          j += 1
+        }
+        new GenericInternalRow(values)
+      }
+    case (a, b) =>
+      throw new IllegalArgumentException(s"cannot decode writer $a as reader $b")
+  }
 }
 
 /** struct (shaped like the schema) → Avro binary, driven by a constant
@@ -441,9 +717,13 @@ case class AvroEncodeSchema(child: Expression, schemaJson: String)
     } catch {
       case e: IllegalArgumentException => TypeCheckResult.TypeCheckFailure(e.getMessage)
     }
+  @transient private lazy val enc = AvroSchemaCodec.compileEncoder(schema)
+  @transient private lazy val sinks =
+    ThreadLocal.withInitial[AvroSchemaCodec.ByteSink](() => new AvroSchemaCodec.ByteSink)
   override def nullSafeEval(input: Any): Any = {
-    val out = new ByteArrayOutputStream()
-    AvroSchemaCodec.encode(schema, input, out)
+    val out = sinks.get()
+    out.reset()
+    enc(input, out)
     out.toByteArray
   }
   override protected def withNewChildInternal(c: Expression): AvroEncodeSchema =
@@ -470,8 +750,9 @@ case class AvroDecodeSchema(child: Expression, writerJson: String, readerJson: S
     } catch {
       case e: IllegalArgumentException => TypeCheckResult.TypeCheckFailure(e.getMessage)
     }
+  @transient private lazy val dec = AvroSchemaCodec.compileDecoder(writer, reader)
   override def nullSafeEval(input: Any): Any =
-    try AvroSchemaCodec.decodeResolved(writer, reader, input.asInstanceOf[Array[Byte]], 0)._1
+    try dec(input.asInstanceOf[Array[Byte]], new AvroSchemaCodec.Cursor)
     catch { case _: RuntimeException | _: ArrayIndexOutOfBoundsException => null }
   override protected def withNewChildInternal(c: Expression): AvroDecodeSchema =
     copy(child = c)

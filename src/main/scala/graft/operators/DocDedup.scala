@@ -15,6 +15,23 @@ import graft.operators.TextAnalysis.{md5Long28, md5Long60, shingles, tokens}
   */
 object DocDedup {
 
+  // Memo of the expensive shared intermediates (near-dup pair sets and CC
+  // labels), keyed by (session, dir). Several declared queries read the
+  // SAME frame — dedup_clusters / cluster_stats / dedup_survivorship all
+  // consume one label frame, and dedup_ensemble re-reads both pair sets —
+  // so without sharing, one bench/verify run re-runs the candidate
+  // generation + star-contraction loop up to 4×. The cached frames are
+  // lazily localCheckpoint'ed (first action materializes; later readers
+  // reuse the checkpoint blocks), deterministic, and tiny (pairs and
+  // labels, not corpus). Bounded by #sessions × #dirs seen in-process —
+  // a handful in tests/bench; on a real cluster this is a persisted
+  // staging table instead.
+  private val memo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+  private def memoized(spark: SparkSession, dir: String, key: String)(
+      build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((spark, dir, key), build.localCheckpoint(false))
+
   // MinHash: 16 permutations h_i(x) = ((2i+1)·x + 7919·i + 1) mod P over
   // the 28-bit md5 base hash; products stay < 2^34, far from int64 overflow
   // — the same arithmetic is replayable in any engine, which is how the
@@ -75,19 +92,24 @@ object DocDedup {
     */
   def minhashDedupPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sigs = minhashSigs(spark, dir).select($"doc_id", $"sig", $"b0", $"b1", $"b2", $"b3")
-    val bands = sigs.select($"doc_id", $"sig",
-      posexplode(array($"b0", $"b1", $"b2", $"b3")).as(Seq("k", "bv")))
-    val pairs = bands.as("x")
-      .join(bands.as("y"), col("x.k") === col("y.k") && col("x.bv") === col("y.bv"))
-      .where(col("x.doc_id") < col("y.doc_id"))
-      .select(
-        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        (size(filter(zip_with(col("x.sig"), col("y.sig"), (u, v) => u === v),
-          b => b)).cast(DoubleType) / NumHashes).as("est_jaccard"))
-      .distinct()
-    pairs.orderBy($"doc_a", $"doc_b")
+    minhashPairsMemo(spark, dir).orderBy($"doc_a", $"doc_b")
   }
+
+  private def minhashPairsMemo(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "minhash_pairs") {
+      import spark.implicits._
+      val sigs = minhashSigs(spark, dir).select($"doc_id", $"sig", $"b0", $"b1", $"b2", $"b3")
+      val bands = sigs.select($"doc_id", $"sig",
+        posexplode(array($"b0", $"b1", $"b2", $"b3")).as(Seq("k", "bv")))
+      bands.as("x")
+        .join(bands.as("y"), col("x.k") === col("y.k") && col("x.bv") === col("y.bv"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(
+          col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          (size(filter(zip_with(col("x.sig"), col("y.sig"), (u, v) => u === v),
+            b => b)).cast(DoubleType) / NumHashes).as("est_jaccard"))
+        .distinct()
+    }
 
   /** NS: incremental MinHash dedup — the ingest-time shape: a small NEW
     * batch (docs with doc_id ≡ 7 mod 10, standing in for today's crawl)
@@ -152,19 +174,24 @@ object DocDedup {
     * an equal band — the bucket join is lossless, not approximate). */
   def simhashNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = simhashDocs(spark, dir)
-    val bands = docs.select($"doc_id", $"simhash",
-      posexplode(array($"band0", $"band1", $"band2", $"band3")).as(Seq("k", "bv")))
-    bands.as("x")
-      .join(bands.as("y"), col("x.k") === col("y.k") && col("x.bv") === col("y.bv"))
-      .where(col("x.doc_id") < col("y.doc_id"))
-      .select(
-        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .where($"hamming" <= 3)
-      .distinct()
-      .orderBy($"doc_a", $"doc_b")
+    simhashPairsMemo(spark, dir).orderBy($"doc_a", $"doc_b")
   }
+
+  private def simhashPairsMemo(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "simhash_pairs") {
+      import spark.implicits._
+      val docs = simhashDocs(spark, dir)
+      val bands = docs.select($"doc_id", $"simhash",
+        posexplode(array($"band0", $"band1", $"band2", $"band3")).as(Seq("k", "bv")))
+      bands.as("x")
+        .join(bands.as("y"), col("x.k") === col("y.k") && col("x.bv") === col("y.bv"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(
+          col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        .where($"hamming" <= 3)
+        .distinct()
+    }
 
   /** n-gram Jaccard similarity of every document against a probe document
     * (doc_id 0) — the linear, shardable formulation (the all-pairs variant
@@ -393,25 +420,18 @@ object DocDedup {
     * cluster_id = min doc_id in the component. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val labels = connectedComponents(
-      simhashNearDupPairs(spark, dir).select($"doc_a", $"doc_b"))
+    // Label frame memoized directly (connectedComponents already returns a
+    // checkpointed frame): cluster_stats and dedup_survivorship both
+    // consume it, so the star-contraction loop runs once per (session, dir).
+    val labels = memo.getOrElseUpdate((spark, dir, "cc_labels"),
+      connectedComponents(
+        simhashPairsMemo(spark, dir).select($"doc_a", $"doc_b")))
     Tables.documents(spark, dir).select($"doc_id")
       .join(labels, Seq("doc_id"), "left_outer")
       .select($"doc_id", coalesce($"label", $"doc_id").as("cluster_id"))
       .orderBy($"doc_id")
   }
 
-  /** NS: near-dup cluster-size profile — the report one reads BEFORE acting
-    * on [[dedupClusters]]'s output: how many clusters of each size exist,
-    * how many documents they hold, and the duplicate count each size class
-    * would remove under keep-one-per-cluster. A corpus whose mass sits in a
-    * few giant clusters has a template/boilerplate problem, not a dedup
-    * problem — this histogram is how you tell.
-    *
-    * Two bounded aggregations on top of the cluster labels (per-cluster
-    * size → per-size histogram): the first shuffles ≤|clusters| rows, the
-    * second ≤|distinct sizes| — both strictly smaller than the label set,
-    * so the profile adds no scale risk to the CC computation it reads. */
   /** NS: ensemble dedup agreement — MinHash (word-3-gram Jaccard proxy)
     * and SimHash (bit-distance proxy) candidate pairs full-outer merged
     * with per-method flags: pairs both methods agree on are the
@@ -422,9 +442,9 @@ object DocDedup {
     * full-outer join of the candidate sets — candidates, not corpus. */
   def dedupEnsemble(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val mh = minhashDedupPairs(spark, dir).select($"doc_a", $"doc_b")
+    val mh = minhashPairsMemo(spark, dir).select($"doc_a", $"doc_b")
       .withColumn("by_minhash", lit(1))
-    val sh = simhashNearDupPairs(spark, dir).select($"doc_a", $"doc_b")
+    val sh = simhashPairsMemo(spark, dir).select($"doc_a", $"doc_b")
       .withColumn("by_simhash", lit(1))
     mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
       .select($"doc_a", $"doc_b",
@@ -455,6 +475,17 @@ object DocDedup {
       .orderBy($"cluster_id")
   }
 
+  /** NS: near-dup cluster-size profile — the report one reads BEFORE acting
+    * on [[dedupClusters]]'s output: how many clusters of each size exist,
+    * how many documents they hold, and the duplicate count each size class
+    * would remove under keep-one-per-cluster. A corpus whose mass sits in a
+    * few giant clusters has a template/boilerplate problem, not a dedup
+    * problem — this histogram is how you tell.
+    *
+    * Two bounded aggregations on top of the cluster labels (per-cluster
+    * size → per-size histogram): the first shuffles ≤|clusters| rows, the
+    * second ≤|distinct sizes| — both strictly smaller than the label set,
+    * so the profile adds no scale risk to the CC computation it reads. */
   def clusterStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sizes = dedupClusters(spark, dir)

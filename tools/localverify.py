@@ -28,10 +28,32 @@ def canon(v):
         return tuple(sorted((k, canon(x)) for k, x in v.items()))
     return v
 
+def canon_type(t):
+    """Canonical dtype string. The driver's comparator is dtype-sensitive
+    (it hashes materialized numpy frames), so a DuckDB type promotion that
+    python-int comparison would mask (HUGEINT/DECIMAL -> float64 vs Spark's
+    int64) must FAIL here. Only cosmetic arrow spellings are unified."""
+    import pyarrow as pa
+    if pa.types.is_dictionary(t):
+        t = t.value_type
+    s = str(t)
+    if s == "large_string":
+        return "string"
+    if s == "large_binary":
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    # timestamp tz spelling differs (UTC vs +00:00) but unit must match
+    if pa.types.is_timestamp(t):
+        tz = "tz" if t.tz is not None else "ntz"
+        return f"timestamp[{t.unit},{tz}]"
+    return s
+
 def rows_of(tbl):
     cols = sorted(tbl.column_names)
     tbl = tbl.select(cols)
-    return cols, [tuple(canon(v) for v in row) for row in zip(*(tbl.column(c).to_pylist() for c in cols))]
+    types = [canon_type(tbl.schema.field(c).type) for c in cols]
+    return cols, types, [tuple(canon(v) for v in row) for row in zip(*(tbl.column(c).to_pylist() for c in cols))]
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -44,10 +66,15 @@ def main():
         try:
             got_t = ds.dataset(f"{out_dir}/{name}", format="parquet").to_table()
             exp_t = con.sql(sql).arrow()
-            gc, got = rows_of(got_t)
-            ec, exp = rows_of(exp_t)
+            gc, gt, got = rows_of(got_t)
+            ec, et, exp = rows_of(exp_t)
             if gc != ec:
                 print(f"FAIL {name}: columns differ spark={gc} duck={ec}")
+                n_fail += 1
+                continue
+            if gt != et:
+                diffs = [(c, a, b) for c, a, b in zip(gc, gt, et) if a != b]
+                print(f"FAIL {name}: dtypes differ {diffs} (spark vs duck)")
                 n_fail += 1
                 continue
             if len(got) != len(exp):
