@@ -222,6 +222,9 @@ object Oracles {
          |ORDER BY doc_a, doc_b""".stripMargin
     },
     "dedup_clusters" -> (clustersSql + " ORDER BY doc_id"),
+    // incremental merge must be row-identical to the batch closure — the
+    // oracle IS the batch recursive-CTE closure over the full pair graph
+    "dedup_clusters_incremental" -> (clustersSql + " ORDER BY doc_id"),
     "dedup_survivorship" ->
       s"""WITH j AS (SELECT COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
          |             d.doc_id, d.n_chars, d.source, d.lang

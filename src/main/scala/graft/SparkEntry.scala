@@ -138,6 +138,7 @@ object SparkEntry {
     "ngram_jaccard"        -> (DocDedup.ngramJaccardProbe(_, _)),
     "fuzzy_join"           -> (DocDedup.fuzzyJoinPairs(_, _)),
     "dedup_clusters"       -> (DocDedup.dedupClusters(_, _)),
+    "dedup_clusters_incremental" -> (DocDedup.dedupClustersIncremental(_, _)),
     "cluster_stats"        -> (DocDedup.clusterStats(_, _)),
     "dedup_survivorship"   -> (DocDedup.dedupSurvivorship(_, _)),
     "dedup_ensemble"       -> (DocDedup.dedupEnsemble(_, _)),
@@ -719,8 +720,9 @@ object SparkEntry {
       """WITH p AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us, value
         |           FROM events WHERE event_type = 'purchase'),
         |t AS (SELECT user_id AS t_user_id, epoch_ns(ts)//1000 AS t_ts_us,
-        |             event_type AS t_type
-        |      FROM events WHERE event_type <> 'purchase')
+        |             max(event_type) AS t_type
+        |      FROM events WHERE event_type <> 'purchase'
+        |      GROUP BY user_id, epoch_ns(ts)//1000)
         |SELECT COALESCE(t_type, 'none') AS touch,
         |       CAST(count(*) AS BIGINT) AS n_purchases,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -432,6 +432,56 @@ object DocDedup {
       .orderBy($"doc_id")
   }
 
+  /** NS: incremental cluster maintenance — the step that completes the
+    * incremental-ingest story [[minhashIncremental]] starts: merge a NEW
+    * batch's near-dup pairs into EXISTING cluster labels without re-running
+    * the global transitive closure. The new batch is the same standing
+    * slice as minhash_incremental (doc_id ≡ 7 mod 10 = "today's crawl");
+    * prior state is the label table over everything else.
+    *
+    * The merge CONTRACTS each prior component to its label node (labels are
+    * component minima, so a (doc → label) edge loses nothing), rewrites
+    * each new pair endpoint to its label (or itself if previously
+    * unpaired), and runs star-contraction over just those contracted
+    * edges — a graph bounded by the NEW pairs, not the corpus. Components
+    * the batch never touches are never read: their labels pass through a
+    * key-partitioned left join. Merged labels stay component minima
+    * (min over old-label nodes and new docs = min doc overall), so the
+    * output is row-identical to [[dedupClusters]] on the full corpus —
+    * which is exactly what the oracle and the property spec assert.
+    *
+    * At 100 TB: prior labels are a persisted table, the contracted CC loop
+    * runs over O(|new pairs|) edges, and the relabel is one broadcast-side
+    * join of (touched old label → merged label) against the label table. */
+  def dedupClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = simhashPairsMemo(spark, dir).select($"doc_a", $"doc_b")
+    def isNew(c: Column): Column = c % 10 === 7
+    val oldPairs = pairs.where(!isNew($"doc_a") && !isNew($"doc_b"))
+    val newPairs = pairs.where(isNew($"doc_a") || isNew($"doc_b"))
+    // prior state — what a daily pipeline has persisted (checkpointed by
+    // connectedComponents; feeds three joins below)
+    val oldLabels = connectedComponents(oldPairs)
+    val la = oldLabels.select($"doc_id".as("doc_a"), $"label".as("la"))
+    val lb = oldLabels.select($"doc_id".as("doc_b"), $"label".as("lb"))
+    val contracted = newPairs
+      .join(la, Seq("doc_a"), "left_outer")
+      .join(lb, Seq("doc_b"), "left_outer")
+      .select(coalesce($"la", $"doc_a").as("a"), coalesce($"lb", $"doc_b").as("b"))
+    // nodes of `merged` are old LABELS and previously-unpaired doc ids
+    val merged = connectedComponents(contracted)
+      .select($"doc_id".as("node"), $"label".as("mlabel"))
+    val oldFinal = oldLabels
+      .join(merged, oldLabels("label") === merged("node"), "left_outer")
+      .select($"doc_id", coalesce($"mlabel", $"label").as("c_old"))
+    val byDoc = merged.select($"node".as("doc_id"), $"mlabel")
+    Tables.documents(spark, dir).select($"doc_id")
+      .join(oldFinal, Seq("doc_id"), "left_outer")
+      .join(byDoc, Seq("doc_id"), "left_outer")
+      .select($"doc_id", coalesce($"c_old", $"mlabel", $"doc_id").as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+
   /** NS: ensemble dedup agreement — MinHash (word-3-gram Jaccard proxy)
     * and SimHash (bit-distance proxy) candidate pairs full-outer merged
     * with per-method flags: pairs both methods agree on are the

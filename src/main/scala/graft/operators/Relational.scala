@@ -1015,7 +1015,14 @@ object Relational {
     * 'none'. The attribution step IS the custom as-of operator (one
     * co-partitioned sort-merge pass, O(1) state per user); the rollup
     * ships |touch types| rows. The business twin of [[funnelConversion]]:
-    * same operator, revenue-weighted instead of conversion-counted. */
+    * same operator, revenue-weighted instead of conversion-counted.
+    *
+    * Touches are collapsed to ONE row per (user, instant) first — max
+    * event_type on ties — because an as-of join's choice among equal-time
+    * right rows is engine-specific (our AsOfJoin tiebreaks by its total
+    * order, DuckDB's ASOF is unspecified); with the collapse both engines
+    * see a tie-free right side and the result is deterministic on any
+    * data, not just fixtures without per-user duplicate timestamps. */
   def attributionReport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val purchases = Tables.events(spark, dir)
@@ -1023,8 +1030,9 @@ object Relational {
       .select($"event_id", $"user_id", $"ts", $"value")
     val touches = Tables.events(spark, dir)
       .filter($"event_type" =!= "purchase")
-      .select($"user_id".as("t_user_id"), $"ts".as("t_ts"),
-        $"event_type".as("t_type"))
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_type").as("t_type"))
+      .select($"user_id".as("t_user_id"), $"ts".as("t_ts"), $"t_type")
     graft.plans.AsOfJoin(purchases, touches, "user_id", "t_user_id",
         "ts", "t_ts", joinType = "left_outer")
       .groupBy(coalesce($"t_type", lit("none")).as("touch"))

@@ -23,7 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Row values are generator-identical to
   * [[SyntheticSources.productTransactions]] (parity-tested), so the same
   * data can be read either way:
-  * {{{ spark.read.format("graft-sales").option("rows", 1e9).load() }}}
+  * {{{ spark.read.format("graft-sales").option("rows", "1000000000").load() }}}
   *
   * Scale: partitions default to the session's parallelism knob at the call
   * site; 10^11 rows is a config change, the driver only ever holds
@@ -34,9 +34,16 @@ class SalesTableProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SalesTable.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new SalesTable(properties.getOrDefault("rows", "10").toLong,
-      properties.getOrDefault("partitions", "1").toInt)
+      properties: util.Map[String, String]): Table = {
+    def longOpt(key: String, default: String): Long = {
+      val v = properties.getOrDefault(key, default)
+      try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft-sales option '$key' must be an integer, got '$v'")
+      }
+    }
+    new SalesTable(longOpt("rows", "10"), longOpt("partitions", "1").toInt)
+  }
 }
 
 object SalesTable {
@@ -111,25 +118,28 @@ class SalesScan(rows: Long, parts: Int, rowsPerBatch: Long, required: StructType
   * reference's 10-records-per-3s produce loop, A1+A31), and a batch replay
   * regenerates exactly the same id range — deterministic replay is what
   * makes the checkpoint contract exactly-once into tracked sinks. Under
-  * Trigger.AvailableNow the prepared target is the full row budget. */
+  * Trigger.AvailableNow the prepared target is the full row budget,
+  * drained in admission-controlled `rowsPerBatch` steps: the engine keeps
+  * firing micro-batches until the offset stops advancing, so the drain
+  * takes ⌈rows/rowsPerBatch⌉ batches — the same per-trigger cap as
+  * continuous operation, as a run-once backfill should behave. */
 class SalesMicroBatchStream(rows: Long, rowsPerBatch: Long, fields: Array[String])
     extends streaming.MicroBatchStream with streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.Offset
   private case class SalesOffset(n: Long) extends Offset {
     override def json(): String = n.toString
   }
-  @volatile private var availableNowTarget: Option[Long] = None
-  @volatile private var last: Long = 0L
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(rows)
+  // The prepared AvailableNow target IS the row budget `rows`, which
+  // latestOffset already never exceeds — nothing extra to record.
+  override def prepareForTriggerAvailableNow(): Unit = ()
   override def initialOffset(): Offset = SalesOffset(0L)
   // SupportsAdmissionControl path (the one the engine actually calls):
-  // advance from the committed start, never past the row budget
+  // advance from the committed start by one rowsPerBatch step, never past
+  // the row budget — in AvailableNow and continuous operation alike
   override def latestOffset(start: Offset,
       limit: streaming.ReadLimit): Offset = {
     val s = start.asInstanceOf[SalesOffset].n
-    last = availableNowTarget.getOrElse(math.min(rows, s + rowsPerBatch))
-    SalesOffset(last)
+    SalesOffset(math.min(rows, s + rowsPerBatch))
   }
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

@@ -248,16 +248,66 @@ object StreamOps {
     * `seq` (must be unique per key within a batch — Kafka offsets are);
     * op "D" removes the key, anything else upserts the value columns.
     * One key-partitioned full-outer join, no window — state stays
-    * O(live keys) and each batch costs O(|state| + |batch|). */
+    * O(live keys) and each batch costs O(|state| + |batch|). A change row
+    * REPLACES the key's value columns wholesale (gated on the op column,
+    * which is non-null on every change row): an upsert carrying NULL in a
+    * value column writes that NULL, it does not silently retain the prior
+    * state value. */
   def applyCdc(state: DataFrame, changes: DataFrame, key: String,
       seq: String, op: String): DataFrame = {
     val valueCols = state.columns.filterNot(_ == key).toSeq
     val last = changes.groupBy(col(key))
       .agg(max_by(struct((op +: valueCols).map(col): _*), col(seq)).as("c"))
       .select(col(key) +: (op +: valueCols).map(c => col(s"c.$c").as(s"_c_$c")): _*)
+    val changed = col(s"_c_$op").isNotNull
     state.join(last, Seq(key), "full_outer")
-      .where(col(s"_c_$op").isNull || col(s"_c_$op") =!= "D")
-      .select(col(key) +: valueCols.map(c => coalesce(col(s"_c_$c"), col(c)).as(c)): _*)
+      .where(!changed || col(s"_c_$op") =!= "D")
+      .select(col(key) +: valueCols.map(c =>
+        when(changed, col(s"_c_$c")).otherwise(col(c)).as(c)): _*)
+  }
+
+  /** Incremental SCD2 maintenance — the streaming twin of
+    * [[graft.operators.Relational.scd2Build]], shaped for a foreachBatch
+    * sink like [[applyCdc]]: apply one micro-batch of change events (the
+    * events-table shape: user_id / event_type / ts / event_id) onto the
+    * current version table. Per key, the batch's events become new version
+    * rows (numbered after the key's existing max version), the previously
+    * open row is CLOSED at the batch's first event time − 1µs, and keys the
+    * batch never touches pass through a key-partitioned left join
+    * untouched — each batch costs O(|state| + |batch|), no global window.
+    *
+    * Assumes per-key event-time order ACROSS batches (what a CDC/Kafka
+    * feed gives per key); out-of-order WITHIN a batch is handled by the
+    * batch-local window. Under that contract the fold over any batch
+    * split is row-identical to the batch [[graft.operators.Relational.scd2Build]]
+    * on the concatenated feed — asserted by StreamingSpec's parity test. */
+  def applyScd2(scd2: DataFrame, changes: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val batch = changes
+      .select(col("user_id"), col("event_type").as("state"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .select(col("user_id"), row_number().over(w).as("dv"), col("state"),
+        col("ts_us").as("valid_from_us"),
+        (lead(col("ts_us"), 1).over(w) - 1).as("valid_to_us"),
+        lead(col("ts_us"), 1).over(w).isNull.as("is_current"),
+        col("event_id"))
+    val keyInfo = batch.groupBy(col("user_id"))
+      .agg(min(col("valid_from_us")).as("first_new_us"),
+        max(col("dv")).as("n_new"))
+    val closed = scd2.join(keyInfo, Seq("user_id"), "left_outer")
+      .select(col("user_id"), col("version"), col("state"), col("valid_from_us"),
+        when(col("is_current") && col("first_new_us").isNotNull,
+          col("first_new_us") - 1).otherwise(col("valid_to_us")).as("valid_to_us"),
+        (col("is_current") && col("first_new_us").isNull).as("is_current"),
+        col("event_id"))
+    val base = scd2.groupBy(col("user_id")).agg(max(col("version")).as("base_v"))
+    val appended = batch.join(base, Seq("user_id"), "left_outer")
+      .select(col("user_id"),
+        (coalesce(col("base_v"), lit(0)) + col("dv")).as("version"),
+        col("state"), col("valid_from_us"), col("valid_to_us"),
+        col("is_current"), col("event_id"))
+    closed.unionByName(appended)
   }
 
   def runOnceToMemory(df: DataFrame, queryName: String, outputMode: String): StreamingQuery =

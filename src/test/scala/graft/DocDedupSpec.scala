@@ -89,6 +89,19 @@ class DocDedupSpec extends SparkSpecBase {
     }
   }
 
+  test("incremental cluster merge is row-identical to the batch closure") {
+    val batch = DocDedup.dedupClusters(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inc = DocDedup.dedupClustersIncremental(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === batch)
+    // non-vacuous: the standing new-batch slice must contribute pairs,
+    // otherwise the merge path under test never ran
+    val newPairs = DocDedup.simhashNearDupPairs(spark, Sf0001)
+      .where($"doc_a" % 10 === 7 || $"doc_b" % 10 === 7).count()
+    assert(newPairs > 0, "fixture has no new-batch pairs; merge untested")
+  }
+
   test("cluster_stats histogram is consistent with the cluster labeling") {
     val labels = DocDedup.dedupClusters(spark, Sf0001)
       .collect().map(_.getLong(1))

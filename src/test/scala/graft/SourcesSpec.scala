@@ -105,6 +105,26 @@ class SourcesSpec extends SparkSpecBase {
       batch.orderBy("row_id").collect().map(_.toString).toSeq)
   }
 
+  test("DSv2 sales connector honors rowsPerBatch admission control under AvailableNow") {
+    // run-once drains in ceil(rows/rowsPerBatch) admission-capped batches,
+    // not one unbounded gulp — the same cap as continuous operation
+    val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-sales")
+      .option("rows", "57").option("rowsPerBatch", "10").load()
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-adm").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        counts.synchronized { counts += b.count() }; ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(counts.sum === 57)
+    assert(counts.count(_ > 0) === 6)
+    assert(counts.forall(_ <= 10))
+  }
+
   test("static multi-event source matches the reference's fixed list (A3)") {
     import spark.implicits._
     val rows = SyntheticSources.staticMultiEvents(spark)

@@ -529,6 +529,56 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("applyCdc writes NULL value columns from upserts instead of retaining state") {
+    // replacement is gated on change-row presence (the op column), not
+    // per-column coalesce: an insert/update carrying NULL must WRITE null
+    val state0 = Seq((1L, Option(1.0)), (3L, Option(3.0))).toDF("k", "v")
+    val changes = Seq(
+      (1L, "U", None: Option[Double], 1L),
+      (2L, "I", None: Option[Double], 2L)).toDF("k", "op", "v", "seq")
+    val got = StreamOps.applyCdc(state0, changes, "k", "seq", "op")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(1L -> None, 2L -> None, 3L -> Some(3.0)))
+  }
+
+  test("incremental SCD2 fold per micro-batch == batch scd2_build on the folded feed") {
+    import graft.operators.Relational
+    val evRows = Tables.events(spark, Sf0001).as[Ev].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    // split at global event-time boundaries so per-key order holds across
+    // batches (the applyScd2 contract); equal-ts rows stay in one chunk
+    val cut1 = evRows(evRows.length / 3).ts
+    val cut2 = evRows(2 * evRows.length / 3).ts
+    val chunks = Seq(
+      evRows.filter(_.ts.before(cut1)),
+      evRows.filter(e => !e.ts.before(cut1) && e.ts.before(cut2)),
+      evRows.filter(e => !e.ts.before(cut2)))
+    assert(chunks.forall(_.nonEmpty), "degenerate split — adjust cuts")
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val base = java.nio.file.Files.createTempDirectory("graft-scd2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scd2-ck").toString
+    Relational.scd2Build(spark, Sf0001).where(lit(false)).repartition(1)
+      .write.parquet(s"$base/v0")
+    def drainOnce(): Unit = {
+      val q = ms.toDF().writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val cur = spark.read.parquet(s"$base/v$id")
+          StreamOps.applyScd2(cur, batch)
+            .write.mode("overwrite").parquet(s"$base/v${id + 1}")
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    chunks.foreach { c => ms.addData(c); drainOnce() }
+    val folded = spark.read.parquet(s"$base/v${chunks.length}")
+    val batchT = Relational.scd2Build(spark, Sf0001)
+    assert(folded.count() === batchT.count())
+    assert(folded.exceptAll(batchT).isEmpty, "folded rows missing from batch")
+    assert(batchT.exceptAll(folded).isEmpty, "batch rows missing from fold")
+  }
+
   test("toKafkaRecords shapes key/value binary columns") {
     val rec = StreamOps.toKafkaRecords(batchDf, "user_id")
     assert(rec.schema.map(f => (f.name, f.dataType.typeName)) ===
