@@ -69,6 +69,48 @@ object Oracles {
         |SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY v""".stripMargin
 
+  /** 3-round fixed-point PageRank over the simhash near-dup pair graph —
+    * the same b/pairs CTEs as `clustersSql`, then the iteration unrolled:
+    * every arithmetic step mirrors the Spark side exactly (long→double
+    * widening, `(0.85·pr)/deg`, floor, integer sums), so the ranks are
+    * bit-identical. All BIGINT-summing columns are cast back to BIGINT —
+    * DuckDB promotes `sum(BIGINT)` to HUGEINT, which the comparator would
+    * materialize as float64 (the `compaction_plan` round-4 failure class). */
+  private lazy val pagerankSql: String = {
+    def round(i: Int, prev: String) =
+      s""",
+         |c$i AS (SELECT e.dst AS doc_id,
+         |          CAST(sum(CAST(floor(CAST(0.85 AS DOUBLE) * p.pr_u20 / p.deg
+         |                              + 0.5) AS BIGINT)) AS BIGINT) AS in_c
+         |        FROM $prev p JOIN e ON p.doc_id = e.src GROUP BY e.dst),
+         |p$i AS (SELECT d.doc_id, d.deg, nn.n_nodes,
+         |          CAST(floor(CAST(0.15 AS DOUBLE) * CAST(1048576 AS DOUBLE)
+         |                     / nn.n_nodes + 0.5) AS BIGINT)
+         |            + COALESCE(c$i.in_c, 0) AS pr_u20
+         |        FROM deg d CROSS JOIN nn
+         |        LEFT JOIN c$i ON c$i.doc_id = d.doc_id)""".stripMargin
+    simhashCte +
+      """,
+        |b AS (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
+        |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
+        |pairs AS (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
+        |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
+        |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+        |e AS (SELECT pa AS src, pb AS dst FROM pairs
+        |      UNION ALL SELECT pb, pa FROM pairs),
+        |deg AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
+        |        FROM e GROUP BY src),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+        |p0 AS (SELECT d.doc_id, d.deg, nn.n_nodes,
+        |         CAST(floor(CAST(1048576 AS DOUBLE) / nn.n_nodes + 0.5) AS BIGINT)
+        |           AS pr_u20
+        |       FROM deg d CROSS JOIN nn)""".stripMargin +
+      round(1, "p0") + round(2, "p1") + round(3, "p2") +
+      """
+        |SELECT doc_id, deg, pr_u20 FROM p3
+        |ORDER BY pr_u20 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** BM25 scoring CTE chain over the fixed query-term set (shared by
     * `bm25_topk` and `rrf_fusion`; caller appends the final SELECT). */
   private val bm25Cte: String =
@@ -182,6 +224,27 @@ object Oracles {
         |FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv
         |WHERE x.doc_id % 10 = 7 AND y.doc_id % 10 <> 7
         |ORDER BY new_doc, index_doc""".stripMargin),
+    "pair_graph_pagerank" -> pagerankSql,
+    "entropy_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |      FROM tok GROUP BY doc_id, tok),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |             CAST(count(*) AS BIGINT) AS n_types
+        |      FROM c GROUP BY doc_id),
+        |t AS (SELECT c.doc_id,
+        |        CAST(floor(-(CAST(c.c AS DOUBLE) / n.n_tokens)
+        |                   * ln(CAST(c.c AS DOUBLE) / n.n_tokens)
+        |                   * CAST(1048576 AS DOUBLE) + 0.5) AS BIGINT) AS term_u20
+        |      FROM c JOIN n USING (doc_id))
+        |SELECT doc_id, n_tokens, n_types,
+        |       CAST(sum(term_u20) AS BIGINT) AS entropy_u20,
+        |       CASE WHEN CAST(sum(term_u20) AS BIGINT) < 1572864
+        |            THEN 1 ELSE 0 END AS flagged
+        |FROM t JOIN n USING (doc_id)
+        |GROUP BY doc_id, n_tokens, n_types
+        |ORDER BY doc_id""".stripMargin,
     "simhash_docs" -> (simhashCte +
       """
         |SELECT doc_id, simhash,

@@ -154,6 +154,9 @@ object SparkEntry {
     "embedding_centroids"  -> (Similarity.embeddingCentroids(_, _)),
     "embedding_neardup"    -> (Similarity.embeddingNearDupPairs(_, _)),
     "semantic_dedup"       -> (Similarity.semanticDedup(_, _, 0.40)),
+    "pair_graph_pagerank"  -> (GraphOps.pairGraphPagerank(_, _)),
+    "entropy_score"        -> (TextAnalysis.entropyScore(_, _)),
+    "mad_outliers"         -> (Relational.madOutliers(_, _)),
     "multimodal_cols"      -> (Multimodal.multimodalCols(_, _)),
     "media_decode_stub"    -> (Multimodal.mediaDecodeStub(_, _)),
     "media_frame_sample"   -> (Multimodal.mediaFrameSample(_, _)),
@@ -893,6 +896,36 @@ object SparkEntry {
         |FROM events e JOIN m USING (event_type)
         |WHERE abs((e.value - m.mean) / m.std) > 3.0
         |ORDER BY e.event_id""".stripMargin,
+    // Discrete medians (rank ⌈n/2⌉ in the (value, event_id) total order) —
+    // interpolated median arithmetic differs between engines, a picked
+    // data element cannot. The outlier test is division-free on both
+    // sides: 0.6745·dev > 3.5·MAD, pure IEEE multiply/compare.
+    "mad_outliers" ->
+      """WITH ev AS (SELECT event_type, event_id, value FROM events),
+        |r AS (SELECT event_type, event_id, value,
+        |        row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY value, event_id) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM ev),
+        |med AS (SELECT event_type, value AS med
+        |        FROM r WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)),
+        |dv AS (SELECT ev.event_type, ev.event_id, med.med,
+        |              abs(ev.value - med.med) AS dev
+        |       FROM ev JOIN med USING (event_type)),
+        |r2 AS (SELECT event_type, event_id, dev,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY dev, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |       FROM dv),
+        |mad AS (SELECT event_type, dev AS mad
+        |        FROM r2 WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT))
+        |SELECT dv.event_type, CAST(count(*) AS BIGINT) AS n,
+        |       min(dv.med) AS med, min(mad.mad) AS mad,
+        |       CAST(sum(CASE WHEN CAST(0.6745 AS DOUBLE) * dv.dev
+        |                          > CAST(3.5 AS DOUBLE) * mad.mad
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dv JOIN mad USING (event_type)
+        |GROUP BY dv.event_type ORDER BY dv.event_type""".stripMargin,
     "data_profile" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us,
         |                  event_type FROM events),

@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [comma-separated query names]  — the optional
+    // filter is the dev loop (driver always runs the full set)
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
     // Host cores are ADVERTISED as 32 but the VM is sometimes throttled to
     // ~8 effective cores (measured: a 32-process burn reaches only ~7x
     // speedup at certain hours). Keep thread counts modest so the worst
@@ -39,8 +43,12 @@ object Verify {
     // from a SMALL thread pool — overlapping the per-query planning/codegen
     // gaps. 4 workers × ≤8-task stages ≈ the session's task slots; more
     // workers measurably thrash when the host is throttled.
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
     val queue = new java.util.concurrent.ConcurrentLinkedQueue(
-      scala.jdk.CollectionConverters.SeqHasAsJava(SparkEntry.queries.toSeq).asJava)
+      scala.jdk.CollectionConverters.SeqHasAsJava(selected.toSeq).asJava)
     val workers = 4
     val threads = (1 to workers).map { _ =>
       new Thread(() => {

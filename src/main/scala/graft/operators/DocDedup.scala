@@ -177,7 +177,7 @@ object DocDedup {
     simhashPairsMemo(spark, dir).orderBy($"doc_a", $"doc_b")
   }
 
-  private def simhashPairsMemo(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def simhashPairsMemo(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "simhash_pairs") {
       import spark.implicits._
       val docs = simhashDocs(spark, dir)

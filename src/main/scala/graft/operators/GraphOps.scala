@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Iterative graph computation over document-similarity graphs.
+  *
+  * [[DocDedup.connectedComponents]] answers "which docs are the same";
+  * PageRank answers "which docs are central" — the authority signal a
+  * curation pipeline uses to pick the canonical copy inside a dup cluster
+  * or to weight a crawl frontier. The graph here is the same bucketed
+  * simhash near-dup pair set the dedup family uses (never all-pairs).
+  *
+  * Determinism across engines: ranks are kept in 2^-20 fixed point
+  * (`pr_u20: long`). Per-edge contributions are `floor(0.85·pr/deg + 0.5)`
+  * — only IEEE-exact ops (long→double widening, `*`, `/`, `floor`), no
+  * libm — and per-node sums are integer, so iteration results are
+  * bit-identical in any engine that evaluates the same expressions
+  * (the DuckDB oracle unrolls the same three rounds in SQL).
+  */
+object GraphOps {
+
+  /** PageRank iteration over an undirected edge list, fully distributed:
+    * one shuffle per round (contributions grouped by destination), joined
+    * back to the degree table. `iters` is a fixed small constant — plan
+    * depth grows linearly with it, so for long runs checkpoint per round
+    * (the CC loop in [[DocDedup.connectedComponents]] shows the pattern).
+    *
+    * @param pairs undirected edges as (doc_a, doc_b), doc_a < doc_b, distinct
+    */
+  def pagerank(spark: SparkSession, pairs: DataFrame, iters: Int): DataFrame = {
+    import spark.implicits._
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+    val deg = edges.groupBy($"src".as("doc_id"))
+      .agg(count(lit(1)).as("deg"))
+    // 1-row node count broadcast onto the per-node frame (same bounded
+    // scalar-frame pattern as revenue_share / winsorized_stats).
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val base = deg.crossJoin(broadcast(nNodes))
+    val teleport = floor(lit(0.15) * lit(1048576.0) / $"n_nodes" + lit(0.5))
+    var pr = base.select($"doc_id", $"deg", $"n_nodes",
+      floor(lit(1048576.0) / $"n_nodes" + lit(0.5)).as("pr_u20"))
+    for (_ <- 1 to iters) {
+      val contrib = pr.join(edges, $"doc_id" === $"src")
+        .select($"dst",
+          floor(lit(0.85) * $"pr_u20" / $"deg" + lit(0.5)).as("c"))
+        .groupBy($"dst").agg(sum($"c").as("in_c"))
+      // every node of an undirected graph has deg ≥ 1 and thus in-edges,
+      // but keep the left join + coalesce so directed edge lists are safe
+      pr = base.join(contrib, base("doc_id") === contrib("dst"), "left")
+        .select(base("doc_id"), base("deg"), base("n_nodes"),
+          (teleport + coalesce($"in_c", lit(0L))).as("pr_u20"))
+    }
+    pr
+  }
+
+  /** Declared query: 3-round PageRank over the simhash near-dup pair
+    * graph, top-20 most-central docs. TakeOrdered top-k — the full rank
+    * frame is never globally sorted. */
+  def pairGraphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = DocDedup.simhashPairsMemo(spark, dir).select($"doc_a", $"doc_b")
+    pagerank(spark, pairs, iters = 3)
+      .orderBy($"pr_u20".desc, $"doc_id")
+      .limit(20)
+      .select($"doc_id", $"deg", $"pr_u20")
+  }
+}

@@ -1069,6 +1069,47 @@ object Relational {
       .orderBy($"o_orderstatus", $"recon_status")
   }
 
+  /** NS: robust outlier detection via median absolute deviation — the
+    * heavy-tail-safe complement to `anomaly_zscore` (mean/stddev are
+    * themselves dragged by the outliers they're meant to find; the
+    * median/MAD pair is 50%-breakdown robust). Flag when the modified
+    * z-score 0.6745·|v−med|/MAD exceeds 3.5 (Iglewicz–Hoaglin cutoff).
+    *
+    * Medians are DISCRETE order statistics (the row at rank ⌈n/2⌉ in the
+    * (value, event_id) total order), not interpolated — interpolation
+    * arithmetic differs subtly between engines, an exact data element
+    * cannot. The outlier test is rearranged division-free
+    * (0.6745·dev > 3.5·MAD): pure IEEE multiply/compare, bit-identical in
+    * any engine, and MAD = 0 degrades sanely (any dev > 0 flags).
+    *
+    * Scale: two rank windows partitioned BY event_type — one type per
+    * sort partition, same partitioning story as `length_quartiles`; an
+    * exact global median at 100 TB would instead broadcast approx-quantile
+    * cutpoints as `winsorized_stats` does. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"event_type", $"event_id", $"value")
+    def medianOf(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy($"event_type").orderBy(col(valueCol), $"event_id")
+      val n = Window.partitionBy($"event_type")
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(n))
+        .where($"rn" === floor(($"n" + 1) / 2))
+        .select($"event_type", col(valueCol).as(out))
+    }
+    val med = medianOf(ev, "value", "med")
+    val dev = ev.join(med, "event_type")
+      .withColumn("dev", abs($"value" - $"med"))
+    val mad = medianOf(dev.select($"event_type", $"event_id", $"dev"), "dev", "mad")
+    dev.join(mad, "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        min($"med").as("med"), min($"mad").as("mad"),
+        sum(when(lit(0.6745) * $"dev" > lit(3.5) * $"mad", 1).otherwise(0))
+          .as("n_outliers"))
+      .orderBy($"event_type")
+  }
+
   /** NS (LLM pipeline): exact dedup with a deterministic keeper — first
     * event per (user_id, event_type) by (ts, event_id). Same single
     * shuffle as groupBy; `dropDuplicates` semantics but reproducible, which

@@ -278,6 +278,44 @@ object TextAnalysis {
       .orderBy($"idx")
   }
 
+  /** NS: token-distribution entropy per document — the Shannon-entropy
+    * quality gate (low entropy ⇒ boilerplate / keyword-stuffed / repeated
+    * text; a standard web-corpus curation signal alongside
+    * [[repetitionScore]]'s bigram concentration). H = -Σ p·ln p over the
+    * per-doc token frequency distribution, in nats.
+    *
+    * Cross-engine determinism: each term is quantized to 2^-20 fixed
+    * point BEFORE the per-doc sum (`floor(-p·ln(p)·2^20 + 0.5)`), so the
+    * sum is exact integer arithmetic — summation order can't matter, and
+    * a 1-ulp libm `ln` divergence between JVM and DuckDB is absorbed by
+    * the quantizer (same scheme as `lm_score` / `tfidf_topk`).
+    *
+    * One shuffle: the scan is pre-partitioned on doc_id, which clusters
+    * BOTH the (doc_id, tok) count and the per-doc rollup (subset
+    * clustering), and co-locates the count⋈total join — no further
+    * exchange until the final order. */
+  def entropyScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cnt = Tables.documents(spark, dir)
+      .repartition($"doc_id")
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_types"))
+    val p = $"c".cast(DoubleType) / $"n_tokens"
+    cnt.join(tot, "doc_id")
+      .select($"doc_id", $"n_tokens", $"n_types",
+        floor(-p * log(p) * lit(1048576.0) + lit(0.5)).as("term_u20"))
+      .groupBy($"doc_id")
+      .agg(min($"n_tokens").as("n_tokens"), min($"n_types").as("n_types"),
+        sum($"term_u20").as("entropy_u20"))
+      // gate at 1.5 nats (≈ e^1.5 ≈ 4.5 effective vocab): flags the
+      // single-token and heavily-repeated docs
+      .withColumn("flagged",
+        when($"entropy_u20" < 1572864L, 1).otherwise(0))
+      .orderBy($"doc_id")
+  }
+
   /** NS: per-source corpus cap (domain balancing, the C4/Dolma-style
     * curation step): keep at most k docs per source, chosen by
     * deterministic content hash — a stable "random" sample. Reuses the

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GraphOps, Relational, TextAnalysis}
+
+/** PageRank + the round-5 robust-stats operators, cross-checked against
+  * scalar reference implementations that replay the exact same IEEE
+  * arithmetic (long→double widening, `(0.85·pr)/deg`, floor, integer
+  * sums) — so the assertions are bit-exact, not tolerance-based. */
+class GraphOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Scalar reference: same fixed-point PageRank as GraphOps.pagerank. */
+  private def prRef(pairs: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = deg.size
+    val teleport = math.floor(0.15 * 1048576.0 / n + 0.5).toLong
+    var pr: Map[Long, Long] =
+      deg.map { case (v, _) => v -> math.floor(1048576.0 / n + 0.5).toLong }
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).view.mapValues(_.map { case (src, _) =>
+        math.floor(0.85 * pr(src) / deg(src) + 0.5).toLong
+      }.sum).toMap
+      pr = pr.map { case (v, _) => v -> (teleport + in.getOrElse(v, 0L)) }
+    }
+    pr
+  }
+
+  private def prSpark(pairs: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    GraphOps.pagerank(spark, pairs.toDF("doc_a", "doc_b"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+
+  test("pagerank matches the scalar reference bit-for-bit on a path graph") {
+    val path = (1L to 9L).map(i => (i, i + 1))
+    for (iters <- 1 to 3)
+      assert(prSpark(path, iters) === prRef(path, iters))
+  }
+
+  test("pagerank: hub of a star graph outranks the leaves; symmetry holds") {
+    val star = (1L to 8L).map(i => (0L, i))
+    val pr = prSpark(star, 3)
+    assert(pr === prRef(star, 3))
+    val leaves = (1L to 8L).map(pr)
+    assert(leaves.toSet.size === 1, "symmetric leaves must tie exactly")
+    assert(pr(0L) > leaves.head, "hub must outrank leaves")
+  }
+
+  test("pagerank: disconnected components do not leak rank across") {
+    val two = Seq((1L, 2L), (10L, 11L), (11L, 12L), (12L, 10L))
+    val pr = prSpark(two, 3)
+    assert(pr === prRef(two, 3))
+    // the 2-clique pair and the triangle nodes each tie internally
+    assert(pr(1L) === pr(2L))
+    assert(Set(pr(10L), pr(11L), pr(12L)).size === 1)
+  }
+
+  test("entropy_score: direct scalar recount on raw text agrees bit-for-bit") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val got = TextAnalysis.entropyScore(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))))
+      .toMap
+    assert(got.keySet === docs.keySet)
+    docs.foreach { case (id, text) =>
+      val counts = text.split(" ", -1).groupBy(identity).view.mapValues(_.length.toLong)
+      val n = counts.values.sum
+      val h = counts.values.map { c =>
+        val p = c.toDouble / n
+        math.floor(-p * math.log(p) * 1048576.0 + 0.5).toLong
+      }.sum
+      val flagged = if (h < 1572864L) 1 else 0
+      assert(got(id) === ((n, counts.size.toLong, h, flagged)), s"doc $id")
+    }
+  }
+
+  test("mad_outliers: direct scalar recount of median/MAD/outliers agrees") {
+    val ev = spark.read.parquet(s"$Sf0001/events.parquet")
+      .select($"event_type", $"event_id", $"value")
+      .as[(String, Long, Double)].collect()
+    val got = Relational.madOutliers(spark, Sf0001)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    val byType = ev.groupBy(_._1)
+    assert(got.keySet === byType.keySet)
+    byType.foreach { case (t, rows) =>
+      val n = rows.length
+      def discreteMedian(vs: Seq[(Double, Long)]): Double =
+        vs.sortBy(identity).apply(((n + 1) / 2) - 1)._1
+      val med = discreteMedian(rows.map(r => (r._3, r._2)).toSeq)
+      val devs = rows.map(r => (math.abs(r._3 - med), r._2)).toSeq
+      val mad = discreteMedian(devs)
+      val outliers = devs.count { case (d, _) => 0.6745 * d > 3.5 * mad }
+      assert(got(t) === ((n.toLong, med, mad, outliers.toLong)), s"type $t")
+    }
+  }
+}
