@@ -198,6 +198,11 @@ class PlanSpec extends SparkSpecBase {
       ("ktable_latest", graft.operators.Relational.ktableLatest(spark, Sf0001), 2),
       ("doc_dedup_exact", graft.operators.DocDedup.docDedupExact(spark, Sf0001), 2),
       ("user_journey", graft.operators.Relational.userJourney(spark, Sf0001), 2),
+      // ONE real repartition(doc_id) shuffle feeds every aggregation and
+      // the count⋈total join (subset clustering): the matcher also counts
+      // its ReusedExchange on the second branch, the small-stats
+      // BroadcastExchange join choice, and the final orderBy range = 4
+      ("entropy_score", graft.operators.TextAnalysis.entropyScore(spark, Sf0001), 4),
       ("domain_cap", graft.operators.TextAnalysis.domainCap(spark, Sf0001, 25), 2),
       // lag window, running-sum window, and the session aggregate must all
       // reuse ONE user_id exchange (subset-clustering satisfies the agg);
@@ -226,7 +231,8 @@ class PlanSpec extends SparkSpecBase {
       "skew_profile",  // 1-row total broadcast onto the top-k hot keys
       "rrf_fusion",    // 1-row probe + 1-row corpus stats broadcast (both arms)
       "stratified_sample", // 1-row min-stratum target broadcast onto the scan
-      "scd2_slice")    // 1-row as-of instant T broadcast onto the version table
+      "scd2_slice",    // 1-row as-of instant T broadcast onto the version table
+      "pair_graph_pagerank") // 1-row node-count N broadcast onto the degree table
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = physical(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
