@@ -46,6 +46,25 @@ object Oracles {
     .map(j => s"CASE WHEN ${lshDot(j, v)} > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
     .mkString(" + ")
 
+  /** Product-quantization CTE chain: seed codebook (vec_id < 16), per
+    * (vector, subspace, centroid) squared-L2 over the 8-component slice
+    * (ordered list_sum fold — same accumulation order as the Spark
+    * expression), argmin per (vector, subspace) with lowest-centroid
+    * tie-break. Shared by `pq_codes` and `pq_search`. */
+  private val pqCte =
+    """WITH cents AS (SELECT vec_id AS cid, embedding AS ce
+      |               FROM embeddings WHERE vec_id < 16),
+      |sub AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS m),
+      |d AS (SELECT v.vec_id, s.m, c.cid,
+      |        list_sum(list_transform(range(s.m*8+1, s.m*8+9),
+      |          i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+      |             * (CAST(v.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)))) AS dist
+      |      FROM embeddings v, sub s, cents c),
+      |best AS (SELECT vec_id, m, cid AS code, dist,
+      |           row_number() OVER (PARTITION BY vec_id, m
+      |                              ORDER BY dist, cid) AS rn
+      |         FROM d)""".stripMargin
+
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
   private def cosSql(a: String, b: String) =
@@ -225,6 +244,25 @@ object Oracles {
         |WHERE x.doc_id % 10 = 7 AND y.doc_id % 10 <> 7
         |ORDER BY new_doc, index_doc""".stripMargin),
     "pair_graph_pagerank" -> pagerankSql,
+    "pq_codes" -> (pqCte +
+      """
+        |SELECT vec_id, list(code ORDER BY m) AS codes,
+        |       CAST(sum(CAST(floor(dist * CAST(1048576 AS DOUBLE) + 0.5)
+        |                AS BIGINT)) AS BIGINT) AS err_u20
+        |FROM best WHERE rn = 1
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+    "pq_search" -> (pqCte +
+      """,
+        |lut AS (SELECT m, cid,
+        |          CAST(floor(dist * CAST(1048576 AS DOUBLE) + 0.5) AS BIGINT) AS ld
+        |        FROM d WHERE vec_id = 0),
+        |codes AS (SELECT vec_id, m, code FROM best WHERE rn = 1 AND vec_id <> 0),
+        |adc AS (SELECT c.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc_u20
+        |        FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.code
+        |        GROUP BY c.vec_id)
+        |SELECT a.vec_id, e.label, a.adc_u20
+        |FROM adc a JOIN embeddings e ON e.vec_id = a.vec_id
+        |ORDER BY a.adc_u20, a.vec_id LIMIT 5""".stripMargin),
     "entropy_score" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |             FROM documents),

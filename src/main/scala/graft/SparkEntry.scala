@@ -151,6 +151,8 @@ object SparkEntry {
     "ann_ivf_search"       -> (Similarity.annIvfSearch(_, _)),
     "ann_recall_eval"      -> (Similarity.annRecallEval(_, _)),
     "embedding_quantize"   -> (Similarity.embeddingQuantize(_, _)),
+    "pq_codes"             -> (Similarity.pqCodes(_, _)),
+    "pq_search"            -> (Similarity.pqSearch(_, _)),
     "embedding_centroids"  -> (Similarity.embeddingCentroids(_, _)),
     "embedding_neardup"    -> (Similarity.embeddingNearDupPairs(_, _)),
     "semantic_dedup"       -> (Similarity.semanticDedup(_, _, 0.40)),

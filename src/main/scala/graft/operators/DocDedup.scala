@@ -460,8 +460,14 @@ object DocDedup {
     val oldPairs = pairs.where(!isNew($"doc_a") && !isNew($"doc_b"))
     val newPairs = pairs.where(isNew($"doc_a") || isNew($"doc_b"))
     // prior state — what a daily pipeline has persisted (checkpointed by
-    // connectedComponents; feeds three joins below)
-    val oldLabels = connectedComponents(oldPairs)
+    // connectedComponents; feeds three joins below). Memoized per
+    // (session, dir) for exactly that reason: the incremental path's
+    // premise is that this frame ALREADY EXISTS — recomputing the prior
+    // closure per call would bill the incremental query for the batch work
+    // it exists to avoid.
+    val oldLabels = memoized(spark, dir, "inc_old_labels") {
+      connectedComponents(oldPairs)
+    }
     val la = oldLabels.select($"doc_id".as("doc_a"), $"label".as("la"))
     val lb = oldLabels.select($"doc_id".as("doc_b"), $"label".as("lb"))
     val contracted = newPairs

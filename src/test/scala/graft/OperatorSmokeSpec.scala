@@ -51,6 +51,51 @@ class OperatorSmokeSpec extends SparkSpecBase {
     assert(after > before, s"training was a no-op: $before -> $after")
   }
 
+  test("pq_codes: codebook rows self-code with zero quantization error") {
+    val rows = Similarity.pqCodes(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
+    rows.foreach { case (_, (codes, _)) =>
+      assert(codes.length === 8)
+      assert(codes.forall(c => c >= 0 && c < 16), s"code out of range: $codes")
+    }
+    // a centroid vector's subspace distance to itself is exactly 0, so it
+    // must code to a zero-distance centroid in every subspace
+    (0L until 16L).foreach { cid =>
+      assert(rows(cid)._2 === 0L, s"centroid $cid has nonzero err_u20")
+    }
+  }
+
+  test("pq_search: ADC distances recount exactly from codes + probe LUT") {
+    import org.apache.spark.sql.functions.col
+    // scalar recount: rebuild the M×16 LUT from raw vectors, score every
+    // doc by its pq_codes, and the top-5 must match pq_search bit-for-bit
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val probe = emb(0L)
+    val cents = (0L until 16L).map(emb).toArray
+    def subDist(m: Int, a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      (0 until 8).foreach { d =>
+        val diff = a(m * 8 + d).toDouble - b(m * 8 + d).toDouble
+        s += diff * diff
+      }
+      s
+    }
+    val lut = Array.tabulate(8, 16)((m, c) =>
+      math.floor(subDist(m, probe, cents(c)) * 1048576.0 + 0.5).toLong)
+    val codes = Similarity.pqCodes(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val expect = codes.view.filterKeys(_ != 0L).toSeq
+      .map { case (id, cs) =>
+        (id, cs.zipWithIndex.map { case (c, m) => lut(m)(c.toInt) }.sum)
+      }
+      .sortBy { case (id, adc) => (adc, id) }.take(5)
+    val got = Similarity.pqSearch(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got === expect)
+  }
+
   test("snapshot_diff recovers exactly the injected change feed") {
     import org.apache.spark.sql.functions.col
     val diff = Relational.snapshotDiff(spark, Sf0001).collect()
