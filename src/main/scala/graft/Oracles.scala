@@ -799,6 +799,30 @@ object Oracles {
         |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
         |FROM pairs GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "bpe_apply" ->
+      """WITH v AS (SELECT t AS word, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |           GROUP BY t),
+        |r1 AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+        |       FROM (SELECT unnest(list_transform(range(1, length(word)),
+        |               i -> substr(word, CAST(i AS INT), 2))) AS pair, cnt
+        |             FROM v WHERE length(word) >= 2)
+        |       GROUP BY pair),
+        |rule AS (SELECT pair AS rule FROM r1 ORDER BY n DESC, pair LIMIT 1),
+        |mg AS (SELECT rule.rule,
+        |         replace(trim(regexp_replace(word, '(.)', '\1 ', 'g')),
+        |                 substr(rule.rule, 1, 1) || ' ' || substr(rule.rule, 2, 1),
+        |                 rule.rule) AS merged,
+        |         cnt
+        |       FROM v, rule),
+        |syms AS (SELECT rule, string_split(merged, ' ') AS s, cnt
+        |         FROM mg WHERE len(string_split(merged, ' ')) >= 2),
+        |p2 AS (SELECT rule, unnest(list_transform(range(1, len(s)),
+        |         i -> s[CAST(i AS INT)] || ' ' || s[CAST(i AS INT) + 1])) AS pair, cnt
+        |       FROM syms)
+        |SELECT rule, pair, CAST(sum(cnt) AS BIGINT) AS n
+        |FROM p2 GROUP BY rule, pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "bm25_topk" -> (bm25Cte +
       """
         |SELECT doc_id, CAST(sum(part_u20) AS BIGINT) AS score_u20,

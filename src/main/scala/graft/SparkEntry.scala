@@ -127,6 +127,8 @@ object SparkEntry {
     "bm25_topk"            -> (CorpusOps.bm25Topk(_, _, 10)),
     "rrf_fusion"           -> (CorpusOps.rrfFusion(_, _, 20)),
     "bpe_merges"           -> (CorpusOps.bpeMerges(_, _, 20)),
+    "bpe_apply"            -> (CorpusOps.bpeApply(_, _, 20)),
+    "decayed_counts"       -> (Relational.decayedCounts(_, _)),
     "vocab_coverage"       -> (CorpusOps.vocabCoverage(_, _, 256)),
     "stratified_sample"    -> (CorpusOps.stratifiedSample(_, _)),
     "doc_dedup_exact"      -> (DocDedup.docDedupExact(_, _)),
@@ -898,6 +900,15 @@ object SparkEntry {
         |FROM events e JOIN m USING (event_type)
         |WHERE abs((e.value - m.mean) / m.std) > 3.0
         |ORDER BY e.event_id""".stripMargin,
+    // Per-event decay terms quantized to 2^-20 before the integer sum —
+    // order-free, and libm exp's 1-ulp cross-engine divergence is absorbed
+    "decayed_counts" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts)//1000 AS us FROM events),
+        |a AS (SELECT CAST(max(us) AS BIGINT) AS t_max FROM ev)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(floor(exp(CAST(ev.us - a.t_max AS DOUBLE) / 3.6e9)
+        |                * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS decayed_u20
+        |FROM ev, a GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Discrete medians (rank ⌈n/2⌉ in the (value, event_id) total order) —
     // interpolated median arithmetic differs between engines, a picked
     // data element cannot. The outlier test is division-free on both

@@ -509,6 +509,48 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** NS: one round of BPE merge APPLICATION — the step [[bpeMerges]] only
+    * nominates: take the round-1 winner rule, rewrite the word vocabulary
+    * with it (symbols spaced out, left-to-right non-overlapping `replace`
+    * — exactly the greedy merge semantics of BPE training), and emit the
+    * round-2 merge candidates over the new symbol sequences. Two rounds of
+    * the actual training loop, demonstrated end-to-end.
+    *
+    * Everything is string arithmetic — zero floating point, so
+    * cross-engine equality is structural, not numeric. The rewrite runs
+    * over the DISTINCT word vocabulary weighted by corpus counts
+    * (vocabulary-bounded, like `bpe_merges`), and the 1-row winner rule
+    * broadcasts onto it. */
+  def bpeApply(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(tokens($"text")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+    val r1 = vocab.where(length($"word") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"), $"cnt")
+      .groupBy($"pair").agg(sum($"cnt").as("n"))
+    val rule = r1.orderBy($"n".desc, $"pair").limit(1)
+      .select($"pair".as("rule"))
+    val spaced = trim(regexp_replace($"word", "(.)", "$1 "))
+    vocab.crossJoin(broadcast(rule))
+      .select($"rule",
+        replace(spaced,
+          concat(substring($"rule", 1, 1), lit(" "), substring($"rule", 2, 1)),
+          $"rule").as("merged"),
+        $"cnt")
+      .select($"rule", split($"merged", " ").as("s"), $"cnt")
+      .where(size($"s") >= 2)
+      .select($"rule", explode(expr(
+        "transform(sequence(1, size(s) - 1), " +
+          "i -> concat(element_at(s, i), ' ', element_at(s, i + 1)))"))
+        .as("pair"), $"cnt")
+      .groupBy($"rule", $"pair").agg(sum($"cnt").as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(k)
+  }
+
   /** NS: reciprocal-rank fusion of sparse (BM25) and cosine (dense) retrieval
     * — the standard hybrid-search merge (Cormack et al., SIGIR'09): each arm
     * contributes 1/(60+rank) for the documents it ranked, missing docs

@@ -1069,6 +1069,31 @@ object Relational {
       .orderBy($"o_orderstatus", $"recon_status")
   }
 
+  /** NS: exponentially time-decayed event counters per user — the
+    * feature-store aggregate behind recency-weighted activity scores
+    * (each event contributes e^(−Δt/τ), τ = 1 h, anchored at the corpus
+    * max timestamp so the feature is a pure function of the data). The
+    * per-event decay term is quantized to 2^-20 fixed point BEFORE the
+    * per-user sum — order-free integer arithmetic, and the 1-ulp libm
+    * `exp` divergence between engines is absorbed by the quantizer (same
+    * discipline as `lm_score`'s ln). One 1-row anchor broadcast + one
+    * user-keyed aggregation: linear and shardable at any scale, and the
+    * same expression incrementally maintains under a streaming fold
+    * (decayed(t2) = decayed(t1)·e^(−(t2−t1)/τ) + new terms). */
+  def decayedCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("us"))
+    val anchor = ev.agg(max($"us").as("t_max"))
+    ev.crossJoin(broadcast(anchor))
+      .select($"user_id",
+        floor(exp(($"us" - $"t_max").cast(DoubleType) / lit(3.6e9))
+          * lit(1048576.0) + lit(0.5)).as("term_u20"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"term_u20").as("decayed_u20"))
+      .orderBy($"user_id")
+  }
+
   /** NS: robust outlier detection via median absolute deviation — the
     * heavy-tail-safe complement to `anomaly_zscore` (mean/stddev are
     * themselves dragged by the outliers they're meant to find; the

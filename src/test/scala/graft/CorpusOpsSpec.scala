@@ -202,4 +202,35 @@ class CorpusOpsSpec extends SparkSpecBase {
     val b = CorpusOps.stratifiedSample(spark, Sf0001).collect()
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
   }
+
+  test("bpe_apply: applies the round-1 winner; merge counts bound by its support") {
+    import org.apache.spark.sql.functions._
+    val rule = CorpusOps.bpeApply(spark, Sf0001).collect().map(_.getString(0)).distinct
+    assert(rule.length === 1, "one constant winner rule")
+    val top1 = CorpusOps.bpeMerges(spark, Sf0001, 1).collect().head
+    assert(rule.head === top1.getString(0),
+      "applied rule must be bpe_merges' top-1 candidate")
+    // greedy non-overlapping application merges at least one pair and never
+    // more than the (overlap-counting) round-1 support
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val (c1, c2) = (rule.head(0).toString, rule.head(1).toString)
+    val merges = words.map { case (w, cnt) =>
+      // scalar greedy left-to-right count of non-overlapping occurrences
+      var i = 0; var m = 0L
+      while (i < w.length - 1) {
+        if (w.substring(i, i + 2) == rule.head) { m += 1; i += 2 } else i += 1
+      }
+      m * cnt
+    }.sum
+    assert(merges > 0, s"winner rule $rule never applied")
+    assert(merges <= top1.getLong(1), "greedy merges exceed round-1 support")
+    // the round-2 candidate list must contain a pair built from the merged
+    // symbol (the whole point of iterating)
+    val pairs = CorpusOps.bpeApply(spark, Sf0001, 1000).collect().map(_.getString(1))
+    assert(pairs.exists(p => p.split(" ").contains(rule.head)),
+      s"no round-2 pair uses the merged symbol ${rule.head}")
+  }
 }

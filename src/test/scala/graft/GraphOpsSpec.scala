@@ -75,6 +75,23 @@ class GraphOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("decayed_counts: direct scalar recount of the decay sums agrees") {
+    val ev = graft.Tables.events(spark, Sf0001)
+      .selectExpr("user_id", "unix_micros(ts) AS us")
+      .as[(Long, Long)].collect()
+    val tMax = ev.map(_._2).max
+    val got = Relational.decayedCounts(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val byUser = ev.groupBy(_._1)
+    assert(got.keySet === byUser.keySet)
+    byUser.foreach { case (u, rows) =>
+      val sum = rows.map { case (_, us) =>
+        math.floor(math.exp((us - tMax).toDouble / 3.6e9) * 1048576.0 + 0.5).toLong
+      }.sum
+      assert(got(u) === ((rows.length.toLong, sum)), s"user $u")
+    }
+  }
+
   test("mad_outliers: direct scalar recount of median/MAD/outliers agrees") {
     val ev = spark.read.parquet(s"$Sf0001/events.parquet")
       .select($"event_type", $"event_id", $"value")

@@ -60,6 +60,13 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a sort:\n$p")
   }
 
+  test("pq_search plans join-free: one scan, LUT expressions, TakeOrdered") {
+    val p = physical(graft.operators.Similarity.pqSearch(spark, Sf0001))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a sort:\n$p")
+    assert(!p.contains("Exchange"), s"PQ ADC scan must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"PQ ADC scan must not join:\n$p")
+  }
+
   test("vocab_topk plans partial count + TakeOrderedAndProject (no full collect)") {
     val p = physical(graft.operators.Relational.vocabTopk(spark, Sf0001))
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a sort:\n$p")
@@ -232,7 +239,9 @@ class PlanSpec extends SparkSpecBase {
       "rrf_fusion",    // 1-row probe + 1-row corpus stats broadcast (both arms)
       "stratified_sample", // 1-row min-stratum target broadcast onto the scan
       "scd2_slice",    // 1-row as-of instant T broadcast onto the version table
-      "pair_graph_pagerank") // 1-row node-count N broadcast onto the degree table
+      "pair_graph_pagerank", // 1-row node-count N broadcast onto the degree table
+      "bpe_apply",     // 1-row winner merge rule broadcast onto the vocabulary
+      "decayed_counts") // 1-row max-ts anchor broadcast onto the scan
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = physical(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
