@@ -244,6 +244,19 @@ object Oracles {
         |WHERE x.doc_id % 10 = 7 AND y.doc_id % 10 <> 7
         |ORDER BY new_doc, index_doc""".stripMargin),
     "pair_graph_pagerank" -> pagerankSql,
+    "graph_triangles" -> (simhashCte +
+      """,
+        |b AS (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
+        |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
+        |pairs AS (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
+        |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
+        |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+        |t AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        |      FROM pairs e1 JOIN pairs e2 ON e1.pb = e2.pa
+        |      JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT unnest([a, b, c]) AS doc_id FROM t)
+        |GROUP BY doc_id ORDER BY n_triangles DESC, doc_id LIMIT 20""".stripMargin),
     "pq_codes" -> (pqCte +
       """
         |SELECT vec_id, list(code ORDER BY m) AS codes,

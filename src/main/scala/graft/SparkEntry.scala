@@ -159,6 +159,7 @@ object SparkEntry {
     "embedding_neardup"    -> (Similarity.embeddingNearDupPairs(_, _)),
     "semantic_dedup"       -> (Similarity.semanticDedup(_, _, 0.40)),
     "pair_graph_pagerank"  -> (GraphOps.pairGraphPagerank(_, _)),
+    "graph_triangles"      -> (GraphOps.graphTriangles(_, _)),
     "entropy_score"        -> (TextAnalysis.entropyScore(_, _)),
     "mad_outliers"         -> (Relational.madOutliers(_, _)),
     "multimodal_cols"      -> (Multimodal.multimodalCols(_, _)),

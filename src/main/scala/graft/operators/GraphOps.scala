@@ -56,6 +56,33 @@ object GraphOps {
     pr
   }
 
+  /** NS: triangle participation counts over the near-dup pair graph — a
+    * triangle means three docs that are all pairwise near-dups, so
+    * per-node triangle density separates tight boilerplate cliques (every
+    * pair agrees) from chained false-positive paths (a~b~c but a≁c) —
+    * the structural quality signal for `dedup_clusters`' output.
+    *
+    * Enumeration is the standard ordered-wedge join: edges are kept
+    * oriented (doc_a < doc_b, already the pair convention), wedges
+    * (a<b<c with a~b, b~c) join against the closing edge (a,c). Cost is
+    * Σ_v deg(v)² wedges — bounded by the banded pair generation, never
+    * corpus-quadratic; at 100 TB you additionally orient by DEGREE
+    * (low→high) so hub wedges collapse, the classic skew fix. */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = DocDedup.simhashPairsMemo(spark, dir).select($"doc_a", $"doc_b")
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .join(e.as("e3"),
+        col("e1.doc_a") === col("e3.doc_a") && col("e2.doc_b") === col("e3.doc_b"))
+      .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"),
+        col("e2.doc_b").as("c"))
+    tri.select(explode(array($"a", $"b", $"c")).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy($"n_triangles".desc, $"doc_id")
+      .limit(20)
+  }
+
   /** Declared query: 3-round PageRank over the simhash near-dup pair
     * graph, top-20 most-central docs. TakeOrdered top-k — the full rank
     * frame is never globally sorted. */

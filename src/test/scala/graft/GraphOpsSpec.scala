@@ -56,6 +56,22 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(Set(pr(10L), pr(11L), pr(12L)).size === 1)
   }
 
+  test("graph_triangles: scalar triangle enumeration over the pair set agrees") {
+    val pairs = graft.operators.DocDedup.simhashNearDupPairs(spark, Sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val tris = for {
+      (a, b) <- pairs.toSeq
+      (b2, c) <- pairs if b2 == b && pairs((a, c))
+    } yield (a, b, c)
+    val counts = tris.flatMap { case (a, b, c) => Seq(a, b, c) }
+      .groupBy(identity).view.mapValues(_.size.toLong)
+    val expect = counts.toSeq.sortBy { case (id, n) => (-n, id) }.take(20)
+    val got = GraphOps.graphTriangles(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expect)
+    assert(got.nonEmpty, "fixture has no triangles — invariant vacuous")
+  }
+
   test("entropy_score: direct scalar recount on raw text agrees bit-for-bit") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
       .select($"doc_id", $"text").as[(Long, String)].collect().toMap
