@@ -310,6 +310,51 @@ object StreamOps {
     closed.unionByName(appended)
   }
 
+  /** Exponentially time-decayed per-user event counters as a CUSTOM-STATE
+    * streaming aggregate — the `mapGroupsWithState` twin of
+    * [[graft.operators.Relational.decayedCounts]], demonstrating the
+    * arbitrary-state API the built-in windowed aggregates can't express
+    * (the state is a (anchor, value) pair folded with a data-dependent
+    * decay multiplier, not a commutative sum).
+    *
+    * Per user the state is (anchor µs = max ts seen, decayed value AT that
+    * anchor, n). Each batch's group rows fold in (ts, then arrival) order:
+    *   ts ≥ anchor: value·e^((anchor−ts)/τ) + 1, anchor ← ts
+    *   ts <  anchor (late data): value + e^((ts−anchor)/τ)
+    * so the counter is exact under any batch split of an ordered feed and
+    * correct (order-insensitive up to FP re-association) under late
+    * arrivals. State is O(1) per live user — the unbounded-key concern is
+    * the same as any keyed state store and ages out with a timeout in a
+    * real deployment.
+    *
+    * The batch query anchors every user at the GLOBAL max ts and quantizes
+    * per-term; rescaling this stream's per-user result by
+    * e^((anchor−t_max)/τ) reproduces it up to FP re-association —
+    * StreamingSpec asserts that parity within 1e-9 relative. */
+  def decayedCountsStream(events: DataFrame, tauUs: Double = 3.6e9): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double, Long), (Long, Long, Long, Double)](
+        GroupStateTimeout.NoTimeout()) { case (user, rows, state) =>
+        var (anchor, value, n) = state.getOption.getOrElse((Long.MinValue, 0.0, 0L))
+        rows.map(_._2).toArray.sorted.foreach { us =>
+          if (anchor == Long.MinValue) { anchor = us; value = 1.0 }
+          else if (us >= anchor) {
+            value = value * math.exp((anchor - us).toDouble / tauUs) + 1.0
+            anchor = us
+          } else value = value + math.exp((us - anchor).toDouble / tauUs)
+          n += 1
+        }
+        state.update((anchor, value, n))
+        (user, n, anchor, value)
+      }
+      .toDF("user_id", "n_events", "anchor_us", "decayed_at_anchor")
+  }
+
   def runOnceToMemory(df: DataFrame, queryName: String, outputMode: String): StreamingQuery =
     df.writeStream
       .format("memory")

@@ -29,6 +29,39 @@ class StreamingSpec extends SparkSpecBase {
 
   private def batchDf = spark.createDataset(rows).toDF()
 
+  test("decayed counters: mapGroupsWithState fold across batches == ground truth") {
+    implicit val ctx = spark.sqlContext
+    val tauUs = 3.6e9
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.decayedCountsStream(ms.toDF(), tauUs).writeStream
+      .format("memory").queryName("decayed").outputMode("update")
+      .start()
+    try {
+      // ordered feed split mid-stream: the fold must be split-invariant
+      val (b1, b2) = rows.sortBy(_.ts.getTime).splitAt(70)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    // update mode emits one row per (user, batch); the LAST per user is the
+    // final state
+    val fin = spark.table("decayed")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.last._2 }
+    val tMax = rows.map(_.ts.getTime).max * 1000L
+    val truth = rows.groupBy(_.user_id).map { case (u, evs) =>
+      u -> (evs.size.toLong,
+        evs.map(e => math.exp((e.ts.getTime * 1000L - tMax).toDouble / tauUs)).sum)
+    }
+    assert(fin.keySet === truth.keySet)
+    truth.foreach { case (u, (n, expect)) =>
+      val (gotN, anchor, atAnchor) = fin(u)
+      assert(gotN === n, s"user $u event count")
+      val rescaled = atAnchor * math.exp((anchor - tMax).toDouble / tauUs)
+      assert(math.abs(rescaled - expect) <= 1e-9 * expect,
+        s"user $u: streamed $rescaled vs truth $expect")
+    }
+  }
+
   test("windowed aggregation: streaming complete-mode == batch") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
