@@ -244,6 +244,36 @@ object Oracles {
         |WHERE x.doc_id % 10 = 7 AND y.doc_id % 10 <> 7
         |ORDER BY new_doc, index_doc""".stripMargin),
     "pair_graph_pagerank" -> pagerankSql,
+    "media_text_pairs" ->
+      s"""WITH c AS (SELECT vec_id AS cell_id, embedding AS ce
+         |           FROM embeddings WHERE vec_id < 16),
+         |s AS (SELECT e.vec_id, c.cell_id,
+         |        ${cosSql("e.embedding", "c.ce")} AS score FROM embeddings e, c),
+         |r AS (SELECT vec_id, cell_id, score, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY score DESC, cell_id) AS rnk FROM s),
+         |a AS (SELECT vec_id, cell_id,
+         |        CAST(floor(score * 1048576.0 + 0.5) AS BIGINT) AS score_u20
+         |      FROM r WHERE rnk = 1),
+         |cap AS (SELECT doc_id, source,
+         |          CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+         |        FROM documents)
+         |SELECT cap.doc_id, cap.source, cap.n_tokens, a.cell_id, a.score_u20,
+         |       CASE WHEN cap.n_tokens >= 5 AND a.score_u20 >= 104858
+         |            THEN 1 ELSE 0 END AS kept
+         |FROM cap JOIN a ON a.vec_id = cap.doc_id
+         |ORDER BY cap.doc_id""".stripMargin,
+    "media_shard_pack" ->
+      """WITH f AS (SELECT source, doc_id, n_chars,
+        |             sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               - n_chars AS off
+        |           FROM documents)
+        |SELECT source, CAST(off // 4096 AS BIGINT) AS shard_id,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS shard_bytes,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM f GROUP BY source, shard_id
+        |ORDER BY source, shard_id""".stripMargin,
     "graph_triangles" -> (simhashCte +
       """,
         |b AS (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv

@@ -163,6 +163,8 @@ object SparkEntry {
     "entropy_score"        -> (TextAnalysis.entropyScore(_, _)),
     "mad_outliers"         -> (Relational.madOutliers(_, _)),
     "multimodal_cols"      -> (Multimodal.multimodalCols(_, _)),
+    "media_text_pairs"     -> (Multimodal.mediaTextPairs(_, _)),
+    "media_shard_pack"     -> (Multimodal.mediaShardPack(_, _, 4096L)),
     "media_decode_stub"    -> (Multimodal.mediaDecodeStub(_, _)),
     "media_frame_sample"   -> (Multimodal.mediaFrameSample(_, _)),
   )

@@ -80,6 +80,54 @@ object Multimodal {
       .orderBy($"doc_id", $"meta_key")
   }
 
+  /** NS: CLIP-style caption/embedding pair curation — the LAION-recipe
+    * gate over (text, image) training pairs: each document's caption joins
+    * its aligned embedding (`embeddings.vec_id` = `documents.doc_id`, the
+    * corpus convention `rrf_fusion` established), and a pair is kept when
+    * the caption is long enough (≥5 ws-tokens) AND the embedding's
+    * IVF-assignment cosine clears the alignment floor — the stand-in for
+    * a CLIP image-text score in a sandbox with no model. The score gate
+    * compares in 2^-20 fixed point, so the keep decision is
+    * boundary-exact cross-engine. One equi-join on the id; the argmax
+    * assignment is the same zero-shuffle literal-codebook expression the
+    * ANN family uses. */
+  def mediaTextPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val assigned = Similarity.ivfAssigned(spark, dir,
+        Similarity.codebook(spark, dir))
+      .select($"vec_id", $"cell_id",
+        floor($"score" * lit(1048576.0) + lit(0.5)).as("score_u20"))
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).as("n_tokens"))
+      .join(assigned, $"doc_id" === $"vec_id")
+      .select($"doc_id", $"source", $"n_tokens", $"cell_id", $"score_u20",
+        when($"n_tokens" >= 5 && $"score_u20" >= 104858L, 1).otherwise(0)
+          .as("kept")) // 104858 ≈ 0.1 in 2^-20 units: the alignment floor
+      .orderBy($"doc_id")
+  }
+
+  /** NS: WebDataset-style shard packing — assign each payload to a
+    * ~budget-byte training shard, per source, in doc_id order (the
+    * tar-shard planner a multimodal loader streams from; shard = unit of
+    * sequential I/O and shuffle-free sampling at training time). Same
+    * start-offset binning as `compaction_plan`, applied to payload bytes;
+    * per-partition-dir windows keep the cumsum shardable. */
+  def mediaShardPack(spark: SparkSession, dir: String,
+      budget: Long = 4096L): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+    Tables.documents(spark, dir)
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("off", sum($"n_chars").over(w) - $"n_chars")
+      .withColumn("shard_id", expr(s"off div $budget"))
+      .groupBy($"source", $"shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("shard_bytes"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"shard_id")
+  }
+
   /** Rows-only-checked decode query via the mapPartitions stub pipeline
     * (not SQL-expressible — it exercises the typed Dataset seam). */
   def mediaDecodeStub(spark: SparkSession, dir: String): DataFrame = {

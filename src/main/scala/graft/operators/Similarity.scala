@@ -137,7 +137,7 @@ object Similarity {
 
   /** The (cell_id, centroid) codebook: bounded (k rows), read through a
     * pushdown-pruned scan at plan time. */
-  private def codebook(spark: SparkSession, dir: String,
+  private[operators] def codebook(spark: SparkSession, dir: String,
       k: Int = IvfCells): Array[(Long, Array[Float])] = {
     import spark.implicits._
     Tables.embeddings(spark, dir)
@@ -152,7 +152,7 @@ object Similarity {
     * computed as a single map-side argmax over the literal codebook:
     * `array_max` over (score, -cell_id) structs implements
     * max-score-then-lowest-cell without any shuffle or fan-out. */
-  private def ivfAssigned(spark: SparkSession, dir: String,
+  private[operators] def ivfAssigned(spark: SparkSession, dir: String,
       cents: Array[(Long, Array[Float])]): DataFrame = {
     import spark.implicits._
     val selfNorm = sqrt(norm2($"embedding"))
