@@ -47,6 +47,20 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(pr(0L) > leaves.head, "hub must outrank leaves")
   }
 
+  test("pagerank matches the scalar reference on seeded random graphs") {
+    val rnd = new scala.util.Random(0xC0FFEE)
+    for (trial <- 1 to 5) {
+      val n = 6 + rnd.nextInt(20)
+      val pairs = (0 until n * 2).map { _ =>
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter { case (a, b) => a != b }.distinct
+      if (pairs.nonEmpty)
+        assert(prSpark(pairs, 3) === prRef(pairs, 3), s"trial $trial: $pairs")
+    }
+  }
+
   test("pagerank: disconnected components do not leak rank across") {
     val two = Seq((1L, 2L), (10L, 11L), (11L, 12L), (12L, 10L))
     val pr = prSpark(two, 3)
