@@ -232,6 +232,29 @@ object Oracles {
         |    i -> CASE WHEN x.sig[i] = y.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 AS est_jaccard
         |FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin),
+    "minhash_calibration" -> (minhashCte +
+      """,
+        |b AS (SELECT doc_id, ks.k, array_to_string(sig[4*ks.k+1:4*ks.k+4], ',') AS bv, sig
+        |      FROM s, (SELECT unnest([0,1,2,3]) AS k) ks),
+        |p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |        CAST(list_sum(list_transform(range(1, 17),
+        |          i -> CASE WHEN x.sig[i] = y.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16
+        |          AS est
+        |      FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id),
+        |j AS (SELECT p.doc_a, p.doc_b, p.est,
+        |        CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS n_inter,
+        |        CAST(len(ga.grams) AS BIGINT) + CAST(len(gb.grams) AS BIGINT)
+        |          - CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS n_union
+        |      FROM p JOIN g ga ON ga.doc_id = p.doc_a
+        |             JOIN g gb ON gb.doc_id = p.doc_b),
+        |q AS (SELECT doc_a, doc_b, n_inter, n_union,
+        |        CAST(floor(est * 1048576.0 + 0.5) AS BIGINT) AS est_u20,
+        |        CAST(floor(CAST(n_inter AS DOUBLE) / n_union * 1048576.0 + 0.5)
+        |             AS BIGINT) AS exact_u20
+        |      FROM j)
+        |SELECT doc_a, doc_b, n_inter, n_union, est_u20, exact_u20,
+        |       abs(est_u20 - exact_u20) AS err_u20
+        |FROM q ORDER BY doc_a, doc_b""".stripMargin),
     "minhash_incremental" -> (minhashCte +
       """,
         |b AS (SELECT doc_id, ks.k, array_to_string(sig[4*ks.k+1:4*ks.k+4], ',') AS bv, sig

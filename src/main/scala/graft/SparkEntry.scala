@@ -135,6 +135,7 @@ object SparkEntry {
     "minhash_signatures"   -> (DocDedup.minhashSignatures(_, _)),
     "minhash_dedup_pairs"  -> (DocDedup.minhashDedupPairs(_, _)),
     "minhash_incremental"  -> (DocDedup.minhashIncremental(_, _)),
+    "minhash_calibration"  -> (DocDedup.minhashCalibration(_, _)),
     "simhash_docs"         -> (DocDedup.simhashDocs(_, _)),
     "simhash_neardup_pairs" -> (DocDedup.simhashNearDupPairs(_, _)),
     "ngram_jaccard"        -> (DocDedup.ngramJaccardProbe(_, _)),

@@ -45,6 +45,19 @@ package object functions {
   /** Ordered-fold double dot product of two numeric arrays (codegen'd). */
   def vector_dot(a: Column, b: Column): Column = toCol(VectorDot(ex(a), ex(b)))
 
+  /** PQ codes + 2^-20 quantization error for a float-array embedding
+    * against a plan-time codebook (compact custom kernel — see
+    * [[PqEncode]]'s scaladoc for why this beats a literal expression tree). */
+  def pq_encode(v: Column, codebook: Array[Array[Double]],
+      subspaces: Int, subDims: Int): Column =
+    toCol(PqEncode(ex(v), codebook, subspaces, subDims))
+
+  /** PQ asymmetric-distance (ADC) estimate: integer Σ of per-subspace
+    * LUT lookups by the row's PQ code. */
+  def pq_adc(v: Column, codebook: Array[Array[Double]],
+      luts: Array[Array[Long]], subDims: Int): Column =
+    toCol(PqAdc(ex(v), codebook, luts, subDims))
+
   /** 2-D Z-order (Morton) key of two non-negative long keys (codegen'd):
     * the clustering value behind multi-dimensional layout/pruning. */
   def z_order2(x: Column, y: Column): Column = toCol(ZOrder2(ex(x), ex(y)))

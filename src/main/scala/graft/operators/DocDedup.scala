@@ -222,6 +222,32 @@ object DocDedup {
       .orderBy($"doc_id")
   }
 
+  /** NS: MinHash estimator CALIBRATION — for every candidate pair, the
+    * 16-slot signature estimate vs the exact shingle-set Jaccard, with
+    * the absolute error in 2^-20 fixed point: the eval loop that tells
+    * you whether 16 permutations and a 0.5 threshold are right for THIS
+    * corpus before deleting data on the estimator's word. Exact scoring
+    * touches only the candidate pairs (the bucketed set — never
+    * all-pairs), so the calibration costs O(candidates · doc grams) at
+    * any corpus size; est = k/16 is dyadic, so its quantization is exact
+    * in any engine. */
+  def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gramsDf = Tables.documents(spark, dir)
+      .select($"doc_id", array_distinct(shingles($"text", 3)).as("grams"))
+    val inter = size(array_intersect($"ga", $"gb")).cast(LongType)
+    val union = (size($"ga") + size($"gb")).cast(LongType) - inter
+    minhashPairsMemo(spark, dir)
+      .join(gramsDf.select($"doc_id".as("doc_a"), $"grams".as("ga")), Seq("doc_a"))
+      .join(gramsDf.select($"doc_id".as("doc_b"), $"grams".as("gb")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b", inter.as("n_inter"), union.as("n_union"),
+        floor($"est_jaccard" * lit(1048576.0) + lit(0.5)).as("est_u20"),
+        floor(inter.cast(DoubleType) / union * lit(1048576.0) + lit(0.5))
+          .as("exact_u20"))
+      .withColumn("err_u20", abs($"est_u20" - $"exact_u20"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** NS: fuzzy entity-resolution join — all pairs of customer names within
     * edit distance 1, WITHOUT the O(N²) pair scan. Blocking is the
     * deletion neighborhood (the SymSpell/FastSS scheme) sharpened with the

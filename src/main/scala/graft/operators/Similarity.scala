@@ -249,17 +249,9 @@ object Similarity {
   private val PqM = 8    // subspaces
   private val PqDims = 8 // dims per subspace (8×8 = 64)
 
-  /** Squared L2 between a row's subspace m and a literal centroid's same
-    * subspace: ordered left fold of 8 (a−b)² terms, float components
-    * widened to double exactly — bit-identical in any engine. */
-  private def pqSubDist(m: Int, cent: Array[Float]): Column =
-    (0 until PqDims).map { d =>
-      val a = element_at(col("embedding"), m * PqDims + d + 1).cast(DoubleType)
-      val b = lit(cent(m * PqDims + d).toDouble)
-      (a - b) * (a - b)
-    }.reduce(_ + _)
-
-  /** Driver-side twin of [[pqSubDist]], same accumulation order. */
+  /** Driver-side subspace L2²: the same left fold with float→double
+    * widening as [[graft.functions.PqKernel.subDist]] — used to build the
+    * probe's ADC lookup tables with bit-identical arithmetic. */
   private def pqSubDistD(m: Int, v: Array[Float], c: Array[Float]): Double = {
     var s = 0.0
     var d = 0
@@ -271,16 +263,9 @@ object Similarity {
     s
   }
 
-  /** (code, dist-at-code) for subspace m: argmin over the 16 literal
-    * centroids via the same zero-shuffle array_max-of-struct trick as
-    * [[ivfAssigned]] (min dist, ties → lowest centroid id). */
-  private def pqCode(m: Int, cents: Array[(Long, Array[Float])]): (Column, Column) = {
-    val scored = cents.map { case (cid, ce) =>
-      struct((-pqSubDist(m, ce)).as("s"), lit(-cid).as("neg"))
-    }
-    val best = array_max(array(scored.toIndexedSeq: _*))
-    ((-best.getField("neg")).cast(LongType), -best.getField("s"))
-  }
+  /** The seed codebook widened to the double matrix the PQ kernels take. */
+  private def pqCodebook(cents: Array[(Long, Array[Float])]): Array[Array[Double]] =
+    cents.map(_._2.map(_.toDouble))
 
   /** NS: product-quantization index build — every vector compressed to
     * M=8 one-byte codes (64 floats → 8 bytes, 32×), using the same seed
@@ -293,13 +278,11 @@ object Similarity {
     * is one linear scan writing the 8-byte codes a PQ index stores. */
   def pqCodes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cents = codebook(spark, dir)
-    val (codes, dists) = (0 until PqM).map(m => pqCode(m, cents)).unzip
-    val errU20 = dists
-      .map(d => floor(d * lit(1048576.0) + lit(0.5)))
-      .reduce(_ + _)
+    val cb = pqCodebook(codebook(spark, dir))
     Tables.embeddings(spark, dir)
-      .select($"vec_id", array(codes: _*).as("codes"), errU20.as("err_u20"))
+      .select($"vec_id",
+        graft.functions.pq_encode($"embedding", cb, PqM, PqDims).as("pq"))
+      .select($"vec_id", $"pq.codes".as("codes"), $"pq.err_u20".as("err_u20"))
       .orderBy($"vec_id")
   }
 
@@ -321,12 +304,10 @@ object Similarity {
         math.floor(pqSubDistD(m, probe, ce) * 1048576.0 + 0.5).toLong
       }
     }
-    val codes = (0 until PqM).map(m => pqCode(m, cents)._1)
-    val adc = codes.zipWithIndex.map { case (code, m) =>
-      element_at(lit(luts(m)), (code + 1).cast(IntegerType))
-    }.reduce(_ + _)
     Tables.embeddings(spark, dir)
-      .select($"vec_id", $"label", adc.as("adc_u20"))
+      .select($"vec_id", $"label",
+        graft.functions.pq_adc($"embedding", pqCodebook(cents), luts, PqDims)
+          .as("adc_u20"))
       .where($"vec_id" =!= 0)
       .orderBy($"adc_u20".asc, $"vec_id")
       .limit(5)

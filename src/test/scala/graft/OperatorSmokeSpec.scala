@@ -10,7 +10,7 @@ class OperatorSmokeSpec extends SparkSpecBase {
 
   // Pair queries may legitimately be (near-)empty at sf0.001.
   private val mayBeEmpty = Set("minhash_dedup_pairs", "simhash_neardup_pairs",
-    "embedding_neardup", "dedup_ensemble")
+    "embedding_neardup", "dedup_ensemble", "minhash_calibration")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs on sf0.001" + (if (mayBeEmpty(name)) " (pairs)" else "")) {
