@@ -317,6 +317,36 @@ object Oracles {
         |                AS BIGINT)) AS BIGINT) AS err_u20
         |FROM best WHERE rn = 1
         |GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+    "pq_recall_eval" -> (pqCte +
+      s""",
+         |codes AS (SELECT vec_id, m, code FROM best WHERE rn = 1),
+         |lut AS (SELECT vec_id AS p_id, m, cid,
+         |          CAST(floor(dist * CAST(1048576 AS DOUBLE) + 0.5) AS BIGINT) AS ld
+         |        FROM d WHERE vec_id < 8),
+         |adc AS (SELECT l.p_id, c.vec_id, CAST(sum(l.ld) AS BIGINT) AS score
+         |        FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.code
+         |        WHERE c.vec_id <> l.p_id
+         |        GROUP BY l.p_id, c.vec_id),
+         |a5 AS (SELECT p_id, vec_id FROM (
+         |         SELECT p_id, vec_id, row_number() OVER (
+         |           PARTITION BY p_id ORDER BY score, vec_id) AS rnk FROM adc)
+         |       WHERE rnk <= 5),
+         |p AS (SELECT vec_id AS p_id, embedding AS pe
+         |      FROM embeddings WHERE vec_id < 8),
+         |ex AS (SELECT p.p_id, e.vec_id,
+         |         (${dotSql("e.embedding", "e.embedding")}
+         |          - CAST(2 AS DOUBLE) * ${dotSql("e.embedding", "p.pe")})
+         |          + ${dotSql("p.pe", "p.pe")} AS score
+         |       FROM embeddings e, p WHERE e.vec_id <> p.p_id),
+         |e5 AS (SELECT p_id, vec_id FROM (
+         |         SELECT p_id, vec_id, row_number() OVER (
+         |           PARTITION BY p_id ORDER BY score, vec_id) AS rnk FROM ex)
+         |       WHERE rnk <= 5),
+         |h AS (SELECT e5.p_id, CAST(count(*) AS BIGINT) AS n_hits
+         |      FROM e5 JOIN a5 USING (p_id, vec_id) GROUP BY e5.p_id)
+         |SELECT p.p_id, COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+         |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
+         |FROM p LEFT JOIN h ON h.p_id = p.p_id ORDER BY p.p_id""".stripMargin),
     "pq_search" -> (pqCte +
       """,
         |lut AS (SELECT m, cid,

@@ -156,6 +156,7 @@ object SparkEntry {
     "embedding_quantize"   -> (Similarity.embeddingQuantize(_, _)),
     "pq_codes"             -> (Similarity.pqCodes(_, _)),
     "pq_search"            -> (Similarity.pqSearch(_, _)),
+    "pq_recall_eval"       -> (Similarity.pqRecallEval(_, _)),
     "embedding_centroids"  -> (Similarity.embeddingCentroids(_, _)),
     "embedding_neardup"    -> (Similarity.embeddingNearDupPairs(_, _)),
     "semantic_dedup"       -> (Similarity.semanticDedup(_, _, 0.40)),

@@ -313,6 +313,56 @@ object Similarity {
       .limit(5)
   }
 
+  /** NS: recall@5 of PQ/ADC search against exact squared-L2 — the eval
+    * loop that tells you whether 8×16 codebooks keep enough geometry for
+    * THIS corpus before swapping the exact scan for the compressed one
+    * (the PQ twin of [[annRecallEval]]'s IVF measurement). 8 probes; each
+    * embedding is ADC-scored against all 8 probe LUTs in one scan (the
+    * encode kernel runs per (row, probe) — at scale you'd materialize
+    * `pq_codes` once and score by lookups alone). Ranking ties break by
+    * vec_id; the ADC arm is pure integer so the comparison with the
+    * oracle is exact, and the exact arm's L2 uses the same
+    * dot-product-identity expression the SQL twin spells. */
+  def pqRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cents = codebook(spark, dir)
+    val cb = pqCodebook(cents)
+    val nProbes = 8
+    val adcStructs = cents.filter(_._1 < nProbes).map { case (pid, pe) =>
+      val luts = Array.tabulate(PqM) { m =>
+        cents.map { case (_, ce) =>
+          math.floor(pqSubDistD(m, pe, ce) * 1048576.0 + 0.5).toLong
+        }
+      }
+      struct(lit(pid).as("p_id"),
+        graft.functions.pq_adc($"embedding", cb, luts, PqDims).as("s"))
+    }
+    val emb = Tables.embeddings(spark, dir)
+    val w = Window.partitionBy($"p_id").orderBy($"score".asc, $"vec_id")
+    def top5(scored: DataFrame): DataFrame = scored
+      .withColumn("rnk", row_number().over(w)).where($"rnk" <= 5)
+      .select($"p_id", $"vec_id")
+    val adc5 = top5(emb
+      .select($"vec_id", explode(array(adcStructs.toIndexedSeq: _*)).as("pa"))
+      .select($"vec_id", $"pa.p_id".as("p_id"), $"pa.s".as("score"))
+      .where($"vec_id" =!= $"p_id"))
+    val probesDf = emb.where($"vec_id" < nProbes)
+      .select($"vec_id".as("p_id"), $"embedding".as("pe"))
+    val l2 = dot($"embedding", $"embedding") -
+      lit(2.0) * dot($"embedding", $"pe") + dot($"pe", $"pe")
+    val exact5 = top5(emb.crossJoin(broadcast(probesDf))
+      .where($"vec_id" =!= $"p_id")
+      .select($"p_id", $"vec_id", l2.as("score")))
+    val hits = exact5.join(adc5, Seq("p_id", "vec_id"))
+      .groupBy($"p_id").agg(count(lit(1)).as("hits"))
+    probesDf.select($"p_id")
+      .join(hits, Seq("p_id"), "left_outer")
+      .select($"p_id", coalesce($"hits", lit(0L)).as("n_hits"),
+        (coalesce($"hits", lit(0L)).cast(DoubleType) / lit(5.0)).as("recall"))
+      .orderBy($"p_id")
+  }
+
   /** NS: vector normalization through the higher-order-function surface —
     * `transform` rescales each component by the L2 norm and `aggregate`
     * folds the unit vector's component sum as a checksum, all inside the
