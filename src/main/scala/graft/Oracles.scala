@@ -297,6 +297,29 @@ object Oracles {
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM f GROUP BY source, shard_id
         |ORDER BY source, shard_id""".stripMargin,
+    "label_propagation" -> (simhashCte +
+      """,
+        |b AS (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
+        |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
+        |pairs AS (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
+        |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
+        |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+        |e AS (SELECT pa AS src, pb AS dst FROM pairs
+        |      UNION ALL SELECT pb, pa FROM pairs),
+        |l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM e),
+        |n1 AS (SELECT e.src, l.label, CAST(count(*) AS BIGINT) AS c
+        |       FROM e JOIN l0 l ON l.doc_id = e.dst GROUP BY e.src, l.label),
+        |l1 AS (SELECT src AS doc_id, label FROM (
+        |         SELECT src, label, row_number() OVER (
+        |           PARTITION BY src ORDER BY c DESC, label) AS rn FROM n1)
+        |       WHERE rn = 1),
+        |n2 AS (SELECT e.src, l.label, CAST(count(*) AS BIGINT) AS c
+        |       FROM e JOIN l1 l ON l.doc_id = e.dst GROUP BY e.src, l.label),
+        |l2 AS (SELECT src AS doc_id, label FROM (
+        |         SELECT src, label, row_number() OVER (
+        |           PARTITION BY src ORDER BY c DESC, label) AS rn FROM n2)
+        |       WHERE rn = 1)
+        |SELECT doc_id, label FROM l2 ORDER BY doc_id""".stripMargin),
     "graph_triangles" -> (simhashCte +
       """,
         |b AS (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv

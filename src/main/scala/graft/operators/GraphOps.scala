@@ -56,6 +56,34 @@ object GraphOps {
     pr
   }
 
+  /** NS: community detection by synchronous label propagation over the
+    * near-dup pair graph — where [[DocDedup.dedupClusters]] answers
+    * "reachable at all" (connected components), LPA's majority vote finds
+    * DENSELY-linked groups inside a component, so a chain of borderline
+    * matches does not pull two tight boilerplate families into one
+    * cluster. Deterministic by construction: labels start as doc_id, each
+    * round every node takes its neighbors' most frequent label with ties
+    * to the LOWEST label — pure integer argmax, bit-identical in any
+    * engine, no random tie-breaking. Fixed 2 rounds (unrolled in the
+    * oracle); one neighbor-count shuffle per round over the bounded pair
+    * graph, the same per-round cost shape as [[pagerank]]. */
+  def labelPropagation(spark: SparkSession, dir: String, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val pairs = DocDedup.simhashPairsMemo(spark, dir).select($"doc_a", $"doc_b")
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+    var labels = edges.select($"src".as("doc_id")).distinct()
+      .withColumn("label", $"doc_id")
+    for (_ <- 1 to iters) {
+      val neigh = edges.join(labels, $"dst" === labels("doc_id"))
+        .groupBy($"src", $"label").agg(count(lit(1)).as("c"))
+      labels = neigh.groupBy($"src")
+        .agg(max(struct($"c", (-$"label").as("nl"))).as("m"))
+        .select($"src".as("doc_id"), (-$"m.nl").as("label"))
+    }
+    labels.orderBy($"doc_id")
+  }
+
   /** NS: triangle participation counts over the near-dup pair graph — a
     * triangle means three docs that are all pairwise near-dups, so
     * per-node triangle density separates tight boilerplate cliques (every

@@ -70,6 +70,37 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(Set(pr(10L), pr(11L), pr(12L)).size === 1)
   }
 
+  test("label_propagation: scalar 2-round majority-vote recount agrees") {
+    val pairs = graft.operators.DocDedup.simhashNearDupPairs(spark, Sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2))
+    var labels: Map[Long, Long] = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 2) {
+      labels = adj.map { case (v, ns) =>
+        val counts = ns.map(labels).groupBy(identity).view.mapValues(_.size)
+        v -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }.toMap
+    }
+    val got = GraphOps.labelPropagation(spark, Sf0001, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === labels)
+    assert(got.nonEmpty)
+  }
+
+  test("label_propagation communities refine connected components") {
+    // two docs sharing an LPA label must be in one CC (LPA never crosses a
+    // component boundary — labels only flow along edges)
+    val cc = graft.operators.DocDedup.dedupClusters(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lpa = GraphOps.labelPropagation(spark, Sf0001, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    lpa.groupBy(_._2).foreach { case (label, members) =>
+      val comps = members.map { case (doc, _) => cc(doc) }.distinct
+      assert(comps.length === 1,
+        s"LPA label $label spans CC components $comps")
+    }
+  }
+
   test("graph_triangles: scalar triangle enumeration over the pair set agrees") {
     val pairs = graft.operators.DocDedup.simhashNearDupPairs(spark, Sf0001)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
