@@ -207,6 +207,57 @@ class PropertySpec extends AnyFunSuite {
     assert((ZOrder2.interleave(5L, 9L) ^ ZOrder2.interleave(5L, 8L)) === 2L)
   }
 
+  test("pq kernel: codes/err match an independent scalar argmin on random vectors") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import graft.functions.{PqAdc, PqEncode}
+    val (subspaces, subDims) = (4, 4)
+    val dims = subspaces * subDims
+    val rnd = new scala.util.Random(0xBEEF)
+    // codebook with a DELIBERATE duplicate centroid (rows 2 and 5) so the
+    // lowest-id tie-break is actually exercised
+    val k = 8
+    val cb = Array.tabulate(k, dims)((c, d) =>
+      if (c == 5) 0.0 else rnd.nextGaussian())
+    for (c <- 0 until dims) cb(5)(c) = cb(2)(c)
+    val luts = Array.tabulate(subspaces, k)((m, c) => (m * 100 + c).toLong)
+    val enc = PqEncode(BoundReference(0, ArrayType(FloatType), nullable = false),
+      cb, subspaces, subDims)
+    val adc = PqAdc(BoundReference(0, ArrayType(FloatType), nullable = false),
+      cb, luts, subDims)
+    def scalarRef(v: Array[Float]): (Seq[Long], Long) = {
+      val codes = (0 until subspaces).map { m =>
+        val ds = (0 until k).map { c =>
+          (0 until subDims).foldLeft(0.0) { (s, d) =>
+            val diff = v(m * subDims + d).toDouble - cb(c)(m * subDims + d)
+            s + diff * diff
+          }
+        }
+        val best = ds.zipWithIndex.minBy { case (s, c) => (s, c) }
+        (best._2.toLong, math.floor(best._1 * 1048576.0 + 0.5).toLong)
+      }
+      (codes.map(_._1), codes.map(_._2).sum)
+    }
+    val vectors =
+      (0 until 50).map(_ => Array.fill(dims)(rnd.nextGaussian().toFloat)) ++
+        cb.map(_.map(_.toFloat)) // centroid vectors themselves (exact ties)
+    vectors.zipWithIndex.foreach { case (v, i) =>
+      val row = InternalRow(new GenericArrayData(v))
+      val got = enc.eval(row).asInstanceOf[InternalRow]
+      val (expCodes, expErr) = scalarRef(v)
+      assert(got.getArray(0).toLongArray.toSeq === expCodes, s"vector $i codes")
+      assert(got.getLong(1) === expErr, s"vector $i err")
+      val expAdc = expCodes.zipWithIndex.map { case (c, m) => luts(m)(c.toInt) }.sum
+      assert(adc.eval(row) === expAdc, s"vector $i adc")
+    }
+    // the duplicated centroid pair must code to the LOWER id (2, never 5)
+    val dupRow = InternalRow(new GenericArrayData(cb(2).map(_.toFloat)))
+    val dupCodes = enc.eval(dupRow).asInstanceOf[InternalRow].getArray(0).toLongArray
+    assert(dupCodes.forall(_ == 2L), s"tie went to ${dupCodes.toSeq}, not lowest id")
+  }
+
   test("avro: zigzag roundtrips arbitrary longs including extremes") {
     val extremes = Seq(0L, -1L, 1L, Long.MaxValue, Long.MinValue, 63L, 64L, -64L, -65L)
     for (v <- samples(Arbitrary.arbitrary[Long]) ++ extremes) {
