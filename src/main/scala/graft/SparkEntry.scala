@@ -84,6 +84,7 @@ object SparkEntry {
     "scd2_build"           -> (Relational.scd2Build(_, _)),
     "scd2_slice"           -> (Relational.scd2Slice(_, _)),
     "anomaly_zscore"       -> (Relational.anomalyZscore(_, _, 3.0)),
+    "burst_detection"      -> (Relational.burstDetection(_, _)),
     "data_profile"         -> (Relational.dataProfile(_, _)),
     "dedup"                -> (Relational.dedup(_, _)),
     "salted_join"          -> (Scale.saltedJoinQuery(_, _)),
@@ -906,6 +907,26 @@ object SparkEntry {
         |FROM events e JOIN m USING (event_type)
         |WHERE abs((e.value - m.mean) / m.std) > 3.0
         |ORDER BY e.event_id""".stripMargin,
+    // Counts are integers so Σn/Σn² are exact longs; mean/σ/z are single
+    // correctly-rounded IEEE expressions — boundary-exact without quantizing
+    "burst_detection" ->
+      """WITH c AS (SELECT event_type,
+        |             (epoch_ns(ts)//1000) // 3600000000 AS hr FROM events),
+        |h AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n
+        |      FROM c GROUP BY event_type, hr),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |        CAST(sum(n) AS BIGINT) AS sv,
+        |        CAST(sum(n * n) AS BIGINT) AS svv
+        |      FROM h GROUP BY event_type),
+        |z AS (SELECT h.event_type, h.hr, h.n,
+        |        CAST(s.sv AS DOUBLE) / s.n_hours AS mean,
+        |        sqrt((CAST(s.svv AS DOUBLE)
+        |              - CAST(s.sv AS DOUBLE) * s.sv / s.n_hours) / s.n_hours)
+        |          AS std
+        |      FROM h JOIN s USING (event_type))
+        |SELECT event_type, hr, n, mean, std, (n - mean) / std AS z
+        |FROM z WHERE abs((n - mean) / std) > 2.5
+        |ORDER BY event_type, hr""".stripMargin,
     // Per-event decay terms quantized to 2^-20 before the integer sum —
     // order-free, and libm exp's 1-ulp cross-engine divergence is absorbed
     "decayed_counts" ->

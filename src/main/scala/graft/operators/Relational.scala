@@ -1094,6 +1094,33 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** NS: burst detection — the rate-anomaly twin of `anomaly_zscore`:
+    * bucket events into epoch hours per type, then flag hours whose COUNT
+    * is > 2.5σ from the type's mean rate (traffic spikes / pipeline
+    * stalls). Counts are integers, so the sufficient statistics (Σn, Σn²)
+    * are EXACT longs and mean/σ/z are single correctly-rounded IEEE
+    * expressions over them — the flag boundary is bit-stable cross-engine
+    * without any quantization. Two bounded aggregations (hours × types,
+    * then types) + a broadcast join back onto the hourly frame. */
+  def burstDetection(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.events(spark, dir)
+      .select($"event_type", expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy($"event_type", $"hr").agg(count(lit(1)).as("n"))
+    val stats = counts.groupBy($"event_type").agg(
+      count(lit(1)).as("n_hours"),
+      sum($"n").as("sv"),
+      sum($"n" * $"n").as("svv"))
+    val mean = $"sv".cast(DoubleType) / $"n_hours"
+    val stdev = sqrt(($"svv".cast(DoubleType) -
+      $"sv".cast(DoubleType) * $"sv" / $"n_hours") / $"n_hours")
+    counts.join(broadcast(stats), "event_type")
+      .select($"event_type", $"hr", $"n", mean.as("mean"), stdev.as("std"),
+        (($"n" - mean) / stdev).as("z"))
+      .where(abs(($"n" - mean) / stdev) > 2.5)
+      .orderBy($"event_type", $"hr")
+  }
+
   /** NS: robust outlier detection via median absolute deviation — the
     * heavy-tail-safe complement to `anomaly_zscore` (mean/stddev are
     * themselves dragged by the outliers they're meant to find; the
