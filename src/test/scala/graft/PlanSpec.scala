@@ -214,7 +214,12 @@ class PlanSpec extends SparkSpecBase {
       // lag window, running-sum window, and the session aggregate must all
       // reuse ONE user_id exchange (subset-clustering satisfies the agg);
       // budget = that + the final orderBy range exchange.
-      ("dynamic_sessions", graft.operators.Relational.dynamicSessionize(spark, Sf0001), 2))
+      ("dynamic_sessions", graft.operators.Relational.dynamicSessionize(spark, Sf0001), 2),
+      // hourly-count agg + per-type stats agg + stats broadcast back +
+      // final orderBy range; the hourly exchange is reused by both readers
+      ("burst_detection", graft.operators.Relational.burstDetection(spark, Sf0001), 5),
+      // per-user decay agg + 1-row anchor broadcast + final orderBy range
+      ("decayed_counts", graft.operators.Relational.decayedCounts(spark, Sf0001), 4))
     budgets.foreach { case (name, df, budget) =>
       val n = "Exchange".r.findAllIn(physical(df)).size
       assert(n <= budget, s"$name plans $n exchanges (budget $budget)")
