@@ -51,6 +51,22 @@ class OperatorSmokeSpec extends SparkSpecBase {
     assert(after > before, s"training was a no-op: $before -> $after")
   }
 
+  test("distinct_users_approx: HLL++ estimates within the configured rsd of exact") {
+    // the one rows-only sketch gets a real accuracy gate here: each
+    // type's estimate must sit within 5× the 5% default rsd of the exact
+    // count (generous multiple — sf0.001 cardinalities are small enough
+    // that HLL++ is usually exact, but the bound must hold regardless)
+    val approx = graft.operators.Relational.distinctUsersApprox(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.operators.Relational.distinctUsers(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (t, n) =>
+      val err = math.abs(approx(t) - n).toDouble / n
+      assert(err <= 0.25, s"type $t: approx ${approx(t)} vs exact $n (err $err)")
+    }
+  }
+
   test("pq_codes: codebook rows self-code with zero quantization error") {
     val rows = Similarity.pqCodes(spark, Sf0001).collect()
       .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
