@@ -570,6 +570,25 @@ object Oracles {
         |      FROM tok, (SELECT unnest([0, 1, 2, 3]) AS i) rs)
         |SELECT CAST(i * 256 + b AS BIGINT) AS idx, CAST(count(*) AS BIGINT) AS n
         |FROM h GROUP BY i, b ORDER BY idx""".stripMargin,
+    "cms_calibration" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |h AS (SELECT rs.i,
+        |        CAST(concat('0x', substr(md5(CAST(rs.i AS VARCHAR) || '|' || t), 1, 7))
+        |             AS BIGINT) % 256 AS b
+        |      FROM tok, (SELECT unnest([0, 1, 2, 3]) AS i) rs),
+        |cells AS (SELECT i, b, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY i, b),
+        |ex AS (SELECT t AS tok, CAST(count(*) AS BIGINT) AS exact_n
+        |       FROM tok GROUP BY t ORDER BY exact_n DESC, tok LIMIT 32),
+        |pr AS (SELECT ex.tok, ex.exact_n, rs.i,
+        |         CAST(concat('0x',
+        |           substr(md5(CAST(rs.i AS VARCHAR) || '|' || ex.tok), 1, 7))
+        |           AS BIGINT) % 256 AS b
+        |       FROM ex, (SELECT unnest([0, 1, 2, 3]) AS i) rs),
+        |est AS (SELECT pr.tok, pr.exact_n, CAST(min(c.n) AS BIGINT) AS cms_est
+        |        FROM pr JOIN cells c ON c.i = pr.i AND c.b = pr.b
+        |        GROUP BY pr.tok, pr.exact_n)
+        |SELECT tok, exact_n, cms_est, cms_est - exact_n AS overest
+        |FROM est ORDER BY exact_n DESC, tok""".stripMargin,
     "embedding_quantize" ->
       """WITH b AS (SELECT vec_id, embedding,
         |             list_max(list_transform(embedding,

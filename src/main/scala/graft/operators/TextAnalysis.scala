@@ -316,6 +316,33 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** NS: Count-Min estimator calibration — the CMS twin of
+    * `minhash_calibration`: for the top-k exact tokens, the sketch's
+    * estimate (min over the 4 salted rows of the [[cmsVocab]] matrix) next
+    * to the exact count and the overestimate. CMS can only OVER-estimate
+    * (cells sum colliding tokens), so `overest ≥ 0` is a structural
+    * invariant the spec pins; the report sizes the width/depth trade-off
+    * on the real vocabulary before trusting sketch counts. All integer
+    * arithmetic; the probe side is k·depth rows joined against the ≤
+    * depth·width-cell matrix — both bounded regardless of corpus size. */
+  def cmsCalibration(spark: SparkSession, dir: String, k: Int = 32): DataFrame = {
+    import spark.implicits._
+    val cells = cmsVocab(spark, dir).select($"idx", $"n")
+    val top = Tables.documents(spark, dir)
+      .select(explode(tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("exact_n"))
+      .orderBy($"exact_n".desc, $"tok").limit(k)
+    val probes = top.select($"tok", $"exact_n",
+      explode(array((0 until 4).map { i =>
+        (md5Long28(concat(lit(s"$i|"), $"tok")) % 256 + i * 256).as(s"x$i")
+      }: _*)).as("idx"))
+    probes.join(cells, "idx")
+      .groupBy($"tok", $"exact_n").agg(min($"n").as("cms_est"))
+      .select($"tok", $"exact_n", $"cms_est",
+        ($"cms_est" - $"exact_n").as("overest"))
+      .orderBy($"exact_n".desc, $"tok")
+  }
+
   /** NS: per-source corpus cap (domain balancing, the C4/Dolma-style
     * curation step): keep at most k docs per source, chosen by
     * deterministic content hash — a stable "random" sample. Reuses the

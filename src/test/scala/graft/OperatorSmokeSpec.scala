@@ -67,6 +67,16 @@ class OperatorSmokeSpec extends SparkSpecBase {
     }
   }
 
+  test("cms_calibration: estimates never under-count (CMS structural bound)") {
+    val rows = graft.operators.TextAnalysis.cmsCalibration(spark, Sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (tok, exact, est, over) =>
+      assert(est >= exact, s"CMS under-counted '$tok': $est < $exact")
+      assert(over === est - exact, s"overest column inconsistent for '$tok'")
+    }
+  }
+
   test("pq_codes: codebook rows self-code with zero quantization error") {
     val rows = Similarity.pqCodes(spark, Sf0001).collect()
       .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
