@@ -570,6 +570,53 @@ object Oracles {
         |      FROM tok, (SELECT unnest([0, 1, 2, 3]) AS i) rs)
         |SELECT CAST(i * 256 + b AS BIGINT) AS idx, CAST(count(*) AS BIGINT) AS n
         |FROM h GROUP BY i, b ORDER BY idx""".stripMargin,
+    "quality_ensemble" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |         i -> ts[i] || ' ' || ts[i+1])) AS bg
+        |       FROM tok WHERE len(ts) >= 2),
+        |c AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY 1, 2),
+        |rt AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS top_count,
+        |              CAST(sum(n) AS BIGINT) AS n_bigrams FROM c GROUP BY 1),
+        |rep AS (SELECT doc_id,
+        |          CASE WHEN CAST(top_count AS DOUBLE) / n_bigrams > 0.05
+        |               THEN 1 ELSE 0 END AS rep_flag FROM rt),
+        |ec AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+        |       FROM (SELECT doc_id, unnest(ts) AS t FROM tok) GROUP BY 1, 2),
+        |en AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens
+        |       FROM ec GROUP BY 1),
+        |et AS (SELECT ec.doc_id,
+        |         CAST(floor(-(CAST(ec.c AS DOUBLE) / en.n_tokens)
+        |                    * ln(CAST(ec.c AS DOUBLE) / en.n_tokens)
+        |                    * CAST(1048576 AS DOUBLE) + 0.5) AS BIGINT) AS u
+        |       FROM ec JOIN en USING (doc_id)),
+        |ent AS (SELECT doc_id,
+        |          CASE WHEN CAST(sum(u) AS BIGINT) < 1572864
+        |               THEN 1 ELSE 0 END AS ent_flag FROM et GROUP BY doc_id),
+        |bw AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM bg),
+        |cb AS (SELECT bg, CAST(count(*) AS BIGINT) AS cnt_bg FROM bw GROUP BY 1),
+        |cw AS (SELECT split_part(bg, ' ', 1) AS w1,
+        |              CAST(sum(cnt_bg) AS BIGINT) AS cnt_w1 FROM cb GROUP BY 1),
+        |s AS (SELECT doc_id,
+        |        CAST(floor(ln(CAST(cnt_bg AS DOUBLE) / CAST(cnt_w1 AS DOUBLE))
+        |               * 1048576.0 + 0.5) AS BIGINT) AS u20
+        |      FROM bw JOIN cb USING (bg) JOIN cw USING (w1)),
+        |lm AS (SELECT doc_id,
+        |         CASE WHEN CAST(sum(u20) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |                   < -4102053.0 THEN 1 ELSE 0 END AS lm_flag
+        |       FROM s GROUP BY doc_id),
+        |a AS (SELECT d.doc_id,
+        |        COALESCE(r.rep_flag, 0) AS rep_flag,
+        |        COALESCE(e2.ent_flag, 0) AS ent_flag,
+        |        COALESCE(l.lm_flag, 0) AS lm_flag
+        |      FROM (SELECT doc_id FROM documents) d
+        |      LEFT JOIN rep r USING (doc_id)
+        |      LEFT JOIN ent e2 USING (doc_id)
+        |      LEFT JOIN lm l USING (doc_id))
+        |SELECT rep_flag, ent_flag, lm_flag,
+        |       CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_doc,
+        |       CAST(sum(doc_id) AS BIGINT) AS doc_checksum
+        |FROM a GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "cms_calibration" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
         |h AS (SELECT rs.i,

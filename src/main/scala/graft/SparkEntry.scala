@@ -113,6 +113,7 @@ object SparkEntry {
     "repetition_score"     -> (TextAnalysis.repetitionScore(_, _)),
     "cms_vocab"            -> (TextAnalysis.cmsVocab(_, _)),
     "cms_calibration"      -> (TextAnalysis.cmsCalibration(_, _, 32)),
+    "quality_ensemble"     -> (TextAnalysis.qualityEnsemble(_, _)),
     "domain_cap"           -> (TextAnalysis.domainCap(_, _, 25)),
     "tfidf_topk"           -> (CorpusOps.tfidfTopk(_, _, 3)),
     "decontaminate"        -> (CorpusOps.decontaminate(_, _, 5)),

@@ -316,6 +316,37 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** NS: quality-gate agreement matrix — the quality-filter twin of
+    * `dedup_ensemble`: every document voted on by the three independent
+    * gates (bigram repetition > 5%, token entropy < 1.5 nats, bigram-LM
+    * perplexity > 50), rolled up by flag combination with a doc-id
+    * checksum per cell. Unanimous cells are the high-confidence drops;
+    * single-gate cells are where the thresholds get tuned — the report a
+    * curation run reads before deleting data. Gates undefined for a doc
+    * (< 2 tokens ⇒ no bigrams) default to keep. Three corpus scans (one
+    * per gate — each already linear) + doc-keyed joins + an 8-row rollup. */
+  def qualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rep = repetitionScore(spark, dir)
+      .select($"doc_id", $"repetitive".as("rep_flag"))
+    val ent = entropyScore(spark, dir)
+      .select($"doc_id", $"flagged".as("ent_flag"))
+    val lm = CorpusOps.lmScore(spark, dir)
+      .select($"doc_id", $"flagged".as("lm_flag"))
+    Tables.documents(spark, dir).select($"doc_id")
+      .join(rep, Seq("doc_id"), "left_outer")
+      .join(ent, Seq("doc_id"), "left_outer")
+      .join(lm, Seq("doc_id"), "left_outer")
+      .select($"doc_id",
+        coalesce($"rep_flag", lit(0)).as("rep_flag"),
+        coalesce($"ent_flag", lit(0)).as("ent_flag"),
+        coalesce($"lm_flag", lit(0)).as("lm_flag"))
+      .groupBy($"rep_flag", $"ent_flag", $"lm_flag")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc"),
+        sum($"doc_id").as("doc_checksum"))
+      .orderBy($"rep_flag", $"ent_flag", $"lm_flag")
+  }
+
   /** NS: Count-Min estimator calibration — the CMS twin of
     * `minhash_calibration`: for the top-k exact tokens, the sketch's
     * estimate (min over the 4 salted rows of the [[cmsVocab]] matrix) next
