@@ -203,6 +203,25 @@ object Oracles {
         |       WHEN n_es = greatest(n_en, n_de, n_es, n_fr) THEN 'es'
         |       ELSE 'fr' END AS pred_lang
         |FROM s ORDER BY doc_id""".stripMargin,
+    "lang_id_eval" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang AS labeled_lang,
+        |  CAST(len(list_filter(toks, t -> t='the' OR t='a' OR t='of' OR t='and')) AS INTEGER) AS n_en,
+        |  CAST(len(list_filter(toks, t -> t='der' OR t='die' OR t='und' OR t='das')) AS INTEGER) AS n_de,
+        |  CAST(len(list_filter(toks, t -> t='el' OR t='la' OR t='de' OR t='y')) AS INTEGER) AS n_es,
+        |  CAST(len(list_filter(toks, t -> t='le' OR t='la' OR t='et' OR t='les')) AS INTEGER) AS n_fr
+        | FROM t),
+        |p AS (SELECT labeled_lang,
+        |  CASE WHEN greatest(n_en, n_de, n_es, n_fr) = 0 THEN 'und'
+        |       WHEN n_en = greatest(n_en, n_de, n_es, n_fr) THEN 'en'
+        |       WHEN n_de = greatest(n_en, n_de, n_es, n_fr) THEN 'de'
+        |       WHEN n_es = greatest(n_en, n_de, n_es, n_fr) THEN 'es'
+        |       ELSE 'fr' END AS pred_lang
+        |FROM s)
+        |SELECT labeled_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CASE WHEN labeled_lang = pred_lang THEN 1 ELSE 0 END AS correct
+        |FROM p GROUP BY labeled_lang, pred_lang
+        |ORDER BY labeled_lang, pred_lang""".stripMargin,
     "fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT doc_id, list_transform(generate_series(1, len(w) - 4),

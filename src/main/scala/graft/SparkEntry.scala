@@ -106,6 +106,7 @@ object SparkEntry {
     "token_count"          -> (TextAnalysis.tokenCount(_, _)),
     "quality_score"        -> (TextAnalysis.qualityScore(_, _)),
     "lang_id"              -> (TextAnalysis.langId(_, _)),
+    "lang_id_eval"         -> (TextAnalysis.langIdEval(_, _)),
     "fingerprint"          -> (TextAnalysis.fingerprint(_, _)),
     "corpus_curation"      -> (TextAnalysis.corpusCuration(_, _)),
     "text_normalize"       -> (TextAnalysis.textNormalize(_, _)),

@@ -316,6 +316,22 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** NS: language-ID confusion matrix — [[langId]] scored against the
+    * corpus's labeled `lang` column (the ground truth the classifier eval
+    * loop needs): (labeled, predicted) cells with doc counts and the
+    * diagonal flag. Off-diagonal mass tells you which stopword profiles
+    * collide (es/fr share 'la', 'de') before the gate filters a corpus.
+    * One linear scan + a ≤|langs|² rollup. */
+  def langIdEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    langId(spark, dir)
+      .groupBy($"labeled_lang", $"pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("correct",
+        when($"labeled_lang" === $"pred_lang", 1).otherwise(0))
+      .orderBy($"labeled_lang", $"pred_lang")
+  }
+
   /** NS: quality-gate agreement matrix — the quality-filter twin of
     * `dedup_ensemble`: every document voted on by the three independent
     * gates (bigram repetition > 5%, token entropy < 1.5 nats, bigram-LM
