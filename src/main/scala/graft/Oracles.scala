@@ -251,6 +251,30 @@ object Oracles {
         |    i -> CASE WHEN x.sig[i] = y.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 AS est_jaccard
         |FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin),
+    "split_leakage" -> (simhashCte +
+      """,
+        |b AS (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
+        |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
+        |pairs AS (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
+        |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
+        |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+        |sp AS (SELECT pa, pb,
+        |         CASE WHEN CAST(concat('0x', substr(md5(CAST(pa AS VARCHAR)), 1, 15))
+        |                   AS BIGINT) % 100 < 80 THEN 'train'
+        |              WHEN CAST(concat('0x', substr(md5(CAST(pa AS VARCHAR)), 1, 15))
+        |                   AS BIGINT) % 100 < 90 THEN 'val'
+        |              ELSE 'test' END AS split_a,
+        |         CASE WHEN CAST(concat('0x', substr(md5(CAST(pb AS VARCHAR)), 1, 15))
+        |                   AS BIGINT) % 100 < 80 THEN 'train'
+        |              WHEN CAST(concat('0x', substr(md5(CAST(pb AS VARCHAR)), 1, 15))
+        |                   AS BIGINT) % 100 < 90 THEN 'val'
+        |              ELSE 'test' END AS split_b
+        |       FROM pairs)
+        |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(pa + pb) AS BIGINT) AS id_checksum,
+        |       CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS cross_split
+        |FROM sp GROUP BY split_a, split_b
+        |ORDER BY split_a, split_b""".stripMargin),
     "minhash_calibration" -> (minhashCte +
       """,
         |b AS (SELECT doc_id, ks.k, array_to_string(sig[4*ks.k+1:4*ks.k+4], ',') AS bv, sig

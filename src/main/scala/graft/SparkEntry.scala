@@ -140,6 +140,7 @@ object SparkEntry {
     "minhash_dedup_pairs"  -> (DocDedup.minhashDedupPairs(_, _)),
     "minhash_incremental"  -> (DocDedup.minhashIncremental(_, _)),
     "minhash_calibration"  -> (DocDedup.minhashCalibration(_, _)),
+    "split_leakage"        -> (DocDedup.splitLeakage(_, _)),
     "simhash_docs"         -> (DocDedup.simhashDocs(_, _)),
     "simhash_neardup_pairs" -> (DocDedup.simhashNearDupPairs(_, _)),
     "ngram_jaccard"        -> (DocDedup.ngramJaccardProbe(_, _)),

@@ -248,6 +248,33 @@ object DocDedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** NS: train/val/test leakage audit — near-dup pairs that CROSS the
+    * `hash_split` boundaries: a test doc with a train near-duplicate is
+    * contamination the benchmark-decontamination gate can't see (it only
+    * checks the eval SUITE, not the held-out split), and hash-splitting
+    * alone can't prevent (near-dups hash independently). The report is
+    * the (split_a, split_b) pair matrix with counts and id checksums —
+    * off-diagonal cells are the leaks a pipeline must fix by splitting
+    * CLUSTER-wise (assign `dedup_clusters` labels to splits, not docs).
+    * Cost: the memoized candidate pair set + a per-pair hash expression —
+    * nothing rescans the corpus. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def splitOf(c: Column): Column = {
+      val b = md5Long60(c.cast(StringType)) % 100
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    }
+    simhashPairsMemo(spark, dir)
+      .select($"doc_a", $"doc_b",
+        splitOf($"doc_a").as("split_a"), splitOf($"doc_b").as("split_b"))
+      .groupBy($"split_a", $"split_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"doc_a" + $"doc_b").as("id_checksum"))
+      .withColumn("cross_split",
+        when($"split_a" =!= $"split_b", 1).otherwise(0))
+      .orderBy($"split_a", $"split_b")
+  }
+
   /** NS: fuzzy entity-resolution join — all pairs of customer names within
     * edit distance 1, WITHOUT the O(N²) pair scan. Blocking is the
     * deletion neighborhood (the SymSpell/FastSS scheme) sharpened with the

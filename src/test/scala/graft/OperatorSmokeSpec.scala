@@ -67,6 +67,17 @@ class OperatorSmokeSpec extends SparkSpecBase {
     }
   }
 
+  test("split_leakage: matrix conserves the pair set; cross flags match cells") {
+    val cells = graft.operators.DocDedup.splitLeakage(spark, Sf0001)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getInt(4))))
+    val totalPairs = graft.operators.DocDedup.simhashNearDupPairs(spark, Sf0001).count()
+    assert(cells.map(_._2._1).sum === totalPairs,
+      "leakage matrix must partition the full candidate pair set")
+    cells.foreach { case ((a, b), (_, cross)) =>
+      assert(cross === (if (a != b) 1 else 0), s"cross flag wrong for ($a,$b)")
+    }
+  }
+
   test("cms_calibration: estimates never under-count (CMS structural bound)") {
     val rows = graft.operators.TextAnalysis.cmsCalibration(spark, Sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
