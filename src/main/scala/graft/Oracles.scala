@@ -251,6 +251,20 @@ object Oracles {
         |    i -> CASE WHEN x.sig[i] = y.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 AS est_jaccard
         |FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin),
+    "cluster_split" ->
+      s"""SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         |       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         |FROM (SELECT doc_id, cluster_id,
+         |        CASE WHEN CAST(concat('0x',
+         |               substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))
+         |               AS BIGINT) % 100 < 80 THEN 'train'
+         |             WHEN CAST(concat('0x',
+         |               substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))
+         |               AS BIGINT) % 100 < 90 THEN 'val'
+         |             ELSE 'test' END AS split
+         |      FROM ($clustersSql) c) s
+         |GROUP BY split ORDER BY split""".stripMargin,
     "split_leakage" -> (simhashCte +
       """,
         |b AS (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv

@@ -141,6 +141,7 @@ object SparkEntry {
     "minhash_incremental"  -> (DocDedup.minhashIncremental(_, _)),
     "minhash_calibration"  -> (DocDedup.minhashCalibration(_, _)),
     "split_leakage"        -> (DocDedup.splitLeakage(_, _)),
+    "cluster_split"        -> (DocDedup.clusterSplit(_, _)),
     "simhash_docs"         -> (DocDedup.simhashDocs(_, _)),
     "simhash_neardup_pairs" -> (DocDedup.simhashNearDupPairs(_, _)),
     "ngram_jaccard"        -> (DocDedup.ngramJaccardProbe(_, _)),

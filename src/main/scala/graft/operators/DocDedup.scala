@@ -275,6 +275,28 @@ object DocDedup {
       .orderBy($"split_a", $"split_b")
   }
 
+  /** NS: cluster-wise split assignment — the FIX [[splitLeakage]]
+    * mandates: hash the CLUSTER label (not the doc id) into train/val/test,
+    * so every member of a near-dup cluster lands in the same split and
+    * cross-split near-dup leakage is zero BY CONSTRUCTION (every candidate
+    * pair is within-cluster by the definition of the transitive closure —
+    * the spec asserts the zero). Singletons keep the per-doc hash behavior
+    * (their label IS their doc id). Report: per-split doc/cluster counts
+    * and checksums — the 80/10/10 target now holds over clusters, with the
+    * doc-level skew showing how much the big clusters bend it. */
+  def clusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b = md5Long60($"cluster_id".cast(StringType)) % 100
+    dedupClusters(spark, dir)
+      .withColumn("split",
+        when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"cluster_id").as("n_clusters"),
+        sum($"doc_id").as("id_checksum"))
+      .orderBy($"split")
+  }
+
   /** NS: fuzzy entity-resolution join — all pairs of customer names within
     * edit distance 1, WITHOUT the O(N²) pair scan. Blocking is the
     * deletion neighborhood (the SymSpell/FastSS scheme) sharpened with the

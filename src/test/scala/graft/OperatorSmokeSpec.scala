@@ -78,6 +78,29 @@ class OperatorSmokeSpec extends SparkSpecBase {
     }
   }
 
+  test("cluster_split: zero cross-split near-dup pairs by construction") {
+    import org.apache.spark.sql.functions.{col, md5, concat, substring, lit, when}
+    // rebuild each doc's cluster-derived split and check every candidate
+    // pair lands in ONE split — the guarantee split_leakage shows doc-hash
+    // splitting lacks
+    val b = graft.functions.md5_long(col("cluster_id").cast("string"), 15) % 100
+    val docSplit = graft.operators.DocDedup.dedupClusters(spark, Sf0001)
+      .select(col("doc_id"),
+        when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+    val pairs = graft.operators.DocDedup.simhashNearDupPairs(spark, Sf0001)
+      .select(col("doc_a"), col("doc_b"))
+    val crossed = pairs
+      .join(docSplit.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "sa"), "doc_a")
+      .join(docSplit.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "sb"), "doc_b")
+      .where(col("sa") =!= col("sb")).count()
+    assert(crossed === 0L, s"$crossed near-dup pairs cross cluster splits")
+    // and the assignment still covers every document exactly once
+    assert(docSplit.count() ===
+      spark.read.parquet(s"$Sf0001/documents.parquet").count())
+  }
+
   test("cms_calibration: estimates never under-count (CMS structural bound)") {
     val rows = graft.operators.TextAnalysis.cmsCalibration(spark, Sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
