@@ -984,6 +984,17 @@ object Oracles {
         |         AS dup_frac
         |FROM g LEFT JOIN f USING (fp)
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "source_overlap" ->
+      """WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT source, CAST(concat('0x',
+        |        substr(md5(array_to_string(w[i:i+15], ' ')), 1, 15))
+        |        AS BIGINT) AS fp
+        |      FROM d, unnest(generate_series(1, len(w) - 15)) AS u(i))
+        |SELECT x.source AS source_a, y.source AS source_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared_spans
+        |FROM g x JOIN g y ON x.fp = y.fp AND x.source < y.source
+        |GROUP BY x.source, y.source
+        |ORDER BY source_a, source_b""".stripMargin,
     "mixture_resample" ->
       """WITH p AS (SELECT source,
         |             CAST(sum(len(string_split(text, ' '))) AS BIGINT)

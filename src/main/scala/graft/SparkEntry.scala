@@ -152,6 +152,7 @@ object SparkEntry {
     "dedup_survivorship"   -> (DocDedup.dedupSurvivorship(_, _)),
     "dedup_ensemble"       -> (DocDedup.dedupEnsemble(_, _)),
     "dup_spans"            -> (DocDedup.dupSpans(_, _, 16)),
+    "source_overlap"       -> (DocDedup.sourceOverlap(_, _)),
     "similarity_search"    -> (Similarity.similaritySearch(_, _)),
     "ann_lsh_buckets"      -> (Similarity.annLshBuckets(_, _)),
     "ann_lsh_search"       -> (Similarity.annLshSearch(_, _)),

@@ -386,6 +386,27 @@ object DocDedup {
       .orderBy($"doc_id")
   }
 
+  /** NS: cross-source syndication matrix — which SOURCE PAIRS share
+    * verbatim 16-token spans (mirrors, syndicated feeds, scraped
+    * re-posts): the source-level rollup of [[dupSpans]]' fingerprints.
+    * High off-diagonal overlap means two "sources" are really one and the
+    * mixture weights (`source_mix`) double-count them. Candidate rows are
+    * (fingerprint, source) DISTINCT pairs — bounded by shared
+    * fingerprints, never doc-quadratic; the within-fingerprint source
+    * join is ≤|sources|² per fingerprint. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fps = Tables.documents(spark, dir)
+      .select($"source", explode(shingles($"text", 16)).as("gram"))
+      .select($"source", md5Long60($"gram").as("fp"))
+      .distinct()
+    fps.as("x").join(fps.as("y"),
+        col("x.fp") === col("y.fp") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .orderBy($"source_a", $"source_b")
+  }
+
   /** Distributed connected components over an undirected edge list via
     * alternating large-star / small-star contraction (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC 2014 — public
