@@ -38,6 +38,10 @@ object SparkEntry {
     // — Part B: relational closure —
     "equi_join"            -> (Relational.equiJoin(_, _)),
     "multi_join_agg"       -> (Relational.multiJoinAgg(_, _)),
+    "shipping_priority"    -> (Relational.shippingPriority(_, _)),
+    "promo_revenue"        -> (Relational.promoRevenue(_, _)),
+    "top_spenders"         -> (Relational.topSpenders(_, _)),
+    "min_cost_supplier"    -> (Relational.minCostSupplier(_, _)),
     "semi_anti_join"       -> (Relational.semiAntiJoin(_, _)),
     "full_outer_join"      -> (Relational.fullOuterJoin(_, _)),
     "asof_join"            -> (Relational.asofJoin(_, _)),
@@ -294,6 +298,60 @@ object SparkEntry {
         |JOIN nation   ON c_nationkey = n_nationkey
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY n_name, r_name ORDER BY n_name""".stripMargin,
+    "shipping_priority" ->
+      """SELECT l_orderkey, o_orderpriority,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |            AS DOUBLE) AS revenue,
+        |       CAST(max(o_orderdate) AS DATE) AS order_date
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate  > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "promo_revenue" ->
+      """WITH j AS (
+        |  SELECT p_type,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01')
+        |SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev END) AS DOUBLE)
+        |         AS promo_revenue,
+        |       CAST(sum(rev) AS DOUBLE) AS total_revenue,
+        |       count(*) AS n_lineitems,
+        |       CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev END) AS DOUBLE)
+        |         / CAST(sum(rev) AS DOUBLE) AS promo_share
+        |FROM j""".stripMargin,
+    "top_spenders" ->
+      """WITH s AS (
+        |  SELECT o_custkey,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec,
+        |         count(*) AS n_orders, max(o_totalprice) AS max_order
+        |  FROM orders GROUP BY o_custkey
+        |  HAVING sum(CAST(o_totalprice AS DECIMAL(18,2))) > 4000000)
+        |SELECT o_custkey AS custkey, c_name, c_mktsegment, n_orders,
+        |       CAST(spend_dec AS DOUBLE) AS total_spend, max_order
+        |FROM s JOIN customer ON o_custkey = c_custkey
+        |ORDER BY custkey""".stripMargin,
+    "min_cost_supplier" ->
+      """WITH u AS (
+        |  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price,
+        |         count(*) OVER (PARTITION BY l_partkey) AS n_offers,
+        |         row_number() OVER (PARTITION BY l_partkey
+        |                            ORDER BY l_extendedprice / l_quantity, l_suppkey)
+        |           AS rn
+        |  FROM lineitem)
+        |SELECT l_partkey AS partkey, l_suppkey AS suppkey, s_name, n_name,
+        |       unit_price, n_offers
+        |FROM u
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |WHERE rn = 1 ORDER BY partkey""".stripMargin,
     "semi_anti_join" ->
       """SELECT c_custkey, 'has_orders' AS status FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

@@ -1176,4 +1176,99 @@ object Relational {
       .select($"user_id", $"event_type", $"event_id", unix_micros($"ts").as("ts_us"))
       .orderBy($"user_id", $"event_type")
   }
+
+  /** NS: TPC-H Q3-shaped shipping-priority report — unshipped-revenue
+    * top-10 over a 3-way filtered join. Every filter sits directly on its
+    * scan (pushed to parquet: segment on customer, date on both fact
+    * sides), so the joins see pre-pruned inputs; the final top-10 is a
+    * TakeOrderedAndProject, never a global sort. Revenue is decimal-exact
+    * (`revenueExact`) so the desc ranking is engine-independent; ties
+    * break by order key. At 100 TB: two fact-fact shuffle joins on
+    * orderkey/custkey — the canonical co-partitioned pipeline. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = lit("1998-01-01").cast(TimestampType)
+    val c = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
+    val o = Tables.orders(spark, dir).filter($"o_orderdate" < cutoff)
+    val l = Tables.lineitem(spark, dir).filter($"l_shipdate" > cutoff)
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderpriority")
+      .agg(revenueExact($"l_extendedprice", $"l_discount").as("revenue"),
+        // o_orderdate is functionally determined by l_orderkey — max() is
+        // just the determinism-safe way to carry it through the agg
+        max($"o_orderdate").cast(DateType).as("order_date"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** NS: TPC-H Q14-shaped promotion-revenue ratio — conditional
+    * aggregation over a fact⋈dim join. `part` is the bounded dim →
+    * explicit broadcast (no shuffle of the lineitem side at all); the
+    * promo share is one pass with a `when` inside the sum, not two scans.
+    * The month filter prunes lineitem at the scan. Numerator and
+    * denominator are exact decimals; the single terminal division is the
+    * only FP op, bit-identical cross-engine. */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast(TimestampType) &&
+        $"l_shipdate" < lit("1997-04-01").cast(TimestampType))
+    val rev = $"l_extendedprice".cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) - $"l_discount".cast(DecimalType(18, 2)))
+    l.join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
+      .agg(
+        sum(when($"p_type" === "PROMO", rev)).cast(DoubleType).as("promo_revenue"),
+        sum(rev).cast(DoubleType).as("total_revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .select($"promo_revenue", $"total_revenue", $"n_lineitems",
+        ($"promo_revenue" / $"total_revenue").as("promo_share"))
+  }
+
+  /** NS: TPC-H Q18-shaped large-volume customers — HAVING over a grouped
+    * sum, joined back to the dimension for names. The aggregate runs
+    * BEFORE the join, so only qualifying customers (a tiny fraction)
+    * reach the join — at 100 TB the orders aggregation is the only
+    * fact-sized shuffle and the join input is post-HAVING. Money through
+    * DECIMAL(18,2) end to end; the threshold compares decimals exactly. */
+  def topSpenders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spend = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("spend_dec"),
+        count(lit(1)).as("n_orders"),
+        max($"o_totalprice").as("max_order"))
+      .filter($"spend_dec" > lit(4000000).cast(DecimalType(18, 2)))
+    spend.join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .select($"o_custkey".as("custkey"), $"c_name", $"c_mktsegment",
+        $"n_orders", $"spend_dec".cast(DoubleType).as("total_spend"),
+        $"max_order")
+      .orderBy($"custkey")
+  }
+
+  /** NS: TPC-H Q2-shaped min-cost supplier — per part, the supplier
+    * observed offering the lowest unit price, argmin via `min(struct)` so
+    * the map side ships ONE candidate per (part, partition) instead of a
+    * window over all lineitems. Unit price is a single IEEE division per
+    * row (identical cross-engine); ties break inside the struct by
+    * suppkey. Joins to supplier/nation are broadcast dims. At 100 TB the
+    * lineitem argmin is the only fact shuffle, with partial aggregation
+    * doing the heavy lifting map-side. */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val best = Tables.lineitem(spark, dir)
+      .select($"l_partkey",
+        struct(($"l_extendedprice" / $"l_quantity").as("unit_price"),
+          $"l_suppkey".as("s")).as("cand"))
+      .groupBy($"l_partkey")
+      .agg(min($"cand").as("best"), count(lit(1)).as("n_offers"))
+      .select($"l_partkey", $"best.unit_price".as("unit_price"),
+        $"best.s".as("suppkey"), $"n_offers")
+    best
+      .join(broadcast(Tables.supplier(spark, dir)), $"suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
+      .select($"l_partkey".as("partkey"), $"suppkey", $"s_name", $"n_name",
+        $"unit_price", $"n_offers")
+      .orderBy($"partkey")
+  }
 }

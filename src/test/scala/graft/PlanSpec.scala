@@ -50,6 +50,40 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_"), s"no map-side partial aggregation in:\n$p")
   }
 
+  test("shipping_priority top-10 is TakeOrderedAndProject; filters reach the scans") {
+    val df = graft.operators.Relational.shippingPriority(spark, Sf0001)
+    val p = physical(df)
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a sort:\n$p")
+    val ex = formatted(df)
+    assert(ex.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter did not reach the customer scan:\n$ex")
+    assert(ex.contains("GreaterThan(l_shipdate"),
+      s"shipdate filter did not reach the lineitem scan:\n$ex")
+  }
+
+  test("promo_revenue broadcasts part and aggregates in one pass") {
+    val p = physical(graft.operators.Relational.promoRevenue(spark, Sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("min_cost_supplier argmin is a partial aggregate, not a window") {
+    val p = physical(graft.operators.Relational.minCostSupplier(spark, Sf0001))
+    assert(p.contains("partial_min"), s"argmin lost map-side combine:\n$p")
+    assert(!p.contains("Window"), s"argmin degenerated to a window plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"supplier/nation dims not broadcast:\n$p")
+  }
+
+  test("top_spenders aggregates before the customer join (HAVING prunes the join input)") {
+    val p = physical(graft.operators.Relational.topSpenders(spark, Sf0001))
+    // the aggregate-side join input must already carry the HAVING filter:
+    // spend_dec > 4000000 sits below the join in the plan tree
+    val joinIdx = p.indexOf("Join")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(joinIdx >= 0 && aggIdx > joinIdx,
+      s"orders aggregation did not run below the join:\n$p")
+  }
+
   test("topk_sort plans as TakeOrderedAndProject, never a global sort") {
     val p = physical(graft.operators.Relational.topkSort(spark, Sf0001))
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a sort:\n$p")
