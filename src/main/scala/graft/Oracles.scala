@@ -1135,5 +1135,53 @@ object Oracles {
         |         AS frame_len,
         |       md5(substr(text, frame_idx * 100 + 1, 100)) AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // winnowing (SIGMOD 2003): word-4-gram 40-bit hashes packed with their
+    // position (h*2^20 + pos), window-8 min per end position, distinct —
+    // the packed long min IS the (hash, leftmost-pos) argmin on both engines
+    "winnow_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, list_transform(generate_series(1, len(w) - 3),
+        |        i -> array_to_string(w[i:i+3], ' ')) AS grams FROM d),
+        |c AS (SELECT doc_id, list_transform(range(1, len(grams) + 1),
+        |        i -> CAST(concat('0x', substr(md5(grams[i]), 1, 10)) AS BIGINT)
+        |             * 1048576 + (i - 1)) AS comb FROM g),
+        |s AS (SELECT doc_id, len(comb) AS n_grams,
+        |        CASE WHEN len(comb) >= 8 THEN
+        |          list_distinct(list_transform(range(8, len(comb) + 1),
+        |            e -> list_min(comb[e-7:e])))
+        |        WHEN len(comb) > 0 THEN [list_min(comb)]
+        |        ELSE [] END AS sel FROM c)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |       CAST(len(sel) AS BIGINT) AS n_selected,
+        |       CAST(coalesce(list_sum(list_transform(sel, x -> x >> 20)), 0)
+        |            AS BIGINT) AS fp_checksum
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "ngram_novelty" -> (gramsCte +
+      """,
+        |e AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+        |f AS (SELECT gr, min(doc_id) AS first_doc FROM e GROUP BY gr)
+        |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_novel,
+        |       CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+        |            AS DOUBLE) / count(*) AS novelty
+        |FROM e JOIN f ON e.gr = f.gr
+        |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin),
+    // corpus second-moment matrix at 2^-40 fixed-point scale: components
+    // quantized to 2^-20 BEFORE multiplying, so every term is an exact i64
+    // and the sum is order-independent on both engines
+    "embedding_gram" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |             x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5)
+        |                       AS BIGINT)) AS xs FROM embeddings),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM q),
+        |e AS (SELECT vec_id, t.i AS i, xs[t.i + 1] AS x FROM q, range(64) t(i))
+        |SELECT CAST(a.i AS INTEGER) AS i, CAST(b.i AS INTEGER) AS j,
+        |       CAST(sum(a.x * b.x) AS BIGINT) AS sum_q40,
+        |       n.n_vecs
+        |FROM e a JOIN e b ON a.vec_id = b.vec_id CROSS JOIN n
+        |WHERE a.i <= b.i
+        |GROUP BY a.i, b.i, n.n_vecs
+        |ORDER BY i, j""".stripMargin,
   )
 }

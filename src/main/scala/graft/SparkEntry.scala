@@ -116,6 +116,9 @@ object SparkEntry {
     "text_normalize"       -> (TextAnalysis.textNormalize(_, _)),
     "hash_split"           -> (TextAnalysis.hashSplit(_, _)),
     "repetition_score"     -> (TextAnalysis.repetitionScore(_, _)),
+    "winnow_spans"         -> (TextAnalysis.winnowSpans(_, _)),
+    "ngram_novelty"        -> (CorpusOps.ngramNovelty(_, _)),
+    "embedding_gram"       -> (Similarity.embeddingGram(_, _)),
     "cms_vocab"            -> (TextAnalysis.cmsVocab(_, _)),
     "cms_calibration"      -> (TextAnalysis.cmsCalibration(_, _, 32)),
     "quality_ensemble"     -> (TextAnalysis.qualityEnsemble(_, _)),

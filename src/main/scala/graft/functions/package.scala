@@ -80,6 +80,13 @@ package object functions {
   def top_k_rows(c: Column, k: Int): Column =
     toCol(TopKRows(ex(c), k).toAggregateExpression())
 
+  /** Element-wise sum of array<long> rows (aggregate): the
+    * distributed-linear-algebra accumulator — O(d) state per group,
+    * exact i64, map-side combine; pair with 2^-20 fixed-point
+    * quantization for cross-engine-reproducible vector/matrix sums. */
+  def vector_sum_l(c: Column): Column =
+    toCol(VectorSumL(ex(c)).toAggregateExpression())
+
   /** Unicode normalization (UAX #15; form NFC/NFD/NFKC/NFKD) — the text
     * canonicalization pass before any hash/dedup (codegen'd; Spark has no
     * built-in). */

@@ -623,4 +623,32 @@ object CorpusOps {
         count(lit(1)).as("n_kept"), sum($"doc_id").as("id_checksum"))
       .orderBy($"source")
   }
+
+  /** NS (LLM pipeline): n-gram novelty scoring — for each document, the
+    * fraction of its distinct word-3-grams whose FIRST corpus occurrence
+    * (min doc_id over the gram) is this document. The curation signal
+    * behind "is this page new content or a remix of what we already
+    * have": low novelty late in a crawl ⇒ the doc adds nothing the
+    * corpus hasn't seen (complementary to near-dup pairs, which need a
+    * single close partner — novelty decays against the UNION of all
+    * earlier docs).
+    *
+    * Scale: one gram-keyed shuffle for the first-occurrence argmin
+    * (min partial-aggregates map-side) and one gram-keyed join back —
+    * same key, so the exchange is reused, and nothing is ever
+    * doc-quadratic. At 100 TB this is the same shape as the inverted
+    * index build; the argmin side ships one long per distinct gram. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.documents(spark, dir)
+      .select($"doc_id", explode(array_distinct(shingles($"text", 3))).as("gram"))
+    val first = e.groupBy($"gram").agg(min($"doc_id").as("first_doc"))
+    e.join(first, "gram")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(($"first_doc" === $"doc_id").cast(LongType)).as("n_novel"))
+      .select($"doc_id", $"n_grams", $"n_novel",
+        ($"n_novel".cast(DoubleType) / $"n_grams").as("novelty"))
+      .orderBy($"doc_id")
+  }
 }

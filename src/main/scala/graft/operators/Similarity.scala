@@ -556,4 +556,34 @@ object Similarity {
         $"max_dup_score")
       .orderBy($"vec_id")
   }
+
+  /** NS (LLM pipeline): the corpus second-moment (Gram) matrix XᵀX over
+    * the embedding column — the one-pass statistic behind PCA/whitening
+    * of an embedding space before clustering or semantic dedup. Each row
+    * contributes its d×d outer product as a FLAT transient array (never
+    * a row explosion — `posexplode` twice would shuffle 4096 rows per
+    * vector at d=64); [[graft.functions.VectorSumL]] element-wise-sums
+    * them with O(d²) state per partition and ships ONE 4096-long array
+    * per partition across the shuffle. Components are 2^-20 fixed-point
+    * quantized before multiplying, so every product is an exact i64 and
+    * the sums are order-independent — cross-engine-identical without
+    * tolerance. Output: the upper triangle (i ≤ j; the matrix is
+    * symmetric) at 2^-40 scale, plus the row count that normalizes it. */
+  def embeddingGram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = 64
+    val xs = transform($"embedding",
+      x => floor(x.cast(DoubleType) * 1048576.0 + 0.5).cast(LongType))
+    val outer = flatten(transform($"xs", a => transform($"xs", b => a * b)))
+    Tables.embeddings(spark, dir)
+      .select(xs.as("xs"))
+      .agg(graft.functions.vector_sum_l(outer).as("g"),
+        count(lit(1)).as("n_vecs"))
+      .select($"n_vecs", posexplode($"g").as(Seq("idx", "sum_q40")))
+      .select(shiftright($"idx", 6).cast(IntegerType).as("i"),
+        pmod($"idx", lit(d)).cast(IntegerType).as("j"),
+        $"sum_q40", $"n_vecs")
+      .where($"i" <= $"j")
+      .orderBy($"i", $"j")
+  }
 }

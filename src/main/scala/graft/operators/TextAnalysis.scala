@@ -407,4 +407,53 @@ object TextAnalysis {
       .select($"source", $"r.doc_id".as("doc_id"), $"r.h".as("text_hash"))
       .orderBy($"source", $"doc_id")
   }
+
+  /** NS (LLM pipeline): winnowing fingerprint selection (Schleimer,
+    * Wilkerson, Aiken, "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD 2003 — the MOSS algorithm). Per document:
+    * hash every word-k-gram, slide a window of `w` consecutive hashes,
+    * keep the minimum of each window (leftmost on ties — hash and
+    * position are packed into one long so the window min IS the argmin),
+    * dedupe. The guarantee: any two documents sharing a word run of
+    * ≥ w+k−1 words share at least one selected fingerprint, while only
+    * ~2/(w+1) of all grams are kept — the index stays small at corpus
+    * scale without losing long matches (the property test proves the
+    * guarantee on adversarial pairs).
+    *
+    * Scale: the whole selection is per-row HOF arithmetic (O(n·w) per
+    * doc, w=8) — ZERO shuffle, no gram explosion ever leaves the row.
+    * A full fingerprint index is then `explode(sel)` + groupBy fp, i.e.
+    * exactly [[DocDedup.dupSpans]]' join shape but over a 2/(w+1)
+    * fraction of the grams. Output is exact-integer per doc: gram count,
+    * selected count, and the Σ of selected fingerprints as a checksum. */
+  /** The winnowing selection itself over any (doc_id, text) frame:
+    * per doc, `sel` = distinct packed (hash·2^20 + position) window
+    * minima — shared by [[winnowSpans]] and the guarantee property test. */
+  def winnowSelect(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    // pack (40-bit gram hash, 20-bit gram position): long min over a
+    // window selects the smallest hash AND remembers where it was
+    val comb = transform(shingles($"text", k),
+      (g, i) => graft.functions.md5_long(g, 10) * lit(1048576L) + i.cast(LongType))
+    docs
+      .select($"doc_id", comb.as("comb"))
+      .withColumn("n_grams", size($"comb"))
+      .withColumn("sel",
+        when($"n_grams" >= w,
+          array_distinct(transform(sequence(lit(w - 1), $"n_grams" - 1),
+            e => array_min(slice($"comb", e - (w - 2), lit(w))))))
+        .when($"n_grams" > 0, array(array_min($"comb")))
+        .otherwise(array().cast(ArrayType(LongType))))
+  }
+
+  def winnowSpans(spark: SparkSession, dir: String, k: Int = 4, w: Int = 8): DataFrame = {
+    import spark.implicits._
+    winnowSelect(Tables.documents(spark, dir), k, w)
+      .select($"doc_id",
+        $"n_grams".cast(LongType).as("n_grams"),
+        size($"sel").cast(LongType).as("n_selected"),
+        aggregate($"sel", lit(0L), (acc, x) => acc + shiftright(x, 20))
+          .as("fp_checksum"))
+      .orderBy($"doc_id")
+  }
 }

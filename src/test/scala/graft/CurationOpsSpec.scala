@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusOps, DocDedup, Relational, Similarity}
+import graft.operators.{CorpusOps, DocDedup, Relational, Similarity, TextAnalysis}
 
 /** Semantics + plan-shape checks for the round-3 curation/sketch family:
   * loglin_quantiles, semantic_dedup, chunk_overlap, mixture_resample,
@@ -188,5 +188,71 @@ class CurationOpsSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"df join did not broadcast:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+  }
+
+  test("winnowing guarantee: docs sharing >= w+k-1 words share a fingerprint; " +
+    "every window is covered") {
+    val (k, w) = (4, 8)
+    // adversarial pair: an 11-word (= w+k-1) shared run embedded in
+    // completely different surroundings, plus an unrelated control doc
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    val docs = Seq(
+      (0L, s"one two three four five $shared six seven eight nine ten"),
+      (1L, s"red orange yellow $shared green blue indigo violet cyan magenta"),
+      (2L, "totally unrelated words with no overlap at all here whatsoever yes"))
+      .toDF("doc_id", "text")
+    val sel = TextAnalysis.winnowSelect(docs, k, w)
+      .select($"doc_id", $"n_grams", $"sel").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_grams"), r.getAs[scala.collection.Seq[Long]]("sel"))).toMap
+    def fps(id: Long): Set[Long] = sel(id)._2.map(_ >> 20).toSet
+    // the SIGMOD-2003 guarantee: a shared word run of length w+k-1 yields
+    // >= 1 shared selected fingerprint
+    assert(fps(0L).intersect(fps(1L)).nonEmpty,
+      s"shared 11-word run produced no shared fingerprint")
+    // the control doc shares nothing
+    assert(fps(0L).intersect(fps(2L)).isEmpty)
+    // coverage: every window of w consecutive grams contains a selected
+    // position (the density-side half of the winnowing contract)
+    sel.foreach { case (id, (nGrams, s)) =>
+      val pos = s.map(x => (x & 0xFFFFFL).toInt).toSet
+      (w - 1 until nGrams).foreach { e =>
+        assert((e - w + 1 to e).exists(pos.contains),
+          s"doc $id: window ending at $e has no selected fingerprint")
+      }
+    }
+  }
+
+  test("ngram_novelty: doc 0 is fully novel; totals are consistent") {
+    val rows = CorpusOps.ngramNovelty(spark, Sf0001).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the lowest doc_id present is first for every one of its grams
+    val first = byId(rows.map(_.getAs[Long]("doc_id")).min)
+    assert(first.getAs[Long]("n_novel") === first.getAs[Long]("n_grams"))
+    assert(first.getAs[Double]("novelty") === 1.0)
+    rows.foreach { r =>
+      val (n, nov) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"))
+      assert(nov >= 0 && nov <= n)
+      assert(r.getAs[Double]("novelty") === nov.toDouble / n)
+    }
+  }
+
+  test("embedding_gram: diagonal positive, symmetric-complete upper triangle, " +
+    "matches a scalar recompute on a sample") {
+    val rows = Similarity.embeddingGram(spark, Sf0001).collect()
+    assert(rows.length === 64 * 65 / 2)
+    val g = rows.map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+      r.getAs[Long]("sum_q40")).toMap
+    (0 until 64).foreach(i => assert(g((i, i)) > 0, s"diagonal ($i,$i) not positive"))
+    // independent scalar recompute for a handful of entries
+    val vecs = Tables.embeddings(spark, Sf0001)
+      .select($"embedding").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(x => math.floor(x.toDouble * 1048576.0 + 0.5).toLong).toArray)
+    assert(rows.head.getAs[Long]("n_vecs") === vecs.length.toLong)
+    Seq((0, 0), (0, 63), (7, 31)).foreach { case (i, j) =>
+      val expect = vecs.map(v => v(i) * v(j)).sum
+      assert(g((i, j)) === expect, s"gram($i,$j) mismatch")
+    }
   }
 }

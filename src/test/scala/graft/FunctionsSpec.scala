@@ -156,4 +156,29 @@ class FunctionsSpec extends SparkSpecBase {
     assert(CmsSketch.estimate(sketch, depth, width, "beta") >= 7L)
     assert(CmsSketch.estimate(sketch, depth, width, "never-seen") <= 97L)
   }
+
+  test("vector_sum_l: element-wise sums, null skipping, grouped map-side combine") {
+    import graft.functions.vector_sum_l
+    val df = Seq(
+      ("a", Seq(1L, 2L, 3L)),
+      ("a", Seq(10L, 20L, 30L)),
+      ("b", Seq(-1L, 0L, 7L)))
+      .toDF("g", "xs")
+    val grouped = df.groupBy($"g").agg(vector_sum_l($"xs").as("s"))
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[scala.collection.Seq[Long]]("s")).toMap
+    assert(grouped("a") === Seq(11L, 22L, 33L))
+    assert(grouped("b") === Seq(-1L, 0L, 7L))
+    // null rows are skipped, not zero-length-poisoned
+    val withNull = Seq(Some(Seq(5L, 5L)), None, Some(Seq(1L, 2L)))
+      .toDF("xs")
+    val s = withNull.agg(vector_sum_l($"xs").as("s"))
+      .head().getAs[scala.collection.Seq[Long]]("s")
+    assert(s === Seq(6L, 7L))
+    // ragged input fails loudly instead of silently truncating
+    val ragged = Seq(Seq(1L, 2L), Seq(1L, 2L, 3L)).toDF("xs")
+    val e = intercept[Exception] {
+      ragged.coalesce(1).agg(vector_sum_l($"xs")).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

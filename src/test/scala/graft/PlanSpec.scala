@@ -84,6 +84,29 @@ class PlanSpec extends SparkSpecBase {
       s"orders aggregation did not run below the join:\n$p")
   }
 
+  test("winnow_spans selects fingerprints with zero shuffle before the output sort") {
+    val p = physical(graft.operators.TextAnalysis.winnowSpans(spark, Sf0001))
+    assert(!p.contains("Generate"), s"winnowing exploded grams into rows:\n$p")
+    assert(!p.contains("Join"), s"winnowing must not join:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"winnowing shuffled beyond the output sort:\n$p")
+  }
+
+  test("embedding_gram ships one array per partition (partial vector_sum_l, no input explode)") {
+    val p = physical(graft.operators.Similarity.embeddingGram(spark, Sf0001))
+    assert(p.contains("partial_vector_sum_l"),
+      s"gram matrix lost its map-side combine:\n$p")
+    // exactly one Generate: the d^2-row explode of the SINGLE aggregated
+    // array — never a per-input-row explode below the aggregate
+    val generates = "Generate".r.findAllIn(p).length
+    assert(generates === 1, s"expected one post-agg explode, got $generates:\n$p")
+  }
+
+  test("ngram_novelty first-occurrence argmin partial-aggregates map-side") {
+    val p = physical(graft.operators.CorpusOps.ngramNovelty(spark, Sf0001))
+    assert(p.contains("partial_min"), s"first-doc argmin lost map-side combine:\n$p")
+  }
+
   test("topk_sort plans as TakeOrderedAndProject, never a global sort") {
     val p = physical(graft.operators.Relational.topkSort(spark, Sf0001))
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a sort:\n$p")
