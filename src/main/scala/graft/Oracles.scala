@@ -390,6 +390,33 @@ object Oracles {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM (SELECT unnest([a, b, c]) AS doc_id FROM t)
         |GROUP BY doc_id ORDER BY n_triangles DESC, doc_id LIMIT 20""".stripMargin),
+    // degree histogram buckets via integer bit length (length(bin(x))-1):
+    // both engines print unpadded binary, so bucket edges are exact
+    "graph_degree_hist" -> (simhashCte +
+      """,
+        |b AS (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
+        |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
+        |pairs AS (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
+        |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
+        |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+        |deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS deg FROM
+        |        (SELECT pa AS doc_id FROM pairs
+        |         UNION ALL SELECT pb AS doc_id FROM pairs)
+        |        GROUP BY doc_id)
+        |SELECT CAST(length(bin(deg)) - 1 AS INTEGER) AS deg_bucket,
+        |       CAST(count(*) AS BIGINT) AS n_nodes,
+        |       min(deg) AS min_deg, max(deg) AS max_deg,
+        |       CAST(sum(deg) AS BIGINT) AS sum_deg
+        |FROM deg GROUP BY 1 ORDER BY deg_bucket""".stripMargin),
+    "reservoir_sample" ->
+      """WITH h AS (SELECT source, doc_id,
+        |  CAST(concat('0x', substr(md5('rsv:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |       AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, h,
+        |  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rnk FROM h)
+        |SELECT source, CAST(rnk AS INTEGER) AS rnk, doc_id, h
+        |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
     "pq_codes" -> (pqCte +
       """
         |SELECT vec_id, list(code ORDER BY m) AS codes,

@@ -176,6 +176,8 @@ object SparkEntry {
     "semantic_dedup"       -> (Similarity.semanticDedup(_, _, 0.40)),
     "pair_graph_pagerank"  -> (GraphOps.pairGraphPagerank(_, _)),
     "graph_triangles"      -> (GraphOps.graphTriangles(_, _)),
+    "graph_degree_hist"    -> (GraphOps.graphDegreeHist(_, _)),
+    "reservoir_sample"     -> (CorpusOps.reservoirSample(_, _)),
     "label_propagation"    -> (GraphOps.labelPropagation(_, _, 2)),
     "entropy_score"        -> (TextAnalysis.entropyScore(_, _)),
     "mad_outliers"         -> (Relational.madOutliers(_, _)),

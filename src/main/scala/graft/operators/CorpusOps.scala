@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.operators.TextAnalysis.{shingles, tokens}
+import graft.operators.TextAnalysis.{md5Long60, shingles, tokens}
 
 /** Corpus-preparation operators for LLM-data pipelines over `documents`:
   * TF-IDF term weighting, benchmark decontamination, PII scrubbing,
@@ -611,7 +611,6 @@ object CorpusOps {
     * across sources), kept-id checksum. */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.operators.TextAnalysis.md5Long60
     val docs = Tables.documents(spark, dir)
     val bySource = docs.groupBy($"source").agg(count(lit(1)).as("src_n"))
     val target = bySource.agg(min($"src_n").as("target_n"))
@@ -622,6 +621,28 @@ object CorpusOps {
       .agg(max($"src_n").as("src_n"), max($"target_n").as("target_n"),
         count(lit(1)).as("n_kept"), sum($"doc_id").as("id_checksum"))
       .orderBy($"source")
+  }
+
+  /** NS (LLM pipeline): deterministic uniform k-per-group sample — the
+    * reproducible stand-in for reservoir sampling: rank every doc by a
+    * salted content-independent hash of its id and keep the k smallest
+    * per source. Re-running on the same corpus (or an engine swap)
+    * selects the SAME sample, which is what eval-set carving and debug
+    * slices need; a true random reservoir can't replay. The bounded
+    * [[graft.functions.TopKRows]] aggregate ships ≤ k rows per (source,
+    * partition) map-side — a row_number window would shuffle the whole
+    * corpus to keep 5 rows per source. */
+  def reservoirSample(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"source", $"doc_id",
+        md5Long60(concat(lit("rsv:"), $"doc_id".cast(StringType))).as("h"))
+      .groupBy($"source")
+      .agg(graft.functions.top_k_rows(struct($"h", $"doc_id"), k).as("top"))
+      .select($"source", posexplode($"top"))
+      .select($"source", ($"pos" + 1).cast(IntegerType).as("rnk"),
+        $"col.doc_id".as("doc_id"), $"col.h".as("h"))
+      .orderBy($"source", $"rnk")
   }
 
   /** NS (LLM pipeline): n-gram novelty scoring — for each document, the

@@ -111,6 +111,29 @@ object GraphOps {
       .limit(20)
   }
 
+  /** NS: degree distribution of the near-dup pair graph, log2-bucketed —
+    * the one-glance health check on a dedup pair generation: a heavy
+    * high-degree tail means boilerplate hubs (every page shares a nav
+    * bar) that will chain clusters together and deserve a gram blacklist
+    * BEFORE the CC pass, while an all-singleton profile means the bands
+    * are too tight. Buckets come from the integer bit length of the
+    * degree (`length(bin(deg)) - 1`) — no floating log2, so bucket edges
+    * are engine-exact. Two bounded shuffles (degree count, bucket
+    * rollup), both partial-aggregated map-side. */
+  def graphDegreeHist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = DocDedup.simhashPairsMemo(spark, dir).select($"doc_a", $"doc_b")
+    val deg = pairs.select($"doc_a".as("doc_id"))
+      .union(pairs.select($"doc_b".as("doc_id")))
+      .groupBy($"doc_id").agg(count(lit(1)).as("deg"))
+    deg
+      .groupBy((length(bin($"deg")) - 1).cast(IntegerType).as("deg_bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min($"deg").as("min_deg"), max($"deg").as("max_deg"),
+        sum($"deg").as("sum_deg"))
+      .orderBy($"deg_bucket")
+  }
+
   /** Declared query: 3-round PageRank over the simhash near-dup pair
     * graph, top-20 most-central docs. TakeOrdered top-k — the full rank
     * frame is never globally sorted. */

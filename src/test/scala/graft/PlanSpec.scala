@@ -107,6 +107,12 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_min"), s"first-doc argmin lost map-side combine:\n$p")
   }
 
+  test("reservoir_sample ships bounded top-k partials, never a window") {
+    val p = physical(graft.operators.CorpusOps.reservoirSample(spark, Sf0001))
+    assert(p.contains("partial_top_k_rows"), s"sample lost map-side bounding:\n$p")
+    assert(!p.contains("Window"), s"sample degenerated to a window plan:\n$p")
+  }
+
   test("topk_sort plans as TakeOrderedAndProject, never a global sort") {
     val p = physical(graft.operators.Relational.topkSort(spark, Sf0001))
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a sort:\n$p")
