@@ -390,6 +390,40 @@ object Oracles {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM (SELECT unnest([a, b, c]) AS doc_id FROM t)
         |GROUP BY doc_id ORDER BY n_triangles DESC, doc_id LIMIT 20""".stripMargin),
+    // power iteration unrolled 3 rounds: trace-normalized gram rows as
+    // ordered lists, mat-vec = ordered list_sum fold (left-to-right, the
+    // same accumulation order as the Scala while loop), max-norm
+    // re-quantization to 2^-20 between rounds keeps every value exact
+    "embedding_pca" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |             x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5)
+        |                       AS BIGINT)) AS xs FROM embeddings),
+        |e AS (SELECT vec_id, t.i AS i, xs[t.i + 1] AS x FROM q, range(64) t(i)),
+        |gm AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS s
+        |       FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+        |tr AS (SELECT CAST(sum(s) AS BIGINT) AS trace FROM gm WHERE i = j),
+        |gr AS (SELECT i, list(CAST(s AS DOUBLE) / CAST(trace AS DOUBLE)
+        |                      ORDER BY j) AS gs
+        |       FROM gm CROSS JOIN tr GROUP BY i),
+        |x0 AS (SELECT list_transform(range(64), j -> CAST(1048576 AS DOUBLE)) AS xv),
+        |y1 AS (SELECT i, list_sum(list_transform(range(64),
+        |                j -> gs[j+1] * xv[j+1])) AS y FROM gr CROSS JOIN x0),
+        |m1 AS (SELECT max(abs(y)) AS m FROM y1),
+        |x1 AS (SELECT list(floor(y / m * 1048576.0 + 0.5) ORDER BY i) AS xv
+        |       FROM y1 CROSS JOIN m1),
+        |y2 AS (SELECT i, list_sum(list_transform(range(64),
+        |                j -> gs[j+1] * xv[j+1])) AS y FROM gr CROSS JOIN x1),
+        |m2 AS (SELECT max(abs(y)) AS m FROM y2),
+        |x2 AS (SELECT list(floor(y / m * 1048576.0 + 0.5) ORDER BY i) AS xv
+        |       FROM y2 CROSS JOIN m2),
+        |y3 AS (SELECT i, list_sum(list_transform(range(64),
+        |                j -> gs[j+1] * xv[j+1])) AS y FROM gr CROSS JOIN x2),
+        |m3 AS (SELECT max(abs(y)) AS m FROM y3),
+        |x3 AS (SELECT list(floor(y / m * 1048576.0 + 0.5) ORDER BY i) AS xv
+        |       FROM y3 CROSS JOIN m3)
+        |SELECT CAST(t.i AS INTEGER) AS dim, CAST(xv[t.i + 1] AS BIGINT)
+        |         AS loading_u20
+        |FROM x3, range(64) t(i) ORDER BY dim""".stripMargin,
     // degree histogram buckets via integer bit length (length(bin(x))-1):
     // both engines print unpadded binary, so bucket edges are exact
     "graph_degree_hist" -> (simhashCte +

@@ -172,6 +172,7 @@ object SparkEntry {
     "pq_search"            -> (Similarity.pqSearch(_, _)),
     "pq_recall_eval"       -> (Similarity.pqRecallEval(_, _)),
     "embedding_centroids"  -> (Similarity.embeddingCentroids(_, _)),
+    "embedding_pca"        -> (Similarity.embeddingPca(_, _)),
     "embedding_neardup"    -> (Similarity.embeddingNearDupPairs(_, _)),
     "semantic_dedup"       -> (Similarity.semanticDedup(_, _, 0.40)),
     "pair_graph_pagerank"  -> (GraphOps.pairGraphPagerank(_, _)),

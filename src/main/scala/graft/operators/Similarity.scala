@@ -569,6 +569,53 @@ object Similarity {
     * the sums are order-independent — cross-engine-identical without
     * tolerance. Output: the upper triangle (i ≤ j; the matrix is
     * symmetric) at 2^-40 scale, plus the row count that normalizes it. */
+  /** NS (LLM pipeline): dominant principal direction of the embedding
+    * cloud by power iteration — the "is this embedding space collapsed
+    * onto one axis" diagnostic (a dominant component soaking up most
+    * variance means cosine distances are mostly one feature, and
+    * whitening is due before semantic dedup). The distributed part is
+    * ONE [[embeddingGram]]-style pass (O(d²) state per partition via
+    * `vector_sum_l`); the iteration itself runs driver-side on the
+    * collected d×d matrix — 4096 longs, the same bounded-by-construction
+    * collect class as the IVF codebook. Determinism: the matrix is
+    * trace-normalized (one IEEE division per entry), each mat-vec is an
+    * ascending-j left fold in double, and the vector is re-quantized to
+    * 2^-20 fixed point after every round via max-norm — so all three
+    * rounds are bit-identical cross-engine, and the oracle just unrolls
+    * them in SQL (ordered `list_sum` fold, same accumulation order).
+    * Output: per-dim loading at 2^-20 scale; max |loading| = 2^20 by
+    * construction. Convergence is paced by the eigengap (rounds decay
+    * error by λ₂/λ₁ each) — a fixed 3 rounds is the deterministic
+    * ESTIMATE the contract pins, not a converged eigenvector; the spec
+    * proves exactness vs a scalar recompute and Rayleigh progress. */
+  def embeddingPca(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val d = 64
+    val xsCol = transform($"embedding",
+      x => floor(x.cast(DoubleType) * 1048576.0 + 0.5).cast(LongType))
+    val outer = flatten(transform($"xs", a => transform($"xs", b => a * b)))
+    val row = Tables.embeddings(spark, dir)
+      .select(xsCol.as("xs"))
+      .agg(graft.functions.vector_sum_l(outer).as("g"))
+      .head()
+    val s = row.getAs[scala.collection.Seq[Long]]("g").toArray
+    val trace = (0 until d).map(i => s(i * d + i)).sum
+    val g = Array.tabulate(d, d)((i, j) => s(i * d + j).toDouble / trace.toDouble)
+    var x = Array.fill(d)(1048576.0)
+    for (_ <- 1 to iters) {
+      val y = Array.tabulate(d) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < d) { acc += g(i)(j) * x(j); j += 1 }
+        acc
+      }
+      val m = y.map(math.abs).max
+      x = y.map(v => math.floor(v / m * 1048576.0 + 0.5))
+    }
+    (0 until d).map(i => (i, x(i).toLong)).toDF("dim", "loading_u20")
+      .orderBy($"dim")
+  }
+
   def embeddingGram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = 64

@@ -237,6 +237,48 @@ class CurationOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("embedding_pca: matches an independent scalar recompute; Rayleigh " +
+    "quotient improves over the start vector") {
+    val rows = Similarity.embeddingPca(spark, Sf0001).collect()
+    assert(rows.length === 64)
+    val x3 = rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Long]("loading_u20"))
+    // max-norm re-quantization pins the largest |loading| to exactly 2^20
+    assert(x3.map(math.abs).max === 1048576L)
+    // independent scalar recompute of the full pipeline (gram from raw
+    // floats, trace normalization, 3 quantized rounds) — must agree
+    // EXACTLY: every step is deterministic IEEE arithmetic
+    val vecs = Tables.embeddings(spark, Sf0001)
+      .select($"embedding").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(x => math.floor(x.toDouble * 1048576.0 + 0.5).toLong).toArray)
+    val d = 64
+    val s = Array.tabulate(d, d)((i, j) => vecs.map(v => v(i) * v(j)).sum)
+    val tr = (0 until d).map(i => s(i)(i)).sum
+    val g = Array.tabulate(d, d)((i, j) => s(i)(j).toDouble / tr.toDouble)
+    def rq(x: Array[Double]): Double = {
+      val y = Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * x(j)).sum)
+      x.zip(y).map { case (a, b) => a * b }.sum /
+        x.map(a => a * a).sum
+    }
+    var x = Array.fill(d)(1048576.0)
+    val rq0 = rq(x)
+    for (_ <- 1 to 3) {
+      val y = Array.tabulate(d) { i =>
+        var acc = 0.0; var j = 0
+        while (j < d) { acc += g(i)(j) * x(j); j += 1 }; acc
+      }
+      val m = y.map(math.abs).max
+      x = y.map(v => math.floor(v / m * 1048576.0 + 0.5))
+    }
+    assert(x.map(_.toLong).toSeq === x3.toSeq,
+      "Spark pipeline diverges from the scalar recompute")
+    // power iteration on a PSD matrix monotonically improves the Rayleigh
+    // quotient; 3 rounds must have made real progress from all-ones
+    // (full convergence is NOT expected here — the synthetic embedding
+    // spectrum is nearly flat, eigen-ratio ~0.93)
+    assert(rq(x) > rq0, s"no Rayleigh progress: ${rq(x)} <= $rq0")
+  }
+
   test("embedding_gram: diagonal positive, symmetric-complete upper triangle, " +
     "matches a scalar recompute on a sample") {
     val rows = Similarity.embeddingGram(spark, Sf0001).collect()
