@@ -1196,6 +1196,32 @@ object Oracles {
         |         AS frame_len,
         |       md5(substr(text, frame_idx * 100 + 1, 100)) AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "token_spectrum" ->
+      """WITH tf AS (SELECT t.tok, CAST(count(*) AS BIGINT) AS n
+        |            FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |                  FROM documents) t
+        |            GROUP BY t.tok)
+        |SELECT CAST(length(bin(n)) - 1 AS INTEGER) AS freq_bucket,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       min(n) AS min_freq, max(n) AS max_freq,
+        |       CAST(sum(n) AS BIGINT) AS total_occurrences
+        |FROM tf GROUP BY 1 ORDER BY freq_bucket""".stripMargin,
+    "token_fertility" ->
+      """WITH d AS (SELECT lang,
+        |             CAST(length(text) AS BIGINT) AS chars,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+        |             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |                  AS BIGINT) AS bpe
+        |           FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(chars) AS BIGINT) AS n_chars,
+        |       CAST(sum(ws) AS BIGINT) AS n_ws_tokens,
+        |       CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+        |       CAST(CAST(sum(bpe) AS BIGINT) AS DOUBLE)
+        |         / CAST(sum(ws) AS BIGINT) AS fertility,
+        |       CAST(CAST(sum(chars) AS BIGINT) AS DOUBLE)
+        |         / CAST(sum(bpe) AS BIGINT) AS chars_per_token
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     // winnowing (SIGMOD 2003): word-4-gram 40-bit hashes packed with their
     // position (h*2^20 + pos), window-8 min per end position, distinct —
     // the packed long min IS the (hash, leftmost-pos) argmin on both engines

@@ -117,6 +117,8 @@ object SparkEntry {
     "hash_split"           -> (TextAnalysis.hashSplit(_, _)),
     "repetition_score"     -> (TextAnalysis.repetitionScore(_, _)),
     "winnow_spans"         -> (TextAnalysis.winnowSpans(_, _)),
+    "token_spectrum"       -> (TextAnalysis.tokenSpectrum(_, _)),
+    "token_fertility"      -> (TextAnalysis.tokenFertility(_, _)),
     "ngram_novelty"        -> (CorpusOps.ngramNovelty(_, _)),
     "embedding_gram"       -> (Similarity.embeddingGram(_, _)),
     "cms_vocab"            -> (TextAnalysis.cmsVocab(_, _)),

@@ -66,6 +66,53 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** NS (LLM pipeline): Good–Turing frequency spectrum of the corpus
+    * vocabulary — how many distinct tokens occur 1×, 2-3×, 4-7×, … (log2
+    * buckets via integer bit length; no floating log). The hapax bucket
+    * (freq 1) is the Good–Turing mass estimate for unseen tokens, and the
+    * spectrum's slope is the practical Zipf check before choosing vocab
+    * size / min-frequency cutoffs for tokenizer training. Two shuffles
+    * (token counts, bucket rollup), both partial-aggregated; the token
+    * count shuffle is the same shape as `vocab_topk`. */
+  def tokenSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, dir)
+      .select(explode(tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+    tf
+      .groupBy((length(bin($"n")) - 1).cast(IntegerType).as("freq_bucket"))
+      .agg(count(lit(1)).as("n_types"),
+        min($"n").as("min_freq"), max($"n").as("max_freq"),
+        sum($"n").as("total_occurrences"))
+      .orderBy($"freq_bucket")
+  }
+
+  /** NS (LLM pipeline): tokenizer fertility per language — BPE-ish tokens
+    * per whitespace word and characters per BPE token, from exact integer
+    * totals with one terminal IEEE division each. THE go/no-go number for
+    * a tokenizer across a multilingual corpus: fertility ≫ 1 for a
+    * language means its text fragments into many subwords and its
+    * effective context/cost is worse; track it per lang BEFORE fixing the
+    * vocab. Scan-side regexp counts, one tiny shuffle keyed by lang. */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"lang",
+        length($"text").as("chars"),
+        size(tokens($"text")).cast(LongType).as("ws"),
+        regexp_count($"text", lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast(LongType)
+          .as("bpe"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"chars").as("n_chars"),
+        sum($"ws").as("n_ws_tokens"),
+        sum($"bpe").as("n_bpe_tokens"))
+      .select($"lang", $"n_docs", $"n_chars", $"n_ws_tokens", $"n_bpe_tokens",
+        ($"n_bpe_tokens".cast(DoubleType) / $"n_ws_tokens").as("fertility"),
+        ($"n_chars".cast(DoubleType) / $"n_bpe_tokens").as("chars_per_token"))
+      .orderBy($"lang")
+  }
+
   private val StopWords = Seq("the", "a")
 
   /** Quality scoring: length score, stopword ratio, type/token ratio →
