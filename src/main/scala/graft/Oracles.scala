@@ -1031,6 +1031,54 @@ object Oracles {
         |FROM pc JOIN un a ON pc.wa = a.w JOIN un b ON pc.wb = b.w, t
         |WHERE pair_n >= 5
         |ORDER BY pmi_u20 DESC, wa, wb LIMIT 20""".stripMargin,
+    "partition_advisor" ->
+      """WITH a AS (SELECT event_type AS k, count(*) AS cnt FROM events GROUP BY 1),
+        |b AS (SELECT CAST(ts AS DATE) AS k, count(*) AS cnt FROM events GROUP BY 1),
+        |c AS (SELECT user_id % 256 AS k, count(*) AS cnt FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT 'event_type' AS candidate, CAST(count(*) AS BIGINT) AS n_parts,
+        |         CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |         CAST(max(cnt) AS BIGINT) AS max_rows FROM a
+        |  UNION ALL
+        |  SELECT 'event_day', CAST(count(*) AS BIGINT), CAST(sum(cnt) AS BIGINT),
+        |         CAST(max(cnt) AS BIGINT) FROM b
+        |  UNION ALL
+        |  SELECT 'user_mod_256', CAST(count(*) AS BIGINT), CAST(sum(cnt) AS BIGINT),
+        |         CAST(max(cnt) AS BIGINT) FROM c)
+        |SELECT candidate, n_parts, n_rows, max_rows,
+        |       CAST(max_rows AS DOUBLE) * n_parts / n_rows AS skew_ratio,
+        |       CASE WHEN n_parts < 8 THEN 'too_few'
+        |            WHEN n_parts > 100000 THEN 'too_many'
+        |            WHEN CAST(max_rows AS DOUBLE) * n_parts / n_rows > 4.0
+        |              THEN 'skewed'
+        |            ELSE 'ok' END AS verdict
+        |FROM p ORDER BY candidate""".stripMargin,
+    // exact-substring removal: span fp -> min-doc keeper; a token in a
+    // later doc is dropped iff some duplicated span covers it (mask
+    // union over overlapping spans, same rule as the Spark HOF)
+    "dedup_rewrite" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |sp AS (SELECT doc_id, i - 1 AS pos,
+        |         CAST(concat('0x', substr(md5(array_to_string(w[i:i+15], ' ')), 1, 15))
+        |              AS BIGINT) AS fp
+        |       FROM d, UNNEST(generate_series(1, len(w) - 15)) AS t(i)),
+        |k AS (SELECT fp, min(doc_id) AS keeper FROM sp GROUP BY fp),
+        |ds AS (SELECT sp.doc_id, list_sort(list(DISTINCT sp.pos)) AS starts
+        |       FROM sp JOIN k ON sp.fp = k.fp
+        |       WHERE sp.doc_id <> k.keeper GROUP BY sp.doc_id),
+        |m AS (SELECT d.doc_id, d.w, coalesce(ds.starts, []) AS starts
+        |      FROM d LEFT JOIN ds ON d.doc_id = ds.doc_id),
+        |r AS (SELECT doc_id, w,
+        |        list_filter(range(0, len(w)),
+        |          i -> len(list_filter(starts, s -> s <= i AND i < s + 16)) = 0)
+        |          AS keep_idx
+        |      FROM m)
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |       CAST(len(w) - len(keep_idx) AS BIGINT) AS n_removed,
+        |       md5(coalesce(array_to_string(
+        |             list_transform(keep_idx, i -> w[i + 1]), ' '), ''))
+        |         AS kept_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
     "dup_spans" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT doc_id, CAST(concat('0x',

@@ -95,6 +95,7 @@ object SparkEntry {
     "range_join"           -> (Scale.bucketedRangeJoin(_, _)),
     "bloom_prune_join"     -> (Scale.bloomPruneJoin(_, _)),
     "zorder_key"           -> (Scale.zorderKey(_, _)),
+    "partition_advisor"    -> (Scale.partitionAdvisor(_, _)),
     "compaction_plan"      -> (Scale.compactionPlan(_, _, 4096L)),
     // the pre-salting diagnostic (full-scan form; saltedJoinQuery samples):
     // top-16 hottest join keys + their row share, exchange-reuse single scan
@@ -161,6 +162,7 @@ object SparkEntry {
     "dedup_survivorship"   -> (DocDedup.dedupSurvivorship(_, _)),
     "dedup_ensemble"       -> (DocDedup.dedupEnsemble(_, _)),
     "dup_spans"            -> (DocDedup.dupSpans(_, _, 16)),
+    "dedup_rewrite"        -> (DocDedup.dedupRewrite(_, _, 16)),
     "source_overlap"       -> (DocDedup.sourceOverlap(_, _)),
     "similarity_search"    -> (Similarity.similaritySearch(_, _)),
     "ann_lsh_buckets"      -> (Similarity.annLshBuckets(_, _)),

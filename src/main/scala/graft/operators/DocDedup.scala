@@ -386,6 +386,50 @@ object DocDedup {
       .orderBy($"doc_id")
   }
 
+  /** NS (LLM pipeline): exact-substring duplicate REMOVAL — the rewrite
+    * half of the Lee et al. (arXiv:2107.06499) dedup: [[dupSpans]] only
+    * measures; this emits the cleaned corpus. Rule: a 16-token span whose
+    * fingerprint also occurs in an earlier document (min doc_id keeps)
+    * is removed from every later document; removal is token-accurate —
+    * a token goes iff SOME duplicated span covers it, so overlapping dup
+    * spans union instead of double-deleting. Output is the audit row per
+    * doc (token counts before/after, md5 of the cleaned text) — the
+    * cleaned text itself is the `kept_text` expression one select away.
+    *
+    * Scale: span fingerprints shuffle by fp (same shape as
+    * [[dupSpans]]), keeper is a partial-aggregated argmin, dup start
+    * positions come back as ONE bounded array per doc (≤ tokens/doc),
+    * and the token masking is per-row HOF work. At 100 TB you'd bound
+    * the fp explosion with [[TextAnalysis.winnowSelect]]'s fingerprints
+    * first — same plan, 2/(w+1) of the rows. */
+  def dedupRewrite(spark: SparkSession, dir: String, n: Int = 16): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val spans = docs
+      .select($"doc_id", posexplode(shingles($"text", n)).as(Seq("pos", "gram")))
+      .select($"doc_id", $"pos", md5Long60($"gram").as("fp"))
+    val keeper = spans.groupBy($"fp").agg(min($"doc_id").as("keeper"))
+    val dupStarts = spans.join(keeper, "fp")
+      .where($"doc_id" =!= $"keeper")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_set($"pos")).as("starts"))
+    docs.join(dupStarts, Seq("doc_id"), "left_outer")
+      .select($"doc_id", tokens($"text").as("toks"),
+        coalesce($"starts", array().cast(ArrayType(IntegerType))).as("starts"))
+      .withColumn("kept", filter(
+        zip_with($"toks",
+          transform(sequence(lit(0), size($"toks") - 1),
+            i => size(filter($"starts",
+              s => s <= i && i < s + lit(n))) === 0),
+          (t, keep) => when(keep, t)),
+        t => t.isNotNull))
+      .select($"doc_id",
+        size($"toks").cast(LongType).as("n_tokens"),
+        (size($"toks") - size($"kept")).cast(LongType).as("n_removed"),
+        md5(concat_ws(" ", $"kept")).as("kept_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** NS: cross-source syndication matrix — which SOURCE PAIRS share
     * verbatim 16-token spans (mirrors, syndicated feeds, scraped
     * re-posts): the source-level rollup of [[dupSpans]]' fingerprints.

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Scale tooling: the two shuffle-shaping techniques a 100 TB deployment
   * leans on beyond what AQE does automatically — explicit key salting for
@@ -223,6 +224,38 @@ object Scale {
       .select($"l_orderkey", $"l_linenumber",
         graft.functions.z_order2($"l_partkey", $"l_suppkey").as("z"))
       .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** NS: partition-layout advisor — profiles candidate partition keys
+    * (low-cardinality dispatch column, ingest day, hash-mod bucket) and
+    * verdicts each against the two failure modes of a 100 TB layout:
+    * partition-count blowup (too many small files / listing cost) and
+    * per-partition skew (one hot partition serializes the stage). All
+    * inputs are exact integer counts; `skew_ratio` = max/avg is the one
+    * terminal division. Three aggregations over one table — at scale
+    * you'd sample, but the verdict math is identical; this is the
+    * metadata-side planning step BEFORE a repartition/write job, the
+    * same family as `compaction_plan` and `zorder_key`. */
+  def partitionAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    val ev = graft.Tables.events(spark, dir)
+    def profile(name: String, key: Column): DataFrame =
+      ev.groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_parts"), sum($"cnt").as("n_rows"),
+          max($"cnt").as("max_rows"))
+        .select(lit(name).as("candidate"), $"n_parts", $"n_rows", $"max_rows")
+    profile("event_type", $"event_type")
+      .unionByName(profile("event_day", to_date($"ts")))
+      .unionByName(profile("user_mod_256", pmod($"user_id", lit(256L))))
+      .select($"candidate", $"n_parts", $"n_rows", $"max_rows",
+        ($"max_rows".cast(DoubleType) * $"n_parts" / $"n_rows").as("skew_ratio"))
+      .withColumn("verdict",
+        when($"n_parts" < 8, "too_few")
+          .when($"n_parts" > 100000, "too_many")
+          .when($"skew_ratio" > 4.0, "skewed")
+          .otherwise("ok"))
+      .orderBy($"candidate")
   }
 
   /** Join two identically-bucketed tables on their bucket key —

@@ -237,6 +237,42 @@ class CurationOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("dedup_rewrite: keepers stay whole, exact copies empty out, counts " +
+    "agree with dup_spans") {
+    val rows = DocDedup.dedupRewrite(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // exact-copy groups (doc_dedup_exact): the keeper (min id) must lose
+    // nothing; every later copy of a >=16-token doc must empty out
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    // (sf0.001 may carry no exact copies — the keeper check is vacuous then)
+    val groups = DocDedup.docDedupExact(spark, Sf0001)
+      .where($"n_copies" >= 2).collect()
+    groups.foreach { g =>
+      val keeper = g.getAs[Long]("keeper_doc_id")
+      val kr = rows(keeper)
+      if (kr.getAs[Long]("n_tokens") >= 16) {
+        assert(kr.getAs[Long]("n_removed") === 0L,
+          s"keeper $keeper lost tokens to its own copies")
+      }
+    }
+    rows.values.foreach { r =>
+      val (n, rem) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"))
+      assert(rem >= 0 && rem <= n)
+      assert((r.getAs[String]("kept_md5") == emptyMd5) === (rem == n),
+        s"doc ${r.getAs[Long]("doc_id")}: empty-md5 iff fully removed")
+    }
+    // consistency with the measurement half: a doc only loses tokens if
+    // dup_spans saw at least one duplicated span in it
+    val spans = DocDedup.dupSpans(spark, Sf0001, 16).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_spans")).toMap
+    rows.values.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (r.getAs[Long]("n_removed") > 0) {
+        assert(spans.getOrElse(id, 0L) > 0, s"doc $id removed tokens without dup spans")
+      }
+    }
+  }
+
   test("embedding_pca: matches an independent scalar recompute; Rayleigh " +
     "quotient improves over the start vector") {
     val rows = Similarity.embeddingPca(spark, Sf0001).collect()
