@@ -1031,6 +1031,31 @@ object Oracles {
         |FROM pc JOIN un a ON pc.wa = a.w JOIN un b ON pc.wb = b.w, t
         |WHERE pair_n >= 5
         |ORDER BY pmi_u20 DESC, wa, wb LIMIT 20""".stripMargin,
+    // CMS inner product: same salted-md5 bucket construction as cms_vocab,
+    // per-depth-row Σ a_b·b_b joined on (row, bucket) — absent buckets are
+    // zero counts and contribute nothing, so the join form is exact
+    "join_size_estimate" ->
+      """WITH ka AS (SELECT CAST(l_orderkey AS VARCHAR) AS t FROM lineitem),
+        |ha AS (SELECT rs.i,
+        |        CAST(concat('0x', substr(md5(CAST(rs.i AS VARCHAR) || '|' || t), 1, 7))
+        |             AS BIGINT) % 65536 AS b
+        |       FROM ka, (SELECT unnest([0,1,2,3]) AS i) rs),
+        |ca AS (SELECT i, b, CAST(count(*) AS BIGINT) AS n FROM ha GROUP BY i, b),
+        |kb AS (SELECT CAST(o_orderkey AS VARCHAR) AS t FROM orders
+        |       WHERE o_totalprice > 200000.0),
+        |hb AS (SELECT rs.i,
+        |        CAST(concat('0x', substr(md5(CAST(rs.i AS VARCHAR) || '|' || t), 1, 7))
+        |             AS BIGINT) % 65536 AS b
+        |       FROM kb, (SELECT unnest([0,1,2,3]) AS i) rs),
+        |cb AS (SELECT i, b, CAST(count(*) AS BIGINT) AS n FROM hb GROUP BY i, b),
+        |ip AS (SELECT ca.i, CAST(sum(ca.n * cb.n) AS BIGINT) AS p
+        |       FROM ca JOIN cb ON ca.i = cb.i AND ca.b = cb.b GROUP BY ca.i),
+        |est AS (SELECT min(p) AS est_rows FROM ip),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_rows
+        |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |       WHERE o_totalprice > 200000.0)
+        |SELECT est_rows, exact_rows, est_rows - exact_rows AS overcount
+        |FROM est, ex""".stripMargin,
     "partition_advisor" ->
       """WITH a AS (SELECT event_type AS k, count(*) AS cnt FROM events GROUP BY 1),
         |b AS (SELECT CAST(ts AS DATE) AS k, count(*) AS cnt FROM events GROUP BY 1),

@@ -96,6 +96,7 @@ object SparkEntry {
     "bloom_prune_join"     -> (Scale.bloomPruneJoin(_, _)),
     "zorder_key"           -> (Scale.zorderKey(_, _)),
     "partition_advisor"    -> (Scale.partitionAdvisor(_, _)),
+    "join_size_estimate"   -> (Scale.joinSizeEstimate(_, _)),
     "compaction_plan"      -> (Scale.compactionPlan(_, _, 4096L)),
     // the pre-salting diagnostic (full-scan form; saltedJoinQuery samples):
     // top-16 hottest join keys + their row share, exchange-reuse single scan

@@ -258,6 +258,42 @@ object Scale {
       .orderBy($"candidate")
   }
 
+  /** NS (scale): join-cardinality estimation by Count-Min inner product —
+    * the pre-shuffle planning probe: |A ⋈ B| on a key = Σ_k a_k·b_k, and
+    * the min over depth rows of the CMS sketches' per-row inner products
+    * upper-bounds it (collisions only ADD). Each side aggregates to ONE
+    * depth×width counter array (map-side combined, ~2 MB at width 2^16),
+    * so estimating the join costs two linear scans and no shuffle of
+    * either table — you learn whether the real join's exchange will be
+    * 50 k or 50 B rows before paying for it. Fully deterministic (salted
+    * md5 buckets, integer counters): the estimate itself is oracled, not
+    * just bounded, and the exact count rides along as the audit column.
+    * The estimate NEVER undercounts (spec-pinned); its slack is
+    * ~N_a·N_b/width per the CMS inner-product bound. */
+  def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (depth, width) = (4, 65536)
+    val orders = graft.Tables.orders(spark, dir).filter($"o_totalprice" > 200000.0)
+    val a = graft.Tables.lineitem(spark, dir)
+      .select($"l_orderkey".cast(org.apache.spark.sql.types.StringType).as("k"))
+      .agg(graft.functions.cms_sketch($"k", depth, width).as("ca"))
+    val b = orders
+      .select($"o_orderkey".cast(org.apache.spark.sql.types.StringType).as("k"))
+      .agg(graft.functions.cms_sketch($"k", depth, width).as("cb"))
+    val est = a.crossJoin(b)
+      .select(array_min(transform(sequence(lit(0), lit(depth - 1)),
+        i => aggregate(
+          zip_with(slice($"ca", i * width + 1, lit(width)),
+            slice($"cb", i * width + 1, lit(width)), (x, y) => x * y),
+          lit(0L), (acc, p) => acc + p))).as("est_rows"))
+    val exact = graft.Tables.lineitem(spark, dir)
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .agg(count(lit(1)).as("exact_rows"))
+    est.crossJoin(exact)
+      .select($"est_rows", $"exact_rows",
+        ($"est_rows" - $"exact_rows").as("overcount"))
+  }
+
   /** Join two identically-bucketed tables on their bucket key —
     * shuffle-free when `spark.sql.sources.bucketing.enabled` (default). */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,

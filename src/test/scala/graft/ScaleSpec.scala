@@ -210,4 +210,35 @@ class ScaleSpec extends SparkSpecBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
   }
+
+  test("join_size_estimate: CMS inner product never undercounts; sketch " +
+    "sides partial-aggregate") {
+    val r = Scale.joinSizeEstimate(spark, Sf0001).head()
+    val (est, exact) = (r.getAs[Long]("est_rows"), r.getAs[Long]("exact_rows"))
+    assert(exact > 0)
+    // the CMS guarantee: collisions only inflate the inner product
+    assert(est >= exact, s"estimate $est undercounts exact $exact")
+    assert(r.getAs[Long]("overcount") === est - exact)
+    val p = Scale.joinSizeEstimate(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_cms_sketch"),
+      s"sketch aggregation lost its map-side combine:\n$p")
+  }
+
+  test("partition_advisor: verdicts follow the thresholds; row totals agree") {
+    val rows = Scale.partitionAdvisor(spark, Sf0001).collect()
+    assert(rows.length === 3)
+    val total = Tables.events(spark, Sf0001).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === total)
+      val (parts, skew) = (r.getAs[Long]("n_parts"), r.getAs[Double]("skew_ratio"))
+      val expected =
+        if (parts < 8) "too_few"
+        else if (parts > 100000) "too_many"
+        else if (skew > 4.0) "skewed"
+        else "ok"
+      assert(r.getAs[String]("verdict") === expected)
+      assert(skew >= 1.0) // max >= avg always
+    }
+  }
 }
