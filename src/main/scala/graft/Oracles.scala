@@ -500,6 +500,29 @@ object Oracles {
         |SELECT a.vec_id, e.label, a.adc_u20
         |FROM adc a JOIN embeddings e ON e.vec_id = a.vec_id
         |ORDER BY a.adc_u20, a.vec_id LIMIT 5""".stripMargin),
+    // IVF-PQ: pqCte's codes/LUT machinery + the ann_ivf_search cell
+    // assignment; the ADC ranking only sees rows whose argmax cell is one
+    // of the probe's two nearest cells
+    "ivfpq_search" -> (pqCte +
+      s""",
+         |s AS (SELECT e.vec_id, e.label, c.cid AS cell_id,
+         |        ${cosSql("e.embedding", "c.ce")} AS score
+         |      FROM embeddings e, cents c),
+         |r AS (SELECT vec_id, label, cell_id, score, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY score DESC, cell_id) AS rnk FROM s),
+         |a AS (SELECT vec_id, label, cell_id FROM r WHERE rnk = 1),
+         |pc AS (SELECT cell_id AS pcell FROM r WHERE vec_id = 0 AND rnk <= 2),
+         |lut AS (SELECT m, cid,
+         |          CAST(floor(dist * CAST(1048576 AS DOUBLE) + 0.5) AS BIGINT) AS ld
+         |        FROM d WHERE vec_id = 0),
+         |codes AS (SELECT vec_id, m, code FROM best WHERE rn = 1 AND vec_id <> 0),
+         |adc AS (SELECT c.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc_u20
+         |        FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.code
+         |        GROUP BY c.vec_id)
+         |SELECT a.vec_id, a.label, a.cell_id, adc.adc_u20
+         |FROM adc JOIN a ON a.vec_id = adc.vec_id
+         |JOIN pc ON a.cell_id = pc.pcell
+         |ORDER BY adc.adc_u20, a.vec_id LIMIT 5""".stripMargin),
     "entropy_score" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |             FROM documents),

@@ -176,6 +176,7 @@ object SparkEntry {
     "pq_codes"             -> (Similarity.pqCodes(_, _)),
     "pq_search"            -> (Similarity.pqSearch(_, _)),
     "pq_recall_eval"       -> (Similarity.pqRecallEval(_, _)),
+    "ivfpq_search"         -> (Similarity.ivfpqSearch(_, _)),
     "embedding_centroids"  -> (Similarity.embeddingCentroids(_, _)),
     "embedding_pca"        -> (Similarity.embeddingPca(_, _)),
     "embedding_neardup"    -> (Similarity.embeddingNearDupPairs(_, _)),

@@ -313,6 +313,40 @@ object Similarity {
       .limit(5)
   }
 
+  /** NS (LLM pipeline): IVF-PQ search — the FAISS-style production ANN
+    * composition: the probe's nprobe=2 nearest CELLS restrict the scan
+    * (IVF half, zero-shuffle literal-codebook argmax) and the surviving
+    * rows are scored by integer ADC lookup tables (PQ half) instead of
+    * exact distance. At 100 TB this is the structure that actually runs:
+    * read nprobe/cells of the corpus AND pay table-lookups-not-floats per
+    * row; recall is tuned by nprobe and codebook size, both measured by
+    * the recall-eval twins. Plan: scan → cell filter → ADC expression →
+    * TakeOrdered; no join, no shuffle. */
+  def ivfpqSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = codebook(spark, dir)
+    val probe = cents.find(_._1 == 0L)
+      .getOrElse(sys.error("probe vec_id=0 missing from embeddings"))._2
+    val pNorm = math.sqrt(dotD(probe, probe))
+    val probeCells = cents
+      .map { case (cid, ce) =>
+        (dotD(probe, ce) / (pNorm * math.sqrt(dotD(ce, ce))), cid) }
+      .sortBy { case (score, cid) => (-score, cid) }
+      .take(2).map(_._2)
+    val luts = Array.tabulate(PqM) { m =>
+      cents.map { case (_, ce) =>
+        math.floor(pqSubDistD(m, probe, ce) * 1048576.0 + 0.5).toLong
+      }
+    }
+    ivfAssigned(spark, dir, cents)
+      .where($"cell_id".isin(probeCells: _*) && $"vec_id" =!= 0)
+      .select($"vec_id", $"label", $"cell_id",
+        graft.functions.pq_adc($"embedding", pqCodebook(cents), luts, PqDims)
+          .as("adc_u20"))
+      .orderBy($"adc_u20".asc, $"vec_id")
+      .limit(5)
+  }
+
   /** NS: recall@5 of PQ/ADC search against exact squared-L2 — the eval
     * loop that tells you whether 8×16 codebooks keep enough geometry for
     * THIS corpus before swapping the exact scan for the compressed one

@@ -130,6 +130,13 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Join"), s"PQ ADC scan must not join:\n$p")
   }
 
+  test("ivfpq_search composes cell filter + ADC with no join, no shuffle") {
+    val p = physical(graft.operators.Similarity.ivfpqSearch(spark, Sf0001))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a sort:\n$p")
+    assert(!p.contains("Exchange"), s"IVF-PQ scan must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"IVF-PQ scan must not join:\n$p")
+  }
+
   test("vocab_topk plans partial count + TakeOrderedAndProject (no full collect)") {
     val p = physical(graft.operators.Relational.vocabTopk(spark, Sf0001))
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a sort:\n$p")
