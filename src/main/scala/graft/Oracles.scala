@@ -1292,6 +1292,56 @@ object Oracles {
         |         AS frame_len,
         |       md5(substr(text, frame_idx * 100 + 1, 100)) AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // content-defined chunking: 1-based j in the SQL maps to the Spark
+    // side's 0-based i = j-1; boundary test and chunk hashes use the same
+    // md5 prefixes (28-bit gate, 40-bit content hash — 40-bit keeps the
+    // per-doc checksum sum far from i64 overflow)
+    "cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bd AS (SELECT doc_id, w, len(w) AS n,
+        |        list_transform(list_filter(range(4, len(w) + 1),
+        |          j -> CAST(concat('0x', substr(md5(array_to_string(w[j-3:j], ' ')), 1, 7))
+        |               AS BIGINT) % 16 = 0),
+        |          j -> j - 1) AS b0 FROM d),
+        |sg AS (SELECT doc_id, w, n,
+        |        [CAST(0 AS BIGINT)] || list_transform(b0, x -> x + 1) AS ss,
+        |        b0 || [CAST(n - 1 AS BIGINT)] AS ee FROM bd),
+        |ch AS (SELECT doc_id, n, ss, ee, w,
+        |        list_filter(range(1, len(ss) + 1), k -> ee[k] >= ss[k]) AS ks
+        |       FROM sg)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |       CAST(len(ks) AS BIGINT) AS n_chunks,
+        |       CAST(list_max(list_transform(ks, k -> ee[k] - ss[k] + 1)) AS BIGINT)
+        |         AS max_chunk,
+        |       CAST(coalesce(list_sum(list_transform(ks, k ->
+        |         CAST(concat('0x', substr(md5(array_to_string(
+        |           w[ss[k]+1:ee[k]+1], ' ')), 1, 10)) AS BIGINT))), 0) AS BIGINT)
+        |         AS hash_checksum
+        |FROM ch ORDER BY doc_id""".stripMargin,
+    // full source×lang grid so absent languages still contribute their
+    // corpus share; each |Δp| term is quantized before the sum
+    "lang_drift" ->
+      """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY source, lang),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS src_n
+        |      FROM documents GROUP BY source),
+        |l AS (SELECT lang, CAST(count(*) AS BIGINT) AS lang_n
+        |      FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total_n FROM documents),
+        |g AS (SELECT s.source, l.lang, s.src_n, l.lang_n, t.total_n,
+        |        coalesce(c.n, 0) AS n
+        |      FROM s CROSS JOIN l CROSS JOIN t
+        |      LEFT JOIN c ON c.source = s.source AND c.lang = l.lang),
+        |q AS (SELECT source, src_n, n,
+        |        CAST(floor(abs(CAST(n AS DOUBLE) / src_n
+        |                       - CAST(lang_n AS DOUBLE) / total_n)
+        |                   * 1048576.0 + 0.5) AS BIGINT) AS term_u20
+        |      FROM g)
+        |SELECT source, max(src_n) AS n_docs,
+        |       CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_langs_present,
+        |       CAST(sum(term_u20) AS BIGINT) AS drift_u20
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
     "token_spectrum" ->
       """WITH tf AS (SELECT t.tok, CAST(count(*) AS BIGINT) AS n
         |            FROM (SELECT unnest(string_split(text, ' ')) AS tok

@@ -645,6 +645,38 @@ object CorpusOps {
       .orderBy($"source", $"rnk")
   }
 
+  /** NS (LLM pipeline): per-source language-composition drift — L1
+    * distance between each source's language distribution and the whole
+    * corpus's, over the full source×lang grid (a language the source
+    * LACKS still contributes its corpus share). The mixture-health
+    * signal behind `source_mix`: a source whose composition drifts from
+    * the corpus needs its own lang gates before its weight is trusted.
+    * Cross-engine exact: each |p_src − p_corpus| term is one double
+    * subtraction quantized to 2^-20 BEFORE the per-source sum, so
+    * summation order can't matter. The grid is bounded (sources × langs,
+    * both small dims) and broadcast; counts partial-aggregate. */
+  def langDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val cnt = docs.groupBy($"source", $"lang").agg(count(lit(1)).as("n"))
+    val bySrc = docs.groupBy($"source").agg(count(lit(1)).as("src_n"))
+    val byLang = docs.groupBy($"lang").agg(count(lit(1)).as("lang_n"))
+    val total = docs.agg(count(lit(1)).as("total_n"))
+    val grid = bySrc.crossJoin(broadcast(byLang)).crossJoin(broadcast(total))
+      .join(cnt, Seq("source", "lang"), "left_outer")
+      .withColumn("n", coalesce($"n", lit(0L)))
+    grid
+      .withColumn("term_u20",
+        floor(abs($"n".cast(DoubleType) / $"src_n"
+          - $"lang_n".cast(DoubleType) / $"total_n") * 1048576.0 + 0.5)
+          .cast(LongType))
+      .groupBy($"source")
+      .agg(max($"src_n").as("n_docs"),
+        sum(($"n" > 0).cast(LongType)).as("n_langs_present"),
+        sum($"term_u20").as("drift_u20"))
+      .orderBy($"source")
+  }
+
   /** NS (LLM pipeline): n-gram novelty scoring — for each document, the
     * fraction of its distinct word-3-grams whose FIRST corpus occurrence
     * (min doc_id over the gram) is this document. The curation signal

@@ -113,6 +113,53 @@ object TextAnalysis {
       .orderBy($"lang")
   }
 
+  /** NS (LLM pipeline): content-defined chunking — boundaries where the
+    * hash of the 4-token window ending at a position ≡ 0 (mod 16), the
+    * token-level Rabin/CDC scheme: expected chunk ≈ 16 tokens, and an
+    * insertion only reshapes the chunks AROUND it because boundaries
+    * re-synchronize on content, not offsets (the property fixed-stride
+    * `chunk_overlap` fundamentally lacks, and the reason blob stores
+    * dedup with CDC). Per doc: chunk count, largest chunk, and the Σ of
+    * 40-bit chunk-content hashes — the dedup index key material.
+    * Entirely per-row HOF arithmetic: ZERO shuffle, same scale story as
+    * [[winnowSpans]]. */
+  /** The CDC segmentation itself over any (doc_id, text) frame: per doc
+    * the 40-bit content hash of every chunk, in order — shared by
+    * [[cdcChunks]] and the boundary-resynchronization property test. */
+  def cdcSegments(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val n = size($"toks")
+    docs
+      .select($"doc_id", tokens($"text").as("toks"))
+      .withColumn("b", filter(sequence(lit(3), n - 1), i =>
+        graft.functions.md5_long(
+          concat_ws(" ", slice($"toks", i - 2, lit(4))), 7) % 16 === 0))
+      .withColumn("segs", filter(
+        zip_with(
+          concat(array(lit(0)), transform($"b", x => x + 1)),
+          concat($"b", array(n - 1)),
+          (s, e) => struct(s.as("s"), e.as("e"))),
+        p => p.getField("e") >= p.getField("s")))
+      .select($"doc_id", n.as("n_toks"), $"segs",
+        transform($"segs", p =>
+          graft.functions.md5_long(
+            concat_ws(" ", slice($"toks", p.getField("s") + 1,
+              p.getField("e") - p.getField("s") + 1)), 10)).as("hashes"))
+  }
+
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    cdcSegments(Tables.documents(spark, dir))
+      .select($"doc_id",
+        $"n_toks".cast(LongType).as("n_tokens"),
+        size($"segs").cast(LongType).as("n_chunks"),
+        array_max(transform($"segs",
+          p => p.getField("e") - p.getField("s") + 1)).cast(LongType)
+          .as("max_chunk"),
+        aggregate($"hashes", lit(0L), (acc, h) => acc + h).as("hash_checksum"))
+      .orderBy($"doc_id")
+  }
+
   private val StopWords = Seq("the", "a")
 
   /** Quality scoring: length score, stopword ratio, type/token ratio →

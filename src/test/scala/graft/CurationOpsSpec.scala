@@ -237,6 +237,30 @@ class CurationOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("cdc_chunks: boundaries re-synchronize after an insertion " +
+    "(chunks away from the edit survive verbatim)") {
+    // 120 distinct-ish tokens; B = A with 3 tokens inserted at position 20
+    val base = (0 until 120).map(i => s"w${i * 7 % 97}x$i")
+    val ins = base.take(20) ++ Seq("INS1", "INS2", "INS3") ++ base.drop(20)
+    val docs = Seq((0L, base.mkString(" ")), (1L, ins.mkString(" ")))
+      .toDF("doc_id", "text")
+    val seg = TextAnalysis.cdcSegments(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[Long]]("hashes")).toMap
+    val (a, b) = (seg(0L), seg(1L))
+    assert(a.length >= 3, s"degenerate chunking: ${a.length} chunks")
+    // every chunk of A that does not touch the edit neighborhood must
+    // reappear verbatim in B: content-defined boundaries re-synchronize,
+    // so at most the chunks overlapping the insertion (plus its own
+    // chunk boundary) can differ
+    val shared = a.toSet.intersect(b.toSet)
+    assert(shared.size >= a.length - 3,
+      s"insertion broke ${a.length - shared.size} of ${a.length} chunks " +
+        "— boundaries did not re-synchronize")
+    // and the edit genuinely changed something
+    assert(b.toSet != a.toSet)
+  }
+
   test("dedup_rewrite: keepers stay whole, exact copies empty out, counts " +
     "agree with dup_spans") {
     val rows = DocDedup.dedupRewrite(spark, Sf0001).collect()
