@@ -65,6 +65,23 @@ object Oracles {
       |                              ORDER BY dist, cid) AS rn
       |         FROM d)""".stripMargin
 
+  /** Winnowing selection CTE chain (doc_id, n_grams, sel) — word-4-gram
+    * 40-bit hashes packed with position, window-8 minima, distinct.
+    * Shared by `winnow_spans` and `winnow_dedup_pairs`. */
+  private val winnowCte =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, list_transform(generate_series(1, len(w) - 3),
+      |        i -> array_to_string(w[i:i+3], ' ')) AS grams FROM d),
+      |c AS (SELECT doc_id, list_transform(range(1, len(grams) + 1),
+      |        i -> CAST(concat('0x', substr(md5(grams[i]), 1, 10)) AS BIGINT)
+      |             * 1048576 + (i - 1)) AS comb FROM g),
+      |s AS (SELECT doc_id, len(comb) AS n_grams,
+      |        CASE WHEN len(comb) >= 8 THEN
+      |          list_distinct(list_transform(range(8, len(comb) + 1),
+      |            e -> list_min(comb[e-7:e])))
+      |        WHEN len(comb) > 0 THEN [list_min(comb)]
+      |        ELSE [] END AS sel FROM c)""".stripMargin
+
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
   private def cosSql(a: String, b: String) =
@@ -1371,24 +1388,22 @@ object Oracles {
     // winnowing (SIGMOD 2003): word-4-gram 40-bit hashes packed with their
     // position (h*2^20 + pos), window-8 min per end position, distinct —
     // the packed long min IS the (hash, leftmost-pos) argmin on both engines
-    "winnow_spans" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |g AS (SELECT doc_id, list_transform(generate_series(1, len(w) - 3),
-        |        i -> array_to_string(w[i:i+3], ' ')) AS grams FROM d),
-        |c AS (SELECT doc_id, list_transform(range(1, len(grams) + 1),
-        |        i -> CAST(concat('0x', substr(md5(grams[i]), 1, 10)) AS BIGINT)
-        |             * 1048576 + (i - 1)) AS comb FROM g),
-        |s AS (SELECT doc_id, len(comb) AS n_grams,
-        |        CASE WHEN len(comb) >= 8 THEN
-        |          list_distinct(list_transform(range(8, len(comb) + 1),
-        |            e -> list_min(comb[e-7:e])))
-        |        WHEN len(comb) > 0 THEN [list_min(comb)]
-        |        ELSE [] END AS sel FROM c)
+    "winnow_spans" -> (winnowCte +
+      """
         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
         |       CAST(len(sel) AS BIGINT) AS n_selected,
         |       CAST(coalesce(list_sum(list_transform(sel, x -> x >> 20)), 0)
         |            AS BIGINT) AS fp_checksum
-        |FROM s ORDER BY doc_id""".stripMargin,
+        |FROM s ORDER BY doc_id""".stripMargin),
+    "winnow_dedup_pairs" -> (winnowCte +
+      """,
+        |f AS (SELECT DISTINCT doc_id, x >> 20 AS fp
+        |      FROM (SELECT doc_id, unnest(sel) AS x FROM s))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared_fps
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin),
     "ngram_novelty" -> (gramsCte +
       """,
         |e AS (SELECT doc_id, unnest(grams) AS gr FROM g),

@@ -119,6 +119,7 @@ object SparkEntry {
     "hash_split"           -> (TextAnalysis.hashSplit(_, _)),
     "repetition_score"     -> (TextAnalysis.repetitionScore(_, _)),
     "winnow_spans"         -> (TextAnalysis.winnowSpans(_, _)),
+    "winnow_dedup_pairs"   -> (TextAnalysis.winnowDedupPairs(_, _)),
     "cdc_chunks"           -> (TextAnalysis.cdcChunks(_, _)),
     "lang_drift"           -> (CorpusOps.langDrift(_, _)),
     "token_spectrum"       -> (TextAnalysis.tokenSpectrum(_, _)),

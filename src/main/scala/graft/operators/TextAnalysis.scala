@@ -550,4 +550,28 @@ object TextAnalysis {
           .as("fp_checksum"))
       .orderBy($"doc_id")
   }
+
+  /** NS (LLM pipeline): the winnowing index as a DEDUP CANDIDATE
+    * GENERATOR — pairs of docs sharing ≥ 2 selected fingerprints. This
+    * is why winnowing exists at corpus scale: the pair join runs over
+    * ~2/(w+1) of the grams ([[dupSpans]]' full-fingerprint join shape at
+    * a fraction of the rows) yet the SIGMOD-2003 guarantee still
+    * catches every shared run of ≥ w+k−1 words. Distinct fp per doc
+    * before the self-join (a doc repeating a fingerprint isn't more
+    * similar); pairs bounded by shared fingerprints, never
+    * doc-quadratic. */
+  def winnowDedupPairs(spark: SparkSession, dir: String,
+      k: Int = 4, w: Int = 8): DataFrame = {
+    import spark.implicits._
+    val fps = winnowSelect(Tables.documents(spark, dir), k, w)
+      .select($"doc_id", explode($"sel").as("x"))
+      .select($"doc_id", shiftright($"x", 20).as("fp"))
+      .distinct()
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .where($"n_shared_fps" >= 2)
+      .orderBy($"doc_a", $"doc_b")
+  }
 }
