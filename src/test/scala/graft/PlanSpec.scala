@@ -316,7 +316,9 @@ class PlanSpec extends SparkSpecBase {
       "scd2_slice",    // 1-row as-of instant T broadcast onto the version table
       "pair_graph_pagerank", // 1-row node-count N broadcast onto the degree table
       "bpe_apply",     // 1-row winner merge rule broadcast onto the vocabulary
-      "decayed_counts") // 1-row max-ts anchor broadcast onto the scan
+      "decayed_counts", // 1-row max-ts anchor broadcast onto the scan
+      "lang_drift",    // sources × langs grid: both sides bounded dim aggregates
+      "join_size_estimate") // two 1-row sketch frames + 1-row exact count
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = physical(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")

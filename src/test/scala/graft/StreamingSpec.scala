@@ -414,6 +414,45 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === expected)
   }
 
+  test("stream-static probe: new docs' gram novelty against the persisted index") {
+    // The ingest-time shape of ngram_novelty: the corpus's distinct grams
+    // are the persisted STATIC index; newly crawled docs stream in and
+    // each micro-batch left-joins the index statelessly (append mode, no
+    // state store) — novelty per new doc then rolls up from the sink.
+    implicit val ctx = spark.sqlContext
+    import graft.operators.TextAnalysis.shingles
+    val grams = Tables.documents(spark, Sf0001)
+      .select($"doc_id", explode(array_distinct(shingles($"text", 3))).as("gram"))
+    val index = grams.where($"doc_id" % 10 =!= 7)
+      .select($"gram").distinct().withColumn("known", lit(1))
+    // batch ground truth, formulated independently of the streaming plan
+    val expected = grams.where($"doc_id" % 10 === 7)
+      .join(index, Seq("gram"), "left_outer")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"known".isNull, 1L).otherwise(0L)).as("n_novel"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val newRows = grams.where($"doc_id" % 10 === 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(newRows.toSeq)
+    val joined = ms.toDF().toDF("doc_id", "gram")
+      .join(index, Seq("gram"), "left_outer")
+      .select($"doc_id", $"known")
+    val q = joined.writeStream.format("memory").queryName("novelty_probe")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("novelty_probe")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"known".isNull, 1L).otherwise(0L)).as("n_novel"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed === expected)
+    assert(expected.nonEmpty)
+  }
+
   test("stream-static probe: streamed embeddings semantic-dedup against the cell index") {
     // Ingest-time SemDeDup: the cell index (assignments + norms) is the
     // persisted static side; a new batch arrives as a stream with its
