@@ -1398,10 +1398,13 @@ object Oracles {
     "winnow_dedup_pairs" -> (winnowCte +
       """,
         |f AS (SELECT DISTINCT doc_id, x >> 20 AS fp
-        |      FROM (SELECT doc_id, unnest(sel) AS x FROM s))
+        |      FROM (SELECT doc_id, unnest(sel) AS x FROM s)),
+        |r AS (SELECT fp FROM f GROUP BY fp
+        |      HAVING count(*) BETWEEN 2 AND 32),
+        |f2 AS (SELECT f.doc_id, f.fp FROM f JOIN r USING (fp))
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       CAST(count(*) AS BIGINT) AS n_shared_fps
-        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY doc_a, doc_b""".stripMargin),
     "ngram_novelty" -> (gramsCte +

@@ -80,6 +80,10 @@ package object functions {
   def top_k_rows(c: Column, k: Int): Column =
     toCol(TopKRows(ex(c), k).toAggregateExpression())
 
+  /** Distinct sliding-window-w minima of an array<long> in
+    * first-occurrence order — the O(n) winnowing selection kernel. */
+  def winnow_mins(c: Column, w: Int): Column = toCol(WinnowMins(ex(c), w))
+
   /** Element-wise sum of array<long> rows (aggregate): the
     * distributed-linear-algebra accumulator — O(d) state per group,
     * exact i64, map-side combine; pair with 2^-20 fixed-point

@@ -526,18 +526,16 @@ object TextAnalysis {
   def winnowSelect(docs: DataFrame, k: Int, w: Int): DataFrame = {
     import docs.sparkSession.implicits._
     // pack (40-bit gram hash, 20-bit gram position): long min over a
-    // window selects the smallest hash AND remembers where it was
+    // window selects the smallest hash AND remembers where it was;
+    // selection itself is the O(n) WinnowMins deque kernel (byte-identical
+    // to the array_distinct/transform/slice HOF form it replaced, which
+    // copied a w-slice per window)
     val comb = transform(shingles($"text", k),
       (g, i) => graft.functions.md5_long(g, 10) * lit(1048576L) + i.cast(LongType))
     docs
       .select($"doc_id", comb.as("comb"))
       .withColumn("n_grams", size($"comb"))
-      .withColumn("sel",
-        when($"n_grams" >= w,
-          array_distinct(transform(sequence(lit(w - 1), $"n_grams" - 1),
-            e => array_min(slice($"comb", e - (w - 2), lit(w))))))
-        .when($"n_grams" > 0, array(array_min($"comb")))
-        .otherwise(array().cast(ArrayType(LongType))))
+      .withColumn("sel", graft.functions.winnow_mins($"comb", w))
   }
 
   def winnowSpans(spark: SparkSession, dir: String, k: Int = 4, w: Int = 8): DataFrame = {
@@ -561,13 +559,28 @@ object TextAnalysis {
     * similar); pairs bounded by shared fingerprints, never
     * doc-quadratic. */
   def winnowDedupPairs(spark: SparkSession, dir: String,
-      k: Int = 4, w: Int = 8): DataFrame = {
+      k: Int = 4, w: Int = 8, maxDf: Int = 32): DataFrame = {
     import spark.implicits._
+    // localCheckpoint: the winnowing subtree feeds THREE consumers (the
+    // df gate + both self-join sides) — materialize it once instead of
+    // re-hashing every gram 3×. On a real cluster swap for checkpoint()
+    // (same convention as DocDedup's pair memoization).
     val fps = winnowSelect(Tables.documents(spark, dir), k, w)
       .select($"doc_id", explode($"sel").as("x"))
       .select($"doc_id", shiftright($"x", 20).as("fp"))
       .distinct()
-    fps.as("a").join(fps.as("b"),
+      .localCheckpoint(false)
+    // document-frequency gate BEFORE pairing: a fingerprint in > maxDf
+    // docs is boilerplate (shared nav/header runs) whose per-fp pair
+    // fan-out is df² — the same hub hazard graph_degree_hist profiles —
+    // and carries no dedup signal; singletons (df=1) can't pair at all.
+    // This bound is what keeps the join linear-ish at corpus scale.
+    val rare = fps.groupBy($"fp")
+      .agg(count(lit(1)).as("df"))
+      .where($"df" >= 2 && $"df" <= maxDf)
+      .select($"fp")
+    val eligible = fps.join(rare, "fp")
+    eligible.as("a").join(eligible.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_fps"))

@@ -157,6 +157,33 @@ class FunctionsSpec extends SparkSpecBase {
     assert(CmsSketch.estimate(sketch, depth, width, "never-seen") <= 97L)
   }
 
+  test("winnow_mins: deque kernel == the HOF window-min formulation on random arrays") {
+    import graft.functions.winnow_mins
+    val rnd = new Random(123)
+    val w = 8
+    val cases: Seq[Seq[Long]] =
+      Seq(Seq.empty[Long], Seq(5L), (1L to 7L), Seq.fill(20)(42L)) ++
+        (1 to 60).map { _ =>
+          val n = rnd.nextInt(120)
+          Seq.fill(n)(rnd.nextLong(1L << 40)) // duplicate-prone small range too
+        } ++
+        (1 to 20).map(_ => Seq.fill(30)(rnd.nextLong(8L)))
+    val df = cases.zipWithIndex.map { case (xs, i) => (i, xs) }.toDF("id", "xs")
+    val both = df.select($"id",
+        winnow_mins($"xs", w).as("kernel"),
+        when(size($"xs") >= w,
+          array_distinct(transform(sequence(lit(w - 1), size($"xs") - 1),
+            e => array_min(slice($"xs", e - (w - 2), lit(w))))))
+          .when(size($"xs") > 0, array(array_min($"xs")))
+          .otherwise(array().cast("array<bigint>")).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Long]]("kernel") ===
+        r.getAs[scala.collection.Seq[Long]]("hof"),
+        s"case ${r.getInt(0)} diverged")
+    }
+  }
+
   test("vector_sum_l: element-wise sums, null skipping, grouped map-side combine") {
     import graft.functions.vector_sum_l
     val df = Seq(
