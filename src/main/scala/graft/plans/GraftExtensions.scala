@@ -141,6 +141,15 @@ object GraftExtensions {
       (args: Seq[Expression]) =>
         CmsSketch(args(0), intArg("cms_sketch", args(1)),
           intArg("cms_sketch", args(2))).toAggregateExpression()),
+    "vector_sum_l" -> (
+      info("vector_sum_l",
+        "vector_sum_l(arr) - aggregate: element-wise sum of array<bigint> rows."),
+      (args: Seq[Expression]) => VectorSumL(args.head).toAggregateExpression()),
+    "winnow_mins" -> (
+      info("winnow_mins",
+        "winnow_mins(arr, w) - distinct sliding-window-w minima of array<bigint>, first-occurrence order."),
+      (args: Seq[Expression]) =>
+        WinnowMins(args(0), intArg("winnow_mins", args(1)))),
     // Spark's own runtime-filter expressions (public Catalyst classes the
     // optimizer uses for InjectRuntimeFilter), surfaced as SQL functions so
     // a pipeline can build the dim-side bloom ONCE and pre-filter many fact

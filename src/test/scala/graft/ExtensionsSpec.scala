@@ -117,6 +117,15 @@ class ExtensionsSpec extends SparkSpecBase {
       .as[String].collect()
     val normSql = df.selectExpr("unicode_normalize(k, 'NFKC')").as[String].collect()
     assert(normCol.sameElements(normSql))
+    // the round-5 kernels are SQL functions too
+    val arrs = Seq(Seq(9L, 1L, 7L), Seq(2L, 2L, 2L)).toDF("xs")
+    val sumSql = arrs.selectExpr("vector_sum_l(xs) AS s")
+      .collect().head.getAs[scala.collection.Seq[Long]]("s")
+    assert(sumSql === Seq(11L, 3L, 9L))
+    val winSql = Seq(Tuple1(Seq(5L, 3L, 8L, 3L, 9L))).toDF("xs")
+      .selectExpr("winnow_mins(xs, 2) AS m")
+      .collect().head.getAs[scala.collection.Seq[Long]]("m")
+    assert(winSql === Seq(3L))
   }
 
   test("NormalizeCollapse rewrites redundant chains and ONLY those") {
