@@ -38,6 +38,9 @@ object SparkEntry {
     // — Part B: relational closure —
     "equi_join"            -> (Relational.equiJoin(_, _)),
     "multi_join_agg"       -> (Relational.multiJoinAgg(_, _)),
+    "pricing_summary"      -> (Relational.pricingSummary(_, _)),
+    "revenue_forecast"     -> (Relational.revenueForecast(_, _)),
+    "brand_promo"          -> (Relational.brandPromo(_, _)),
     "shipping_priority"    -> (Relational.shippingPriority(_, _)),
     "promo_revenue"        -> (Relational.promoRevenue(_, _)),
     "top_spenders"         -> (Relational.topSpenders(_, _)),
@@ -313,6 +316,52 @@ object SparkEntry {
         |JOIN nation   ON c_nationkey = n_nationkey
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY n_name, r_name ORDER BY n_name""".stripMargin,
+    "pricing_summary" ->
+      """WITH l AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        |         CAST(l_discount AS DECIMAL(18,2)) AS disc,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |              (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |              AS DECIMAL(18,4)) AS disc_price,
+        |         CAST(l_tax AS DECIMAL(18,2)) AS tax
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01')
+        |SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(qty) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(price) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(disc_price) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum(disc_price * (CAST(1 AS DECIMAL(18,2)) + tax)) AS DOUBLE)
+        |         AS sum_charge,
+        |       CAST(sum(qty) AS DOUBLE) / count(*) AS avg_qty,
+        |       CAST(sum(price) AS DOUBLE) / count(*) AS avg_price,
+        |       CAST(sum(disc) AS DOUBLE) / count(*) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM l GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "revenue_forecast" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS forecast_revenue,
+        |       count(*) AS n_lineitems
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "brand_promo" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |            AS DOUBLE) AS revenue,
+        |       count(*) AS n_lineitems,
+        |       CAST(count(DISTINCT p_partkey) AS BIGINT) AS n_parts
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 45
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "shipping_priority" ->
       """SELECT l_orderkey, o_orderpriority,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *

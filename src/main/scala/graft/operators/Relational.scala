@@ -1177,6 +1177,78 @@ object Relational {
       .orderBy($"user_id", $"event_type")
   }
 
+  /** NS: TPC-H Q1-shaped pricing summary — the canonical wide grouped
+    * aggregate: 4 decimal-exact sums, 3 averages, and a count over a
+    * date-filtered scan, grouped by the 2-value flag pair. The heaviest
+    * single-table aggregation shape there is; everything partial-
+    * aggregates map-side, so the shuffle carries ≤ |groups| rows per
+    * partition no matter the scan size. Averages are one terminal
+    * division of an exact decimal sum by an exact count each. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = (c: Column) => c.cast(DecimalType(18, 2))
+    val one = lit(1).cast(DecimalType(18, 2))
+    // pin the disc-price intermediate to DECIMAL(18,4) (values < 10^7, so
+    // exact) BEFORE the tax multiply: the raw (37,4)×(18,2) product would
+    // exceed precision 38 and each engine rounds the overflow differently
+    val discPrice =
+      (dec($"l_extendedprice") * (one - dec($"l_discount"))).cast(DecimalType(18, 4))
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("2001-09-01").cast(TimestampType))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(dec($"l_quantity")).cast(DoubleType).as("sum_qty"),
+        sum(dec($"l_extendedprice")).cast(DoubleType).as("sum_base_price"),
+        sum(discPrice).cast(DoubleType).as("sum_disc_price"),
+        sum(discPrice * (one + dec($"l_tax"))).cast(DoubleType).as("sum_charge"),
+        (sum(dec($"l_quantity")).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        (sum(dec($"l_extendedprice")).cast(DoubleType) / count(lit(1)))
+          .as("avg_price"),
+        (sum(dec($"l_discount")).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** NS: TPC-H Q6-shaped forecast-revenue scan — THE pushdown benchmark:
+    * one table, three range predicates, one sum; the whole query is a
+    * parquet scan whose filters must reach the reader (PlanSpec pins
+    * PushedFilters) and whose aggregate is a map-side partial. At 100 TB
+    * this shape is bound purely by scan bandwidth × selectivity. */
+  def revenueForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast(TimestampType) &&
+        $"l_shipdate" < lit("1998-01-01").cast(TimestampType) &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+      .agg(
+        sum($"l_extendedprice".cast(DecimalType(18, 2)) *
+          $"l_discount".cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("forecast_revenue"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
+  /** NS: TPC-H Q19-shaped disjunctive-predicate join — OR-of-ANDs across
+    * both join sides (brand × size × quantity bands). Catalyst extracts
+    * the common `l_partkey = p_partkey` conjunct so the join stays an
+    * equi-join (hash, broadcast dim) with the disjunction as a residual
+    * filter — the plan shape that separates engines that CNF-convert
+    * from those that fall back to a nested loop. */
+  def brandPromo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    l.join(broadcast(p), $"l_partkey" === $"p_partkey" && (
+        ($"p_brand" === "Brand#1" && $"p_size".between(1, 15) &&
+          $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#2" && $"p_size".between(1, 30) &&
+          $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#3" && $"p_size".between(1, 45) &&
+          $"l_quantity".between(20, 30))))
+      .agg(revenueExact($"l_extendedprice", $"l_discount").as("revenue"),
+        count(lit(1)).as("n_lineitems"),
+        countDistinct($"p_partkey").as("n_parts"))
+  }
+
   /** NS: TPC-H Q3-shaped shipping-priority report — unshipped-revenue
     * top-10 over a 3-way filtered join. Every filter sits directly on its
     * scan (pushed to parquet: segment on customer, date on both fact

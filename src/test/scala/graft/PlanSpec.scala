@@ -50,6 +50,29 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_"), s"no map-side partial aggregation in:\n$p")
   }
 
+  test("revenue_forecast pushes all three predicates into the scan; partial agg") {
+    val df = graft.operators.Relational.revenueForecast(spark, Sf0001)
+    val ex = formatted(df)
+    assert(ex.contains("GreaterThanOrEqual(l_shipdate") &&
+      ex.contains("GreaterThanOrEqual(l_discount") &&
+      ex.contains("LessThan(l_quantity"),
+      s"range predicates did not reach the scan:\n$ex")
+    assert(physical(df).contains("partial_"), "no map-side partial aggregation")
+  }
+
+  test("pricing_summary partial-aggregates the wide aggregate map-side") {
+    val p = physical(graft.operators.Relational.pricingSummary(spark, Sf0001))
+    assert(p.contains("partial_sum"), s"no map-side partials:\n$p")
+  }
+
+  test("brand_promo keeps the equi-join under the disjunction (hash join, not NLJ)") {
+    val p = physical(graft.operators.Relational.brandPromo(spark, Sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"disjunctive predicate broke the equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"OR-of-ANDs degenerated to a nested loop:\n$p")
+  }
+
   test("shipping_priority top-10 is TakeOrderedAndProject; filters reach the scans") {
     val df = graft.operators.Relational.shippingPriority(spark, Sf0001)
     val p = physical(df)
