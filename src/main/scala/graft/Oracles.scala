@@ -700,6 +700,26 @@ object Oracles {
          |FROM a JOIN pc ON a.cell_id = pc.pcell, p
          |WHERE a.vec_id <> 0
          |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin,
+    "cluster_purity" ->
+      s"""WITH c AS (SELECT vec_id AS cell_id, embedding AS ce
+         |           FROM embeddings WHERE vec_id < 16),
+         |s AS (SELECT e.vec_id, e.label, c.cell_id,
+         |        ${cosSql("e.embedding", "c.ce")} AS score FROM embeddings e, c),
+         |r AS (SELECT vec_id, label, cell_id, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY score DESC, cell_id) AS rnk FROM s),
+         |a AS (SELECT vec_id, label, cell_id FROM r WHERE rnk = 1),
+         |pl AS (SELECT cell_id, label, CAST(count(*) AS BIGINT) AS n
+         |       FROM a GROUP BY cell_id, label),
+         |mj AS (SELECT cell_id, label, n,
+         |         row_number() OVER (PARTITION BY cell_id
+         |                            ORDER BY n DESC, label) AS rk,
+         |         CAST(sum(n) OVER (PARTITION BY cell_id) AS BIGINT) AS n_vectors,
+         |         CAST(count(*) OVER (PARTITION BY cell_id) AS BIGINT) AS n_labels
+         |       FROM pl)
+         |SELECT cell_id, n_vectors, n_labels,
+         |       CAST(label AS INTEGER) AS majority_label,
+         |       n AS majority_n, CAST(n AS DOUBLE) / n_vectors AS purity
+         |FROM mj WHERE rk = 1 ORDER BY cell_id""".stripMargin,
     "semantic_dedup" ->
       s"""WITH c AS (SELECT vec_id AS cell_id, embedding AS ce
          |           FROM embeddings WHERE vec_id < 16),

@@ -45,6 +45,7 @@ object SparkEntry {
     "promo_revenue"        -> (Relational.promoRevenue(_, _)),
     "top_spenders"         -> (Relational.topSpenders(_, _)),
     "min_cost_supplier"    -> (Relational.minCostSupplier(_, _)),
+    "cust_order_dist"      -> (Relational.custOrderDist(_, _)),
     "semi_anti_join"       -> (Relational.semiAntiJoin(_, _)),
     "full_outer_join"      -> (Relational.fullOuterJoin(_, _)),
     "asof_join"            -> (Relational.asofJoin(_, _)),
@@ -183,6 +184,7 @@ object SparkEntry {
     "pq_search"            -> (Similarity.pqSearch(_, _)),
     "pq_recall_eval"       -> (Similarity.pqRecallEval(_, _)),
     "ivfpq_search"         -> (Similarity.ivfpqSearch(_, _)),
+    "cluster_purity"       -> (Similarity.clusterPurity(_, _)),
     "embedding_centroids"  -> (Similarity.embeddingCentroids(_, _)),
     "embedding_pca"        -> (Similarity.embeddingPca(_, _)),
     "embedding_neardup"    -> (Similarity.embeddingNearDupPairs(_, _)),
@@ -402,6 +404,13 @@ object SparkEntry {
         |       CAST(spend_dec AS DOUBLE) AS total_spend, max_order
         |FROM s JOIN customer ON o_custkey = c_custkey
         |ORDER BY custkey""".stripMargin,
+    "cust_order_dist" ->
+      """WITH pc AS (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |            GROUP BY c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM pc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "min_cost_supplier" ->
       """WITH u AS (
         |  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price,

@@ -1249,6 +1249,24 @@ object Relational {
         countDistinct($"p_partkey").as("n_parts"))
   }
 
+  /** NS: TPC-H Q13-shaped customer-order distribution — the
+    * aggregate-of-an-aggregate shape: per-customer order counts (LEFT
+    * join, so no-order customers land in the 0 bucket — the row the
+    * inner-join formulation silently loses), then the histogram of those
+    * counts. Both aggregations partial-combine; the second one's input
+    * is already |customers| rows, so the heavy shuffle happens exactly
+    * once. */
+  def custOrderDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perCust = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+    perCust.groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
   /** NS: TPC-H Q3-shaped shipping-priority report — unshipped-revenue
     * top-10 over a 3-way filtered join. Every filter sits directly on its
     * scan (pushed to parquet: segment on customer, date on both fact

@@ -168,6 +168,31 @@ object Similarity {
         best.getField("score").as("score"))
   }
 
+  /** NS (LLM pipeline): label purity of the IVF cells — for each cell,
+    * the majority ground-truth label's share (argmax over per-(cell,
+    * label) counts, ties to the lowest label). THE clustering-eval
+    * number: high purity means the geometric cells recover the semantic
+    * classes and a cell-restricted scan (ANN, SemDeDup) rarely crosses
+    * class boundaries; low purity means the codebook needs retraining
+    * before cell-local decisions can be trusted. Two bounded-key
+    * shuffles (cells × labels, then cells), both partial-aggregated;
+    * purity is one terminal division of exact counts. */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perLabel = ivfAssigned(spark, dir, codebook(spark, dir))
+      .groupBy($"cell_id", $"label")
+      .agg(count(lit(1)).as("n"))
+    perLabel.groupBy($"cell_id")
+      .agg(sum($"n").as("n_vectors"),
+        max(struct($"n", (-$"label").as("nl"))).as("m"),
+        count(lit(1)).as("n_labels"))
+      .select($"cell_id", $"n_vectors", $"n_labels",
+        (-$"m.nl").cast(IntegerType).as("majority_label"),
+        $"m.n".as("majority_n"),
+        ($"m.n".cast(DoubleType) / $"n_vectors").as("purity"))
+      .orderBy($"cell_id")
+  }
+
   /** IVF index statistics: vectors per cell + summed assignment cosine
     * (cell cohesion, decimal-summed for order-insensitive exactness) —
     * the histogram that tells you whether the codebook needs retraining
