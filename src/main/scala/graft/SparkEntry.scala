@@ -46,6 +46,8 @@ object SparkEntry {
     "top_spenders"         -> (Relational.topSpenders(_, _)),
     "min_cost_supplier"    -> (Relational.minCostSupplier(_, _)),
     "cust_order_dist"      -> (Relational.custOrderDist(_, _)),
+    "top_supplier"         -> (Relational.topSupplier(_, _)),
+    "range_bounds"         -> (Scale.rangeBounds(_, _)),
     "semi_anti_join"       -> (Relational.semiAntiJoin(_, _)),
     "full_outer_join"      -> (Relational.fullOuterJoin(_, _)),
     "asof_join"            -> (Relational.asofJoin(_, _)),
@@ -411,6 +413,41 @@ object SparkEntry {
         |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
         |FROM pc GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |              AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT l_suppkey AS suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY suppkey""".stripMargin,
+    "range_bounds" ->
+      """WITH s AS (
+        |  SELECT l_orderkey, l_linenumber FROM lineitem
+        |  WHERE CAST(concat('0x', substr(md5('sb:' || CAST(l_orderkey AS VARCHAR)
+        |          || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)
+        |        % 50 = 0),
+        |r AS (SELECT l_orderkey,
+        |        row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rk,
+        |        count(*) OVER () AS n FROM s),
+        |b AS (SELECT r.l_orderkey AS bv
+        |      FROM r JOIN range(1, 8) t(i) ON r.rk = (t.i * r.n + 7) // 8),
+        |k AS (SELECT l_orderkey,
+        |        (SELECT CAST(count(*) AS INTEGER) FROM b
+        |         WHERE b.bv < lineitem.l_orderkey) AS bucket
+        |      FROM lineitem),
+        |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rows,
+        |             min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+        |      FROM k GROUP BY bucket),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) / 8 AS target_rows FROM lineitem)
+        |SELECT bucket, rows, min_key, max_key, rows / target_rows AS balance
+        |FROM g CROSS JOIN t ORDER BY bucket""".stripMargin,
     "min_cost_supplier" ->
       """WITH u AS (
         |  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price,

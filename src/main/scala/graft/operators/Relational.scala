@@ -1249,6 +1249,27 @@ object Relational {
         countDistinct($"p_partkey").as("n_parts"))
   }
 
+  /** NS: TPC-H Q15-shaped top supplier — the "equal to a global max"
+    * shape: quarterly revenue per supplier, keep every supplier tied at
+    * the maximum (ties KEPT — a top-1 LIMIT would silently drop them).
+    * The 1-row max broadcasts back onto the per-supplier frame (the
+    * revenue_share scalar pattern); revenue is decimal-exact so the
+    * equality is safe cross-engine. */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast(TimestampType) &&
+        $"l_shipdate" < lit("1997-04-01").cast(TimestampType))
+      .groupBy($"l_suppkey")
+      .agg(revenueExact($"l_extendedprice", $"l_discount").as("total_revenue"))
+    val mx = rev.agg(max($"total_revenue").as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .where($"total_revenue" === $"mx")
+      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .select($"l_suppkey".as("suppkey"), $"s_name", $"total_revenue")
+      .orderBy($"suppkey")
+  }
+
   /** NS: TPC-H Q13-shaped customer-order distribution — the
     * aggregate-of-an-aggregate shape: per-customer order counts (LEFT
     * join, so no-order customers land in the 0 bucket — the row the

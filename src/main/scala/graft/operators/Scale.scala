@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 /** Scale tooling: the two shuffle-shaping techniques a 100 TB deployment
   * leans on beyond what AQE does automatically — explicit key salting for
@@ -292,6 +292,48 @@ object Scale {
     est.crossJoin(exact)
       .select($"est_rows", $"exact_rows",
         ($"est_rows" - $"exact_rows").as("overcount"))
+  }
+
+  /** NS (scale): range-partition boundary planning — what Spark's
+    * RangePartitioner does before any total sort, surfaced as an
+    * auditable query: take a deterministic hash sample of the sort key,
+    * read the (i·n/8)-th sample order statistics as the 7 boundaries,
+    * then score the PLAN by bucketing the full table against them. The
+    * audit columns are the point: `rows` per bucket and the max/avg
+    * balance ratio tell you whether an 8-way total sort of this key
+    * would be balanced BEFORE shuffling 100 TB (a skewed key shows up
+    * here as a fat bucket, and you fix the sample rate or go to more
+    * partitions). Sample is md5-deterministic so the boundaries — not
+    * just their quality — are oracled; the 7 collected boundary values
+    * are a bounded driver literal, same class as the IVF codebook. */
+  def rangeBounds(spark: SparkSession, dir: String, parts: Int = 8): DataFrame = {
+    import spark.implicits._
+    import graft.operators.TextAnalysis.md5Long60
+    val li = graft.Tables.lineitem(spark, dir)
+    val sample = li
+      .select($"l_orderkey", $"l_linenumber")
+      .where(md5Long60(concat_ws(":", lit("sb"), $"l_orderkey", $"l_linenumber"))
+        % 50 === 0)
+    val n = sample.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"l_orderkey", $"l_linenumber")
+    val bounds: Array[Long] = sample
+      .withColumn("rk", row_number().over(w))
+      // rank of boundary i (1-based): ceil(i*n/parts) — integer arithmetic
+      .where($"rk".isin((1 until parts).map(i => (i * n + parts - 1) / parts): _*))
+      .orderBy($"rk")
+      .select($"l_orderkey").as[Long].collect()
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + ($"l_orderkey" > b).cast(IntegerType)
+    }
+    li.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("rows"),
+        min($"l_orderkey").as("min_key"), max($"l_orderkey").as("max_key"))
+      .crossJoin(broadcast(
+        li.agg((count(lit(1)).cast(DoubleType) / parts).as("target_rows"))))
+      .select($"bucket", $"rows", $"min_key", $"max_key",
+        ($"rows" / $"target_rows").as("balance"))
+      .orderBy($"bucket")
   }
 
   /** Join two identically-bucketed tables on their bucket key —

@@ -341,7 +341,9 @@ class PlanSpec extends SparkSpecBase {
       "bpe_apply",     // 1-row winner merge rule broadcast onto the vocabulary
       "decayed_counts", // 1-row max-ts anchor broadcast onto the scan
       "lang_drift",    // sources × langs grid: both sides bounded dim aggregates
-      "join_size_estimate") // two 1-row sketch frames + 1-row exact count
+      "join_size_estimate", // two 1-row sketch frames + 1-row exact count
+      "top_supplier",  // 1-row global-max revenue broadcast onto suppliers
+      "range_bounds")  // 1-row target-rows broadcast onto the 8 bucket rows
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = physical(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
