@@ -414,6 +414,50 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === expected)
   }
 
+  test("transformWithState running totals across micro-batches == batch fold") {
+    // Spark 4 arbitrary-state API (StatefulProcessor + ValueState) over
+    // RocksDB state; three micro-batches must fold to the same per-user
+    // totals as one batch aggregation — exact, because money accumulates
+    // as integer cents inside the state cell.
+    implicit val ctx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val purchases = rows.filter(_.event_type == "purchase")
+        .map(e => (e.user_id, e.value))
+      val ms = MemoryStream[(Long, Double)]
+      val out = graft.streaming.TwsOps.runningTotals(ms.toDS())
+      val q = out.toDF().writeStream.format("memory").queryName("tws_totals")
+        .outputMode("update").start()
+      purchases.grouped(purchases.size / 3 + 1).foreach { batch =>
+        ms.addData(batch)
+        q.processAllAvailable()
+      }
+      q.stop()
+      // update mode re-emits per batch: keep the LAST row per user
+      val streamed = spark.table("tws_totals")
+        .groupBy($"user_id")
+        .agg(max(struct($"n_events", $"revenue_cents")).as("m"))
+        .select($"user_id", $"m.n_events", $"m.revenue_cents")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val expected = purchases.groupBy(_._1).map { case (u, vs) =>
+        u -> (vs.size.toLong, vs.map(v => math.round(v._2 * 100.0)).sum)
+      }
+      assert(streamed === expected)
+      assert(expected.nonEmpty)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static probe: new docs' gram novelty against the persisted index") {
     // The ingest-time shape of ngram_novelty: the corpus's distinct grams
     // are the persisted STATIC index; newly crawled docs stream in and
