@@ -47,6 +47,8 @@ object SparkEntry {
     "min_cost_supplier"    -> (Relational.minCostSupplier(_, _)),
     "cust_order_dist"      -> (Relational.custOrderDist(_, _)),
     "top_supplier"         -> (Relational.topSupplier(_, _)),
+    "status_transitions"   -> (Relational.statusTransitions(_, _)),
+    "basket_pairs"         -> (Relational.basketPairs(_, _)),
     "range_bounds"         -> (Scale.rangeBounds(_, _)),
     "semi_anti_join"       -> (Relational.semiAntiJoin(_, _)),
     "full_outer_join"      -> (Relational.fullOuterJoin(_, _)),
@@ -413,6 +415,36 @@ object SparkEntry {
         |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
         |FROM pc GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "status_transitions" ->
+      """WITH e AS (SELECT o_custkey, o_orderstatus,
+        |             lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey) AS from_status
+        |           FROM orders),
+        |c AS (SELECT from_status, o_orderstatus AS to_status,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM e WHERE from_status IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_status, CAST(sum(n) AS BIGINT) AS from_n
+        |      FROM c GROUP BY 1)
+        |SELECT c.from_status, c.to_status, c.n,
+        |       CAST(c.n AS DOUBLE) / f.from_n AS p
+        |FROM c JOIN f USING (from_status)
+        |ORDER BY from_status, to_status""".stripMargin,
+    "basket_pairs" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |            FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |no AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM it),
+        |bn AS (SELECT brand, CAST(count(*) AS BIGINT) AS bn FROM it GROUP BY brand),
+        |pr AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+        |              CAST(count(*) AS BIGINT) AS pair_n
+        |       FROM it a JOIN it b ON a.okey = b.okey AND a.brand < b.brand
+        |       GROUP BY 1, 2 HAVING count(*) >= 20)
+        |SELECT brand_a, brand_b, pair_n, na.bn AS na, nb.bn AS nb,
+        |       CAST(floor(CAST(pair_n AS DOUBLE) * no.n_orders / na.bn / nb.bn
+        |                  * 1048576.0 + 0.5) AS BIGINT) AS lift_u20
+        |FROM pr JOIN bn na ON pr.brand_a = na.brand
+        |        JOIN bn nb ON pr.brand_b = nb.brand
+        |        CROSS JOIN no
+        |ORDER BY brand_a, brand_b""".stripMargin,
     "top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,

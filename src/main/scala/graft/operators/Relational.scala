@@ -1270,6 +1270,61 @@ object Relational {
       .orderBy($"suppkey")
   }
 
+  /** NS: order-status transition matrix — the Markov-chain estimate over
+    * each customer's order sequence: `lag` pairs consecutive statuses by
+    * (o_orderdate, o_orderkey), then counts each (from → to) edge and its
+    * row-share within the `from` state (the transition probability, one
+    * terminal division of exact counts). Sequence analytics the per-row
+    * `lag_lead_gaps` stops short of: this is the aggregated chain. One
+    * window shuffle on custkey, then a bounded status×status rollup. */
+  def statusTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val edges = Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderdate", $"o_orderkey", $"o_orderstatus")
+      .withColumn("from_status", lag($"o_orderstatus", 1).over(w))
+      .where($"from_status".isNotNull)
+      .select($"from_status", $"o_orderstatus".as("to_status"))
+    val counts = edges.groupBy($"from_status", $"to_status")
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = counts.groupBy($"from_status").agg(sum($"n").as("from_n"))
+    counts.join(fromTotals, "from_status")
+      .select($"from_status", $"to_status", $"n",
+        ($"n".cast(DoubleType) / $"from_n").as("p"))
+      .orderBy($"from_status", $"to_status")
+  }
+
+  /** NS: market-basket brand affinity — co-purchase counts and lift for
+    * brand pairs appearing in the same order. The within-order self-join
+    * is bounded by items-per-order (≈7), so pair fan-out is
+    * O(rows · items/order), never corpus-quadratic — the same
+    * bounded-blocking discipline as the LSH band joins. Lift =
+    * P(a,b)/(P(a)·P(b)) from exact counts, quantized to 2^-20 fixed point
+    * so the ranking is engine-exact (ln-free, divisions composed in one
+    * expression both engines evaluate identically). */
+  def basketPairs(spark: SparkSession, dir: String, minPairN: Long = 20): DataFrame = {
+    import spark.implicits._
+    val items = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("okey"), $"p_brand".as("brand"))
+      .distinct()
+    val nOrders = items.select($"okey").distinct().count()
+    val brandN = items.groupBy($"brand").agg(count(lit(1)).as("bn"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.okey") === col("b.okey") && col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("pair_n"))
+      .where($"pair_n" >= minPairN)
+    pairs
+      .join(brandN.select($"brand".as("brand_a"), $"bn".as("na")), "brand_a")
+      .join(brandN.select($"brand".as("brand_b"), $"bn".as("nb")), "brand_b")
+      .select($"brand_a", $"brand_b", $"pair_n", $"na", $"nb",
+        floor($"pair_n".cast(DoubleType) * nOrders / $"na" / $"nb"
+          * 1048576.0 + 0.5).cast(LongType).as("lift_u20"))
+      .orderBy($"brand_a", $"brand_b")
+  }
+
   /** NS: TPC-H Q13-shaped customer-order distribution — the
     * aggregate-of-an-aggregate shape: per-customer order counts (LEFT
     * join, so no-order customers land in the 0 bucket — the row the
