@@ -48,6 +48,7 @@ object SparkEntry {
     "cust_order_dist"      -> (Relational.custOrderDist(_, _)),
     "top_supplier"         -> (Relational.topSupplier(_, _)),
     "status_transitions"   -> (Relational.statusTransitions(_, _)),
+    "rolling_wau"          -> (Relational.rollingWau(_, _)),
     "basket_pairs"         -> (Relational.basketPairs(_, _)),
     "range_bounds"         -> (Scale.rangeBounds(_, _)),
     "semi_anti_join"       -> (Relational.semiAntiJoin(_, _)),
@@ -415,6 +416,19 @@ object SparkEntry {
         |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
         |FROM pc GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "rolling_wau" ->
+      """WITH du AS (SELECT DISTINCT epoch_ns(ts)//1000 // 86400000000 AS day,
+        |                            user_id FROM events),
+        |c AS (SELECT day + t.i AS anchor, user_id, day FROM du, range(7) t(i)),
+        |a AS (SELECT DISTINCT day AS anchor FROM du)
+        |SELECT c.anchor AS epoch_day,
+        |       CAST(count(DISTINCT CASE WHEN c.day = c.anchor THEN user_id END)
+        |            AS BIGINT) AS dau,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS wau,
+        |       CAST(count(DISTINCT CASE WHEN c.day = c.anchor THEN user_id END)
+        |            AS DOUBLE) / count(DISTINCT user_id) AS stickiness
+        |FROM c JOIN a ON c.anchor = a.anchor
+        |GROUP BY c.anchor ORDER BY epoch_day""".stripMargin,
     "status_transitions" ->
       """WITH e AS (SELECT o_custkey, o_orderstatus,
         |             lag(o_orderstatus) OVER (PARTITION BY o_custkey

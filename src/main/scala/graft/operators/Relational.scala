@@ -1325,6 +1325,34 @@ object Relational {
       .orderBy($"brand_a", $"brand_b")
   }
 
+  /** NS: rolling 7-day active users (WAU) per day — the one windowed
+    * metric a window function CANNOT express: COUNT(DISTINCT) over a
+    * sliding frame doesn't merge, so the correct distributed shape is
+    * (day, user) de-dup first, then a bounded 7-way day-offset explode
+    * and one exact distinct count per anchor day. Fan-out is exactly 7×
+    * the distinct (day,user) pairs — independent of raw event volume,
+    * which is what makes this linear at 100 TB where the naive
+    * self-join-by-range is not. Day keys are integer epoch-days (UTC),
+    * so bucketing is engine-exact. */
+  def rollingWau(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dayUser = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), $"user_id")
+      .distinct()
+    // each (day, user) pair contributes to anchors day..day+6
+    val contrib = dayUser
+      .select(explode(sequence($"day", $"day" + 6)).as("anchor"), $"user_id",
+        $"day")
+    val anchors = dayUser.select($"day".as("anchor")).distinct()
+    contrib.join(anchors, "anchor") // only emit anchors with actual activity
+      .groupBy($"anchor")
+      .agg(countDistinct($"user_id").as("wau"),
+        countDistinct(when($"day" === $"anchor", $"user_id")).as("dau"))
+      .select($"anchor".as("epoch_day"), $"dau", $"wau",
+        ($"dau".cast(DoubleType) / $"wau").as("stickiness"))
+      .orderBy($"epoch_day")
+  }
+
   /** NS: TPC-H Q13-shaped customer-order distribution — the
     * aggregate-of-an-aggregate shape: per-customer order counts (LEFT
     * join, so no-order customers land in the 0 bucket — the row the
