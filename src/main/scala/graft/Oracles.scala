@@ -862,6 +862,50 @@ object Oracles {
          |       CAST(COALESCE(hits, CAST(0 AS BIGINT)) AS DOUBLE) / 5.0 AS recall
          |FROM probes p LEFT JOIN hits USING (p_id)
          |ORDER BY p_id""".stripMargin,
+    "ann_ndcg" -> {
+      val W = graft.operators.Similarity.NdcgW
+      val P = graft.operators.Similarity.NdcgP
+      val wCase = (1 to 5)
+        .map(r => s"WHEN $r THEN CAST(${W(r - 1)} AS BIGINT)").mkString(" ")
+      val pCase = (1 to 5)
+        .map(k => s"WHEN $k THEN CAST(${P(k - 1)} AS BIGINT)").mkString(" ")
+      s"""WITH c AS (SELECT vec_id AS cell_id, embedding AS ce
+         |           FROM embeddings WHERE vec_id < 16),
+         |s AS (SELECT e.vec_id, e.label, e.embedding, c.cell_id,
+         |        ${cosSql("e.embedding", "c.ce")} AS score FROM embeddings e, c),
+         |r AS (SELECT vec_id, label, embedding, cell_id, score, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY score DESC, cell_id) AS rnk FROM s),
+         |a AS (SELECT vec_id, label, embedding, cell_id FROM r WHERE rnk = 1),
+         |probes AS (SELECT vec_id AS p_id, embedding AS pe, label AS p_label
+         |           FROM embeddings WHERE vec_id < 8),
+         |pc AS (SELECT vec_id AS p_id, cell_id FROM r
+         |       WHERE vec_id < 8 AND rnk <= 2),
+         |ivf AS (SELECT pc.p_id, p.p_label, a.vec_id, a.label,
+         |          ${cosSql("a.embedding", "p.pe")} AS score
+         |        FROM a JOIN pc ON a.cell_id = pc.cell_id
+         |        JOIN probes p ON p.p_id = pc.p_id
+         |        WHERE a.vec_id <> pc.p_id),
+         |ranked AS (SELECT p_id, p_label, vec_id, label, row_number() OVER (
+         |             PARTITION BY p_id ORDER BY score DESC, vec_id) AS rnk
+         |           FROM ivf),
+         |r5 AS (SELECT * FROM ranked WHERE rnk <= 5),
+         |dcg AS (SELECT p_id,
+         |          CAST(sum(CASE WHEN label = p_label
+         |                        THEN CASE rnk $wCase ELSE 0 END
+         |                        ELSE 0 END) AS BIGINT) AS dcg_u20,
+         |          CAST(count(*) AS BIGINT) AS n_ranked
+         |        FROM r5 GROUP BY p_id),
+         |rel AS (SELECT p.p_id, CAST(count(*) AS BIGINT) AS n_rel
+         |        FROM embeddings e JOIN probes p
+         |          ON e.label = p.p_label AND e.vec_id <> p.p_id
+         |        GROUP BY p.p_id)
+         |SELECT d.p_id, rel.n_rel, d.n_ranked, d.dcg_u20,
+         |       CASE least(rel.n_rel, 5) $pCase END AS idcg_u20,
+         |       CAST(d.dcg_u20 AS DOUBLE)
+         |         / (CASE least(rel.n_rel, 5) $pCase END) AS ndcg
+         |FROM dcg d JOIN rel ON d.p_id = rel.p_id
+         |ORDER BY d.p_id""".stripMargin
+    },
     "embedding_neardup" ->
       s"""WITH s AS (SELECT vec_id, ${lshBucket(16, "embedding")} AS sig, embedding
          |           FROM embeddings),

@@ -184,6 +184,7 @@ object SparkEntry {
     "ann_ivf_cells"        -> (Similarity.annIvfCells(_, _)),
     "ann_ivf_search"       -> (Similarity.annIvfSearch(_, _)),
     "ann_recall_eval"      -> (Similarity.annRecallEval(_, _)),
+    "ann_ndcg"             -> (Similarity.annNdcg(_, _)),
     "embedding_quantize"   -> (Similarity.embeddingQuantize(_, _)),
     "pq_codes"             -> (Similarity.pqCodes(_, _)),
     "pq_search"            -> (Similarity.pqSearch(_, _)),

@@ -372,6 +372,61 @@ object Similarity {
       .limit(5)
   }
 
+  /** nDCG@5 weights at 2^-20 fixed point, computed ONCE on the JVM and
+    * baked as literals into both the Spark plan and the generated SQL
+    * oracle — the one place libm (log2) appears, and it appears in
+    * neither engine's runtime, so a 1-ulp ln divergence cannot exist. */
+  private[graft] val NdcgW: Seq[Long] = (1 to 5).map(r =>
+    math.floor(1048576.0 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong)
+  private[graft] val NdcgP: Seq[Long] = NdcgW.scanLeft(0L)(_ + _).tail
+
+  /** NS (LLM pipeline): label-relevance nDCG@5 of the IVF search — the
+    * graded-ranking eval that recall@k can't express: a relevant doc at
+    * rank 1 is worth more than at rank 5. Relevance = ground-truth label
+    * match; DCG sums the baked 2^-20 rank weights over relevant hits;
+    * IDCG is the weight prefix-sum at min(5, #relevant-in-corpus), so
+    * ndcg ∈ [0,1] compares probes with few relevant docs fairly.
+    * Completes the retrieval-eval triad (recall@5, PQ recall@5, nDCG@5).
+    * Same bounded probe/cell machinery as [[annRecallEval]]. */
+  def annNdcg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cents = codebook(spark, dir)
+    val nProbes = 8
+    val probeCells = cents.filter(_._1 < nProbes).flatMap { case (pid, pe) =>
+      val pNorm = math.sqrt(dotD(pe, pe))
+      cents.map { case (cid, ce) =>
+        (pid, cid, dotD(pe, ce) / (pNorm * math.sqrt(dotD(ce, ce)))) }
+        .sortBy { case (_, cid, s) => (-s, cid) }
+        .take(2).map { case (_, cid, _) => (pid, cid) }
+    }.toSeq.toDF("p_id", "cell_id")
+    val probes = Tables.embeddings(spark, dir).where($"vec_id" < nProbes)
+      .select($"vec_id".as("p_id"), $"embedding".as("pe"), $"label".as("p_label"))
+    val w = Window.partitionBy($"p_id").orderBy($"score".desc, $"vec_id")
+    val ranked = ivfAssigned(spark, dir, cents).drop("score")
+      .join(broadcast(probeCells), "cell_id")
+      .join(broadcast(probes), "p_id")
+      .where($"vec_id" =!= $"p_id")
+      .select($"p_id", $"p_label", $"vec_id", $"label",
+        cosine($"embedding", $"pe").as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= 5)
+    val dcg = ranked.groupBy($"p_id")
+      .agg(sum(when($"label" === $"p_label",
+          element_at(lit(NdcgW.toArray), $"rnk")).otherwise(0L)).as("dcg_u20"),
+        count(lit(1)).as("n_ranked"))
+    val rel = Tables.embeddings(spark, dir)
+      .join(broadcast(probes.select($"p_id", $"p_label")),
+        $"label" === $"p_label" && $"vec_id" =!= $"p_id")
+      .groupBy($"p_id").agg(count(lit(1)).as("n_rel"))
+    dcg.join(rel, "p_id")
+      .select($"p_id", $"n_rel", $"n_ranked", $"dcg_u20",
+        element_at(lit(NdcgP.toArray),
+          least(lit(5), $"n_rel").cast(IntegerType)).as("idcg_u20"))
+      .withColumn("ndcg", $"dcg_u20".cast(DoubleType) / $"idcg_u20")
+      .orderBy($"p_id")
+  }
+
   /** NS: recall@5 of PQ/ADC search against exact squared-L2 — the eval
     * loop that tells you whether 8×16 codebooks keep enough geometry for
     * THIS corpus before swapping the exact scan for the compressed one
