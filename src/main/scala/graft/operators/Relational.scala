@@ -1304,10 +1304,14 @@ object Relational {
     * expression both engines evaluate identically). */
   def basketPairs(spark: SparkSession, dir: String, minPairN: Long = 20): DataFrame = {
     import spark.implicits._
+    // localCheckpoint: the distinct (order, brand) frame feeds FOUR
+    // consumers (the order count, the brand marginals, both self-join
+    // sides) — materialize it once (cluster: swap for checkpoint())
     val items = Tables.lineitem(spark, dir)
       .join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
       .select($"l_orderkey".as("okey"), $"p_brand".as("brand"))
       .distinct()
+      .localCheckpoint(false)
     val nOrders = items.select($"okey").distinct().count()
     val brandN = items.groupBy($"brand").agg(count(lit(1)).as("bn"))
     val pairs = items.as("a")
