@@ -56,6 +56,8 @@ object SparkEntry {
     "asof_join"            -> (Relational.asofJoin(_, _)),
     "asof_join_left"       -> (Relational.asofJoinLeft(_, _)),
     "asof_join_tolerance"  -> (Relational.asofJoinTolerance(_, _, 3600000000L)),
+    "asof_join_forward"    -> (Relational.asofJoinForward(_, _)),
+    "lead_time"            -> (Relational.leadTime(_, _)),
     "funnel_conversion"    -> (Relational.funnelConversion(_, _)),
     "windowed_agg"         -> (Relational.windowedAgg(_, _)),
     "sliding_window"       -> (Relational.slidingWindow(_, _)),
@@ -796,6 +798,29 @@ object SparkEntry {
         |FROM e ASOF LEFT JOIN p
         |  ON e.user_id = p.p_user_id AND e.ts_us >= p.p_ts_us
         |ORDER BY e.event_id""".stripMargin,
+    "asof_join_forward" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us,
+        |                  event_type FROM events),
+        |p AS (SELECT user_id AS p_user_id, epoch_ns(ts)//1000 AS p_ts_us,
+        |             event_id AS p_event_id, value AS p_value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, e.ts_us, e.event_type,
+        |       p.p_event_id, p.p_ts_us, p.p_value
+        |FROM e ASOF LEFT JOIN p
+        |  ON e.user_id = p.p_user_id AND e.ts_us <= p.p_ts_us
+        |ORDER BY e.event_id""".stripMargin,
+    "lead_time" ->
+      """WITH j AS (SELECT o_orderpriority AS priority,
+        |             CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |                            CAST(l_shipdate AS DATE)) AS BIGINT)
+        |               AS lead_days
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n,
+        |       min(lead_days) AS min_days,
+        |       quantile_cont(lead_days, 0.5) AS median_days,
+        |       quantile_cont(lead_days, 0.75) AS p75_days,
+        |       max(lead_days) AS max_days
+        |FROM j GROUP BY priority ORDER BY priority""".stripMargin,
     "asof_join_tolerance" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us,
         |                  event_type FROM events),

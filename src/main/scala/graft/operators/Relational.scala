@@ -1270,6 +1270,54 @@ object Relational {
       .orderBy($"suppkey")
   }
 
+  /** NS: FORWARD as-of join — each event matched to the same user's
+    * EARLIEST purchase at-or-after it (the "what happened next"
+    * direction: time-to-conversion, next-touch attribution). No new
+    * operator: a backward as-of on NEGATED µs time IS the forward join,
+    * so the same `AsOfJoinExec` serves both directions — the
+    * composability proof for the custom operator. Left-outer keeps
+    * events with no later purchase, null-extended. */
+  def asofJoinForward(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+      .withColumn("neg_ts", -unix_micros($"ts"))
+    val purchases = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user_id"), $"ts".as("p_ts"),
+        $"event_id".as("p_event_id"), $"value".as("p_value"))
+      .withColumn("p_neg_ts", -unix_micros($"p_ts"))
+    graft.plans.AsOfJoin(ev, purchases, "user_id", "p_user_id",
+        "neg_ts", "p_neg_ts", "left_outer")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        $"event_type", $"p_event_id", unix_micros($"p_ts").as("p_ts_us"),
+        $"p_value")
+      .orderBy($"event_id")
+  }
+
+  /** NS: order→ship lead-time distribution per order priority — exact
+    * integer day deltas (µs subtraction, integer division) through the
+    * house dyadic-exact quantile pairing (`percentile` ↔ DuckDB
+    * `quantile_cont`: midpoint interpolation of integers is FP-exact).
+    * The ops-latency report shape; one fact join + one bounded rollup. */
+  def leadTime(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderpriority".as("priority"),
+        datediff($"l_shipdate".cast(DateType), $"o_orderdate".cast(DateType))
+          .cast(LongType).as("lead_days"))
+      .groupBy($"priority")
+      .agg(count(lit(1)).as("n"),
+        min($"lead_days").as("min_days"),
+        expr("percentile(lead_days, 0.5)").as("median_days"),
+        // 0.75, not 0.95: only dyadic fractions keep the interpolation
+        // formula FP-exact across engines (see quantile_report)
+        expr("percentile(lead_days, 0.75)").as("p75_days"),
+        max($"lead_days").as("max_days"))
+      .orderBy($"priority")
+  }
+
   /** NS: order-status transition matrix — the Markov-chain estimate over
     * each customer's order sequence: `lag` pairs consecutive statuses by
     * (o_orderdate, o_orderkey), then counts each (from → to) edge and its
