@@ -46,6 +46,7 @@ object SparkEntry {
     "top_spenders"         -> (Relational.topSpenders(_, _)),
     "min_cost_supplier"    -> (Relational.minCostSupplier(_, _)),
     "cust_order_dist"      -> (Relational.custOrderDist(_, _)),
+    "idle_customers"       -> (Relational.idleCustomers(_, _)),
     "top_supplier"         -> (Relational.topSupplier(_, _)),
     "status_transitions"   -> (Relational.statusTransitions(_, _)),
     "rolling_wau"          -> (Relational.rollingWau(_, _)),
@@ -412,6 +413,19 @@ object SparkEntry {
         |       CAST(spend_dec AS DOUBLE) AS total_spend, max_order
         |FROM s JOIN customer ON o_custkey = c_custkey
         |ORDER BY custkey""".stripMargin,
+    "idle_customers" ->
+      """WITH a AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |                  / count(*) AS avg_bal
+        |           FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_balance
+        |FROM customer, a
+        |WHERE c_acctbal > a.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "cust_order_dist" ->
       """WITH pc AS (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
         |            FROM customer LEFT JOIN orders ON c_custkey = o_custkey

@@ -1318,6 +1318,34 @@ object Relational {
       .orderBy($"priority")
   }
 
+  /** NS: TPC-H Q22-shaped idle high-balance customers — the
+    * scalar-subquery + anti-join composite: customers whose balance
+    * exceeds the positive-balance average AND who placed no order since
+    * 2000 (a recency window rather than "never": the fixture gives every
+    * customer SOME order, exactly like real books do — dormancy is
+    * always relative to a horizon). The average comes from an exact
+    * decimal sum over an exact count (one terminal division), so the
+    * threshold is engine-identical; the anti-join is the same
+    * null-rejecting left-anti the driver's `semi_anti_join` pins, with
+    * the date filter pushed into the orders scan before it. */
+  def idleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val avgBal = c.filter($"c_acctbal" > 0.0)
+      .agg((sum($"c_acctbal".cast(DecimalType(18, 2))).cast(DoubleType) /
+        count(lit(1))).as("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("2000-01-01").cast(TimestampType))
+    c.crossJoin(broadcast(avgBal))
+      .where($"c_acctbal" > $"avg_bal")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"c_acctbal".cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("total_balance"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** NS: order-status transition matrix — the Markov-chain estimate over
     * each customer's order sequence: `lag` pairs consecutive statuses by
     * (o_orderdate, o_orderkey), then counts each (from → to) edge and its
