@@ -50,6 +50,7 @@ object SparkEntry {
     "top_supplier"         -> (Relational.topSupplier(_, _)),
     "status_transitions"   -> (Relational.statusTransitions(_, _)),
     "rolling_wau"          -> (Relational.rollingWau(_, _)),
+    "ks_drift"             -> (Relational.ksDrift(_, _)),
     "basket_pairs"         -> (Relational.basketPairs(_, _)),
     "range_bounds"         -> (Scale.rangeBounds(_, _)),
     "semi_anti_join"       -> (Relational.semiAntiJoin(_, _)),
@@ -446,6 +447,35 @@ object SparkEntry {
         |            AS DOUBLE) / count(DISTINCT user_id) AS stickiness
         |FROM c JOIN a ON c.anchor = a.anchor
         |GROUP BY c.anchor ORDER BY epoch_day""".stripMargin,
+    "ks_drift" ->
+      """WITH ev AS (SELECT event_type, value FROM events
+        |            WHERE event_type IN ('purchase', 'view')),
+        |pv AS (SELECT value,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS ca,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS cb
+        |       FROM ev GROUP BY value),
+        |t AS (SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS na,
+        |             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS nb FROM ev),
+        |c AS (SELECT value,
+        |        CAST(sum(ca) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+        |             AS BIGINT) AS cuma,
+        |        CAST(sum(cb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+        |             AS BIGINT) AS cumb
+        |      FROM pv),
+        |d AS (SELECT value,
+        |        CAST(floor(abs(CAST(cuma AS DOUBLE) / na
+        |                       - CAST(cumb AS DOUBLE) / nb)
+        |                   * 1048576.0 + 0.5) AS BIGINT) AS d_u20,
+        |        na, nb
+        |      FROM c CROSS JOIN t)
+        |SELECT na AS n_a, nb AS n_b, d_u20 AS ks_d_u20, value AS argmax_value
+        |FROM (SELECT *, row_number() OVER (ORDER BY d_u20 DESC, value) AS rn
+        |      FROM d)
+        |WHERE rn = 1""".stripMargin,
     "status_transitions" ->
       """WITH e AS (SELECT o_custkey, o_orderstatus,
         |             lag(o_orderstatus) OVER (PARTITION BY o_custkey

@@ -1346,6 +1346,43 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
+  /** NS: two-sample Kolmogorov–Smirnov drift statistic — the exact
+    * sup-norm distance between the purchase and view value
+    * distributions: D = max over observed values of
+    * |CDF_A(v) − CDF_B(v)|. The distribution-shift monitor a feature
+    * pipeline runs between snapshots before trusting a model's inputs.
+    * Computed exactly: per-value counts per side (one shuffle), ONE
+    * global cumulative window over the ~|distinct values| grid (grid-
+    * sized, not row-sized — the scan's row count never enters the
+    * window), and every CDF difference is quantized to 2^-20 fixed
+    * point BEFORE the argmax so the winning value is engine-exact
+    * (ties break to the smallest value). */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .filter($"event_type".isin("purchase", "view"))
+      .select($"event_type", $"value")
+    val perValue = ev.groupBy($"value")
+      .agg(sum(($"event_type" === "purchase").cast(LongType)).as("ca"),
+        sum(($"event_type" === "view").cast(LongType)).as("cb"))
+    val w = Window.orderBy($"value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = ev.agg(
+      sum(($"event_type" === "purchase").cast(LongType)).as("na"),
+      sum(($"event_type" === "view").cast(LongType)).as("nb"))
+    perValue
+      .select($"value", sum($"ca").over(w).as("cuma"), sum($"cb").over(w).as("cumb"))
+      .crossJoin(broadcast(totals))
+      .select($"value",
+        floor(abs($"cuma".cast(DoubleType) / $"na"
+          - $"cumb".cast(DoubleType) / $"nb") * 1048576.0 + 0.5)
+          .cast(LongType).as("d_u20"), $"na", $"nb")
+      .agg(max(struct($"d_u20", (-$"value").as("nv"))).as("m"),
+        max($"na").as("n_a"), max($"nb").as("n_b"))
+      .select($"n_a", $"n_b", $"m.d_u20".as("ks_d_u20"),
+        (-$"m.nv").as("argmax_value"))
+  }
+
   /** NS: order-status transition matrix — the Markov-chain estimate over
     * each customer's order sequence: `lag` pairs consecutive statuses by
     * (o_orderdate, o_orderkey), then counts each (from → to) edge and its
