@@ -344,7 +344,8 @@ class PlanSpec extends SparkSpecBase {
       "join_size_estimate", // two 1-row sketch frames + 1-row exact count
       "top_supplier",  // 1-row global-max revenue broadcast onto suppliers
       "range_bounds",  // 1-row target-rows broadcast onto the 8 bucket rows
-      "idle_customers") // 1-row avg-balance threshold broadcast onto customers
+      "idle_customers", // 1-row avg-balance threshold broadcast onto customers
+      "ks_drift")      // 1-row (na, nb) totals broadcast onto the value grid
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = physical(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
