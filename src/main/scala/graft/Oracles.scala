@@ -1054,6 +1054,29 @@ object Oracles {
         |       CASE WHEN (start_off + n_tok - 1) // 512 > start_off // 512
         |            THEN 1 ELSE 0 END AS crosses_boundary
         |FROM t ORDER BY source, doc_id""".stripMargin,
+    "dsir_weights" ->
+      """WITH tk AS (SELECT doc_id, (doc_id % 50 = 0) AS is_bench,
+        |                   unnest(string_split(text, ' ')) AS tok
+        |            FROM documents),
+        |pt AS (SELECT tok,
+        |         CAST(sum(CASE WHEN is_bench THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |         CAST(sum(CASE WHEN is_bench THEN 0 ELSE 1 END) AS BIGINT) AS cr
+        |       FROM tk GROUP BY tok),
+        |t AS (SELECT CAST(sum(ct) + count(*) AS DOUBLE) AS ntv,
+        |             CAST(sum(cr) + count(*) AS DOUBLE) AS nrv FROM pt),
+        |s AS (SELECT doc_id,
+        |        CAST(floor(ln(CAST(ct + 1 AS DOUBLE) * nrv /
+        |                      (CAST(cr + 1 AS DOUBLE) * ntv)) * 1048576.0 + 0.5)
+        |             AS BIGINT) AS u20
+        |      FROM tk JOIN pt USING (tok) CROSS JOIN t
+        |      WHERE NOT is_bench),
+        |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |             CAST(sum(u20) AS BIGINT) AS sum_w_u20
+        |      FROM s GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, sum_w_u20,
+        |       CAST(sum_w_u20 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_w_u20,
+        |       CASE WHEN sum_w_u20 > 0 THEN 1 ELSE 0 END AS target_like
+        |FROM d ORDER BY doc_id""".stripMargin,
     "lm_score" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |bg AS (SELECT doc_id,

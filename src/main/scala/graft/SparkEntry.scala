@@ -52,6 +52,16 @@ object SparkEntry {
     "rolling_wau"          -> (Relational.rollingWau(_, _)),
     "ks_drift"             -> (Relational.ksDrift(_, _)),
     "basket_pairs"         -> (Relational.basketPairs(_, _)),
+    "returned_items"       -> (Relational.returnedItems(_, _)),
+    "nation_trade"         -> (Relational.nationTrade(_, _)),
+    "market_share"         -> (Relational.marketShare(_, _)),
+    "product_profit"       -> (Relational.productProfit(_, _)),
+    "late_orders"          -> (Relational.lateOrders(_, _)),
+    "late_arrivals"        -> (Relational.lateArrivals(_, _)),
+    "freshness_sla"        -> (Relational.freshnessSla(_, _)),
+    "user_streaks"         -> (Relational.userStreaks(_, _)),
+    "funnel_steps"         -> (Relational.funnelSteps(_, _)),
+    "daily_revenue_ma7"    -> (Relational.dailyRevenueMa7(_, _)),
     "range_bounds"         -> (Scale.rangeBounds(_, _)),
     "semi_anti_join"       -> (Relational.semiAntiJoin(_, _)),
     "full_outer_join"      -> (Relational.fullOuterJoin(_, _)),
@@ -150,6 +160,7 @@ object SparkEntry {
     "sequence_pack"        -> (CorpusOps.sequencePack(_, _, 512)),
     "inverted_index"       -> (CorpusOps.invertedIndex(_, _, 20)),
     "lm_score"             -> (CorpusOps.lmScore(_, _)),
+    "dsir_weights"         -> (CorpusOps.dsirWeights(_, _)),
     "cooccur_pmi"          -> (CorpusOps.cooccurPmi(_, _, 5L, 20)),
     "source_mix"           -> (CorpusOps.sourceMix(_, _)),
     "mixture_resample"     -> (CorpusOps.mixtureResample(_, _)),
@@ -506,6 +517,170 @@ object SparkEntry {
         |        JOIN bn nb ON pr.brand_b = nb.brand
         |        CROSS JOIN no
         |ORDER BY brand_a, brand_b""".stripMargin,
+    "returned_items" ->
+      """SELECT c_custkey AS custkey, c_name, n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |            AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, custkey LIMIT 20""".stripMargin,
+    "nation_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |            AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, yr""".stripMargin,
+    "market_share" ->
+      """WITH asia AS (SELECT n_nationkey FROM nation
+        |              JOIN region ON n_regionkey = r_regionkey
+        |              WHERE r_name = 'ASIA'),
+        |j AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+        |         s_nationkey IN (SELECT n_nationkey FROM asia) AS intra
+        |  FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE c_nationkey IN (SELECT n_nationkey FROM asia))
+        |SELECT yr,
+        |       CAST(sum(CASE WHEN intra THEN rev
+        |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |         AS intra_revenue,
+        |       CAST(sum(rev) AS DOUBLE) AS total_revenue,
+        |       CAST(count(*) AS BIGINT) AS n_lineitems,
+        |       CAST(sum(CASE WHEN intra THEN rev
+        |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |         / CAST(sum(rev) AS DOUBLE) AS intra_share
+        |FROM j GROUP BY yr ORDER BY yr""".stripMargin,
+    "product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |            AS DOUBLE) AS profit,
+        |       CAST(count(*) AS BIGINT) AS n_lineitems
+        |FROM lineitem
+        |JOIN part     ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY nation, yr""".stripMargin,
+    "late_orders" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND epoch_ns(l_shipdate)//1000 >
+        |                    epoch_ns(o_orderdate)//1000 + 7776000000000)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "late_arrivals" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |                  epoch_ns(ts)//1000 AS ts_us FROM events),
+        |m AS (SELECT event_type, ts_us,
+        |        max(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS prev_max_us
+        |      FROM e),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |        CAST(sum(CASE WHEN prev_max_us IS NOT NULL
+        |                       AND ts_us < prev_max_us THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_ooo
+        |      FROM m GROUP BY event_type)
+        |SELECT event_type, n_events, n_ooo,
+        |       CAST(n_ooo * 1000 // n_events AS BIGINT) AS ooo_permille
+        |FROM a ORDER BY event_type""".stripMargin,
+    "freshness_sla" ->
+      """WITH p AS (SELECT event_type,
+        |             CAST(max(epoch_ns(ts)//1000) AS BIGINT) AS latest_us,
+        |             CAST(count(*) AS BIGINT) AS n_events
+        |           FROM events GROUP BY event_type),
+        |g AS (SELECT max(latest_us) AS global_us FROM p)
+        |SELECT event_type, n_events, latest_us,
+        |       CAST(g.global_us - latest_us AS BIGINT) AS lag_us,
+        |       CASE WHEN g.global_us - latest_us > 86400000000
+        |            THEN 1 ELSE 0 END AS stale_1d
+        |FROM p, g ORDER BY event_type""".stripMargin,
+    "user_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |                  epoch_ns(ts)//1000 // 86400000000 AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |        day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |          AS grp
+        |      FROM d),
+        |i AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+        |             CAST(min(day) AS BIGINT) AS start_day
+        |      FROM r GROUP BY 1, 2),
+        |u AS (SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |             CAST(max(len) AS BIGINT) AS longest
+        |      FROM i GROUP BY 1)
+        |SELECT i.user_id AS user_id, n_active_days, longest AS longest_streak,
+        |       CAST(min(start_day) AS BIGINT) AS streak_start_day
+        |FROM i JOIN u ON i.user_id = u.user_id AND i.len = u.longest
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "funnel_steps" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |                   epoch_ns(ts)//1000 AS ts_us FROM events),
+        |v AS (SELECT user_id, CAST(min(ts_us) AS BIGINT) AS v_us
+        |      FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |s AS (SELECT ev.user_id, CAST(min(ts_us) AS BIGINT) AS s_us
+        |      FROM ev JOIN v ON ev.user_id = v.user_id
+        |      WHERE event_type = 'click' AND ts_us > v_us
+        |        AND ts_us <= v_us + 86400000000 GROUP BY 1),
+        |p AS (SELECT ev.user_id, CAST(min(ts_us) AS BIGINT) AS p_us
+        |      FROM ev JOIN s ON ev.user_id = s.user_id
+        |      WHERE event_type = 'purchase' AND ts_us > s_us
+        |        AND ts_us <= s_us + 86400000000 GROUP BY 1),
+        |f AS (SELECT v.user_id, v_us, s_us, p_us,
+        |        1 + CAST(s_us IS NOT NULL AS INTEGER)
+        |          + CAST(p_us IS NOT NULL AS INTEGER) AS steps_completed
+        |      FROM v LEFT JOIN s ON v.user_id = s.user_id
+        |             LEFT JOIN p ON v.user_id = p.user_id)
+        |SELECT steps_completed, CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(CASE WHEN p_us IS NOT NULL THEN p_us - v_us END)
+        |            AS BIGINT) AS total_conv_us
+        |FROM f GROUP BY 1 ORDER BY steps_completed""".stripMargin,
+    "daily_revenue_ma7" ->
+      """WITH pur AS (SELECT epoch_ns(ts)//1000 // 86400000000 AS day,
+        |                    CAST(value AS DECIMAL(18,2)) AS v
+        |             FROM events WHERE event_type = 'purchase'),
+        |daily AS (SELECT day, sum(v) AS day_rev,
+        |                 CAST(count(*) AS BIGINT) AS n_purchases
+        |          FROM pur GROUP BY 1),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM pur),
+        |grid AS (SELECT unnest(generate_series(lo, hi)) AS day FROM b),
+        |j AS (SELECT g.day AS day,
+        |        COALESCE(day_rev, CAST(0 AS DECIMAL(18,2))) AS day_rev,
+        |        COALESCE(n_purchases, 0) AS n_purchases
+        |      FROM grid g LEFT JOIN daily ON g.day = daily.day),
+        |m AS (SELECT day, day_rev, n_purchases,
+        |        CAST(sum(day_rev) OVER (ORDER BY day
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |        / CAST(count(*) OVER (ORDER BY day
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |          AS ma7
+        |      FROM j)
+        |SELECT day AS epoch_day, CAST(day_rev AS DOUBLE) AS day_rev,
+        |       n_purchases, ma7
+        |FROM m ORDER BY epoch_day""".stripMargin,
     "top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,

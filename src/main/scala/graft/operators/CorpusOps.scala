@@ -704,4 +704,47 @@ object CorpusOps {
         ($"n_novel".cast(DoubleType) / $"n_grams").as("novelty"))
       .orderBy($"doc_id")
   }
+
+  /** NS: DSIR importance weights (Xie et al., arXiv:2302.03169 — data
+    * selection via importance resampling): score every raw-corpus doc by
+    * how much more likely its unigrams are under the TARGET distribution
+    * (the benchmark docs, same doc_id ≡ 0 mod 50 set `decontaminate`
+    * holds out) than under the raw corpus — the standing method for
+    * carving a domain-matched subset out of a web crawl. Laplace-smoothed
+    * unigram LMs on both sides: w(t) = ln[ (c_t+1)/(N_t+V) ÷
+    * (c_r+1)/(N_r+V) ], per-token weight quantized to 2^-20 fixed point
+    * BEFORE the per-doc sum (order-free integer arithmetic, libm's 1-ulp
+    * absorbed — the `lm_score` discipline); positive mean ⇒ target-like.
+    *
+    * One explode feeds both sides' counts (conditional sums on the bench
+    * flag); the vocabulary-bounded weight table joins back on token; the
+    * 1-row (N_t, N_r, V) totals broadcast. Nothing shuffles more than
+    * (doc, token) occurrences — the same plan at 100 TB. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", ($"doc_id" % 50 === 0).as("is_bench"),
+        explode(tokens($"text")).as("tok"))
+    val perTok = toks.groupBy($"tok")
+      .agg(sum(when($"is_bench", 1L).otherwise(0L)).as("ct"),
+        sum(when($"is_bench", 0L).otherwise(1L)).as("cr"))
+    val totals = perTok.agg(
+      (sum($"ct") + count(lit(1))).cast(DoubleType).as("ntv"),
+      (sum($"cr") + count(lit(1))).cast(DoubleType).as("nrv"))
+    val u20 = floor(
+      log(($"ct" + 1).cast(DoubleType) * $"nrv" /
+        (($"cr" + 1).cast(DoubleType) * $"ntv")) * 1048576.0 + 0.5)
+      .cast(LongType)
+    toks.where(!$"is_bench")
+      .join(perTok, "tok")
+      .crossJoin(broadcast(totals))
+      .select($"doc_id", u20.as("u20"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"u20").as("sum_w_u20"))
+      .select($"doc_id", $"n_tokens", $"sum_w_u20",
+        ($"sum_w_u20".cast(DoubleType) / $"n_tokens".cast(DoubleType))
+          .as("avg_w_u20"),
+        when($"sum_w_u20" > 0, 1).otherwise(0).as("target_like"))
+      .orderBy($"doc_id")
+  }
 }

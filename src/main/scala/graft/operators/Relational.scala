@@ -1582,4 +1582,274 @@ object Relational {
         $"unit_price", $"n_offers")
       .orderBy($"partkey")
   }
+
+  /** NS: TPC-H Q10 shape — returned-item reporting: the top-20 customers
+    * by revenue lost to returns in a one-year window. The return-flag and
+    * date predicates are scan-side on their respective fact tables (both
+    * reach the parquet reader), the nation dim broadcasts, and the final
+    * ranking is a TakeOrderedAndProject over the per-customer aggregate —
+    * never a global sort. Revenue is decimal-exact before the one cast to
+    * double, so the rank-20 cutoff is the same on both engines; ties
+    * break by custkey. */
+  def returnedItems(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).filter($"l_returnflag" === "R")
+    val o = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1997-01-01").cast(TimestampType) &&
+        $"o_orderdate" < lit("1998-01-01").cast(TimestampType))
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name")
+      .agg(revenueExact($"l_extendedprice", $"l_discount").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .select($"c_custkey".as("custkey"), $"c_name", $"n_name",
+        $"revenue", $"n_items")
+      .orderBy($"revenue".desc, $"custkey")
+      .limit(20)
+  }
+
+  /** NS: TPC-H Q7 shape — cross-border trade volume: revenue shipped from
+    * each supplier nation to each (different) customer nation per order
+    * year. Two fact shuffles (lineitem⋈orders on orderkey, then custkey),
+    * the supplier and both nation dims broadcast; output is bounded by
+    * |nations|²·|years| regardless of fact size. The year comes from
+    * `year()` on a NTZ timestamp under a UTC session — calendar-stable
+    * cross-engine. */
+  def nationTrade(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n1 = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("cn_key"), $"n_name".as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n1), $"s_nationkey" === $"sn_key")
+      .join(broadcast(n2), $"c_nationkey" === $"cn_key")
+      .where($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"o_orderdate").as("yr"))
+      .agg(revenueExact($"l_extendedprice", $"l_discount").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy($"supp_nation", $"cust_nation", $"yr")
+  }
+
+  /** NS: TPC-H Q8 shape — market share: for customers in the ASIA region,
+    * the yearly share of their purchase revenue supplied from WITHIN the
+    * region (the "home market share" conditional-aggregate form Q8
+    * introduced). The region→nation membership set is a broadcast
+    * semi-join on the customer side and a broadcast left join carrying an
+    * in-region flag on the supplier side; one pass computes both the
+    * conditional and total decimal sums, and the share is a single double
+    * division of exact decimals — identical on both engines. */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val asia = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey".as("asia_key"))
+    val custAsia = Tables.customer(spark, dir)
+      .join(broadcast(asia), $"c_nationkey" === $"asia_key", "left_semi")
+    val suppFlag = Tables.supplier(spark, dir)
+      .join(broadcast(asia), $"s_nationkey" === $"asia_key", "left_outer")
+      .select($"s_suppkey", $"asia_key".isNotNull.as("intra"))
+    val dec = (c: Column) => c.cast(DecimalType(18, 2))
+    val rev = dec($"l_extendedprice") * (dec(lit(1)) - dec($"l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(custAsia, $"o_custkey" === $"c_custkey", "left_semi")
+      .join(broadcast(suppFlag), $"l_suppkey" === $"s_suppkey")
+      .groupBy(year($"o_orderdate").as("yr"))
+      .agg(
+        sum(when($"intra", rev).otherwise(dec(lit(0)))).cast(DoubleType)
+          .as("intra_revenue"),
+        sum(rev).cast(DoubleType).as("total_revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .withColumn("intra_share", $"intra_revenue" / $"total_revenue")
+      .orderBy($"yr")
+  }
+
+  /** NS: TPC-H Q9 shape (adapted — the fixture has no partsupp, so profit
+    * is revenue): per supplier nation × order year profit on widget
+    * parts. The part-name filter prunes the broadcast part dim BEFORE the
+    * fact join touches it, so only widget lineitems survive into the
+    * orders shuffle; supplier/nation broadcast. Output bounded by
+    * |nations|·|years|. */
+  def productProfit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+          .filter($"p_name".contains("widget")).select($"p_partkey")),
+        $"l_partkey" === $"p_partkey")
+      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"n_name".as("nation"), year($"o_orderdate").as("yr"))
+      .agg(revenueExact($"l_extendedprice", $"l_discount").as("profit"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy($"nation", $"yr")
+  }
+
+  /** NS: TPC-H Q4 shape — order-priority checking: orders with at least
+    * one line shipped more than 90 days after the order date, counted per
+    * priority. The EXISTS becomes a LEFT SEMI hash join on orderkey with
+    * the lateness comparison as its residual — each order emits at most
+    * once no matter how many late lines it has, and the comparison is
+    * pure integer µs arithmetic (no interval/calendar math to diverge
+    * cross-engine). */
+  def lateOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val late = Tables.lineitem(spark, dir)
+      .select($"l_orderkey",
+        unix_micros($"l_shipdate".cast(TimestampType)).as("ship_us"))
+    Tables.orders(spark, dir)
+      .withColumn("cut_us",
+        unix_micros($"o_orderdate".cast(TimestampType)) +
+          lit(90L * 86400000000L))
+      .join(late, $"o_orderkey" === $"l_orderkey" && $"ship_us" > $"cut_us",
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** NS: out-of-order arrival audit — per event type, how many events
+    * ARRIVED (event_id = arrival order) carrying an event time older than
+    * something the same user already sent: the late-data ratio that sizes
+    * a streaming watermark. Running per-user max over arrival order (one
+    * user_id shuffle, O(1) window state), then a |types|-row rollup; the
+    * permille is integer division — no floating point anywhere. */
+  def lateArrivals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"event_id",
+        unix_micros($"ts").as("ts_us"))
+      .withColumn("prev_max_us", max($"ts_us").over(w))
+      .withColumn("ooo",
+        ($"prev_max_us".isNotNull && $"ts_us" < $"prev_max_us")
+          .cast(LongType))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), sum($"ooo").as("n_ooo"))
+      .withColumn("ooo_permille", expr("n_ooo * 1000 div n_events"))
+      .orderBy($"event_type")
+  }
+
+  /** NS: freshness SLA report — per event type, how far its newest event
+    * lags the newest event anywhere (the staleness monitor a pipeline
+    * runs before trusting a "current" table). Two tiny aggregates; the
+    * 1-row global max broadcasts back onto the |types|-row frame. All
+    * integer µs arithmetic. */
+  def freshnessSla(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perType = Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(max(unix_micros($"ts")).as("latest_us"),
+        count(lit(1)).as("n_events"))
+    val global = perType.agg(max($"latest_us").as("global_us"))
+    perType.crossJoin(broadcast(global))
+      .select($"event_type", $"n_events", $"latest_us",
+        ($"global_us" - $"latest_us").as("lag_us"),
+        when($"global_us" - $"latest_us" > 86400000000L, 1).otherwise(0)
+          .as("stale_1d"))
+      .orderBy($"event_type")
+  }
+
+  /** NS: gaps-and-islands — longest consecutive-active-day streak per
+    * user (the engagement metric behind every "N-day streak" feature and
+    * the classic islands SQL shape no other declared query covers). The
+    * island id is day − row_number over the user's DISTINCT active days —
+    * constant within a consecutive run — so one user-keyed window over
+    * ≤ active-days/user rows (never raw events) finds every island; the
+    * longest (ties → earliest start) comes from a per-user max joined
+    * back on the SAME user-keyed exchange. All integer day arithmetic. */
+  def userStreaks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, dir)
+      .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val islands = days
+      .withColumn("grp", $"day" - row_number().over(w))
+      .groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("len"), min($"day").as("start_day"))
+    val perUser = islands.groupBy($"user_id")
+      .agg(sum($"len").as("n_active_days"), max($"len").as("longest"))
+    islands.join(perUser, "user_id")
+      .where($"len" === $"longest")
+      .groupBy($"user_id", $"n_active_days", $"longest")
+      .agg(min($"start_day").as("streak_start_day"))
+      .select($"user_id", $"n_active_days", $"longest".as("longest_streak"),
+        $"streak_start_day")
+      .orderBy($"user_id")
+  }
+
+  /** NS: ordered k-step funnel — first view → first click within 24 h of
+    * it → first purchase within 24 h of that click (the product funnel
+    * the 2-step `funnel_conversion` generalizes to; each step's window
+    * restarts at the previous step, the standard product-analytics
+    * semantics). Each step is a min-aggregate over the previous step's
+    * frontier joined back on user_id, so the whole chain re-uses ONE
+    * user-keyed exchange and never materializes event pairs; the report
+    * is the bounded steps-completed rollup with exact integer µs
+    * view→purchase time for full completers. */
+  def funnelSteps(spark: SparkSession, dir: String,
+      stepUs: Long = 86400000000L): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"))
+    def step(tpe: String) = ev.filter($"event_type" === tpe)
+    val v = step("view").groupBy($"user_id").agg(min($"ts_us").as("v_us"))
+    val s = step("click").join(v, "user_id")
+      .where($"ts_us" > $"v_us" && $"ts_us" <= $"v_us" + stepUs)
+      .groupBy($"user_id", $"v_us").agg(min($"ts_us").as("s_us"))
+    val p = step("purchase").join(s.select($"user_id", $"s_us"), "user_id")
+      .where($"ts_us" > $"s_us" && $"ts_us" <= $"s_us" + stepUs)
+      .groupBy($"user_id", $"s_us").agg(min($"ts_us").as("p_us"))
+    v.join(s.select($"user_id", $"s_us"), Seq("user_id"), "left_outer")
+      .join(p.select($"user_id", $"p_us"), Seq("user_id"), "left_outer")
+      .select($"user_id", $"v_us", $"s_us", $"p_us",
+        (lit(1) + $"s_us".isNotNull.cast(IntegerType) +
+          $"p_us".isNotNull.cast(IntegerType)).as("steps_completed"))
+      .groupBy($"steps_completed")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when($"p_us".isNotNull, $"p_us" - $"v_us")).as("total_conv_us"))
+      .orderBy($"steps_completed")
+  }
+
+  /** NS: 7-day trailing moving average of daily purchase revenue on the
+    * DENSE day grid — the gap-correct moving average (a frame over only
+    * observed days silently spans gaps; the grid makes empty days
+    * contribute zero). Grid = 1-row min/max bounds broadcast through
+    * `sequence`+`explode` (the `time_gapfill` shape), daily sums left-join
+    * on, and the ROWS 6-PRECEDING frame runs over the grid — window input
+    * is |days| rows, never raw events, so the single-partition global
+    * window is bounded by the calendar span, not data volume. Sums stay
+    * exact decimal; the one double division is the final average. */
+  def dailyRevenueMa7(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val purchases = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        $"value".cast(DecimalType(18, 2)).as("v"))
+    val daily = purchases.groupBy($"day")
+      .agg(sum($"v").as("day_rev"), count(lit(1)).as("n_purchases"))
+    val bounds = purchases.agg(min($"day").as("lo"), max($"day").as("hi"))
+    val grid = bounds.select(explode(sequence($"lo", $"hi")).as("day"))
+    val w = Window.orderBy($"day").rowsBetween(-6, 0)
+    grid.join(daily, Seq("day"), "left_outer")
+      .select($"day",
+        coalesce($"day_rev", lit(0).cast(DecimalType(18, 2))).as("day_rev"),
+        coalesce($"n_purchases", lit(0L)).as("n_purchases"))
+      .withColumn("ma7",
+        (sum($"day_rev").over(w).cast(DoubleType) /
+          count(lit(1)).over(w).cast(DoubleType)))
+      .select($"day".as("epoch_day"), $"day_rev".cast(DoubleType).as("day_rev"),
+        $"n_purchases", $"ma7")
+      .orderBy($"epoch_day")
+  }
 }

@@ -345,7 +345,9 @@ class PlanSpec extends SparkSpecBase {
       "top_supplier",  // 1-row global-max revenue broadcast onto suppliers
       "range_bounds",  // 1-row target-rows broadcast onto the 8 bucket rows
       "idle_customers", // 1-row avg-balance threshold broadcast onto customers
-      "ks_drift")      // 1-row (na, nb) totals broadcast onto the value grid
+      "ks_drift",      // 1-row (na, nb) totals broadcast onto the value grid
+      "freshness_sla", // 1-row global-max broadcast onto the |types|-row frame
+      "dsir_weights")  // 1-row (ntv, nrv) totals broadcast onto occurrences
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = physical(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
