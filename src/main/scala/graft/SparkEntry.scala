@@ -62,6 +62,9 @@ object SparkEntry {
     "user_streaks"         -> (Relational.userStreaks(_, _)),
     "funnel_steps"         -> (Relational.funnelSteps(_, _)),
     "daily_revenue_ma7"    -> (Relational.dailyRevenueMa7(_, _)),
+    "revenue_bridge"       -> (Relational.revenueBridge(_, _)),
+    "pareto_share"         -> (Relational.paretoShare(_, _)),
+    "dup_orders"           -> (Relational.dupOrders(_, _)),
     "range_bounds"         -> (Scale.rangeBounds(_, _)),
     "semi_anti_join"       -> (Relational.semiAntiJoin(_, _)),
     "full_outer_join"      -> (Relational.fullOuterJoin(_, _)),
@@ -681,6 +684,62 @@ object SparkEntry {
         |SELECT day AS epoch_day, CAST(day_rev AS DOUBLE) AS day_rev,
         |       n_purchases, ma7
         |FROM m ORDER BY epoch_day""".stripMargin,
+    "revenue_bridge" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    COALESCE(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |                 THEN CAST(o_totalprice AS DECIMAL(18,2)) END),
+        |             CAST(0 AS DECIMAL(18,2))) AS r1,
+        |    COALESCE(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |                 THEN CAST(o_totalprice AS DECIMAL(18,2)) END),
+        |             CAST(0 AS DECIMAL(18,2))) AS r2
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate <  TIMESTAMP '1999-01-01'
+        |  GROUP BY 1),
+        |b AS (SELECT r1, r2,
+        |        CASE WHEN r1 = 0 THEN 'new'
+        |             WHEN r2 = 0 THEN 'churned'
+        |             WHEN r2 > r1 THEN 'expanded'
+        |             WHEN r2 < r1 THEN 'contracted'
+        |             ELSE 'flat' END AS bucket
+        |      FROM pc)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(r1) AS DOUBLE) AS rev_1997,
+        |       CAST(sum(r2) AS DOUBLE) AS rev_1998,
+        |       CAST(sum(r2 - r1) AS DOUBLE) AS delta
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "pareto_share" ->
+      """WITH pc AS (SELECT o_custkey,
+        |              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |            FROM orders GROUP BY 1),
+        |d AS (SELECT rev, CAST(ntile(10) OVER (ORDER BY rev DESC, o_custkey)
+        |                       AS INTEGER) AS decile
+        |      FROM pc),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+        |             sum(rev) AS dec_rev FROM d GROUP BY 1),
+        |t AS (SELECT sum(dec_rev) AS total_rev FROM g),
+        |c AS (SELECT decile, n_customers, dec_rev,
+        |        sum(dec_rev) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+        |          AS cum_rev
+        |      FROM g)
+        |SELECT decile, n_customers, CAST(dec_rev AS DOUBLE) AS decile_revenue,
+        |       CAST(dec_rev AS DOUBLE) / CAST(t.total_rev AS DOUBLE) AS share,
+        |       CAST(cum_rev AS DOUBLE) / CAST(t.total_rev AS DOUBLE)
+        |         AS cum_share
+        |FROM c, t ORDER BY decile""".stripMargin,
+    "dup_orders" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS amount,
+        |                  epoch_ns(o_orderdate)//1000 // 86400000000 AS day
+        |           FROM orders)
+        |SELECT o_custkey AS custkey, CAST(day AS BIGINT) AS epoch_day,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(amount) AS DOUBLE) AS total_amount,
+        |       CAST(min(o_orderkey) AS BIGINT) AS first_orderkey,
+        |       CAST(max(o_orderkey) AS BIGINT) AS last_orderkey
+        |FROM o GROUP BY o_custkey, day HAVING count(*) > 1
+        |ORDER BY custkey, epoch_day""".stripMargin,
     "top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,

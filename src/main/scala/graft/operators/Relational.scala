@@ -1852,4 +1852,98 @@ object Relational {
         $"n_purchases", $"ma7")
       .orderBy($"epoch_day")
   }
+
+  /** NS: growth-accounting revenue bridge — the period-over-period
+    * decomposition every revenue dashboard opens with: 1997 vs 1998
+    * per-customer order revenue, each customer bucketed
+    * new / churned / expanded / contracted / flat, rolled up to bucket
+    * totals and the period delta. ONE conditional aggregate over the
+    * two-year scan (the date filter reaches the reader) computes both
+    * periods — no self-join of two period scans; the bucket rollup ships
+    * |customers| rows once. Exact decimal throughout; the only doubles
+    * are the final casts. */
+  def revenueBridge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec0 = lit(0).cast(DecimalType(18, 2))
+    val perCust = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1997-01-01").cast(TimestampType) &&
+        $"o_orderdate" < lit("1999-01-01").cast(TimestampType))
+      .groupBy($"o_custkey")
+      .agg(
+        coalesce(sum(when($"o_orderdate" < lit("1998-01-01").cast(TimestampType),
+          $"o_totalprice".cast(DecimalType(18, 2)))), dec0).as("r1"),
+        coalesce(sum(when($"o_orderdate" >= lit("1998-01-01").cast(TimestampType),
+          $"o_totalprice".cast(DecimalType(18, 2)))), dec0).as("r2"))
+    perCust
+      .withColumn("bucket",
+        when($"r1" === dec0, "new")
+          .when($"r2" === dec0, "churned")
+          .when($"r2" > $"r1", "expanded")
+          .when($"r2" < $"r1", "contracted")
+          .otherwise("flat"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"r1").cast(DoubleType).as("rev_1997"),
+        sum($"r2").cast(DoubleType).as("rev_1998"),
+        sum($"r2" - $"r1").cast(DoubleType).as("delta"))
+      .orderBy($"bucket")
+  }
+
+  /** NS: Pareto / revenue-concentration report — customers ranked by
+    * total order revenue, cut into deciles, with each decile's revenue
+    * share and the cumulative share (the 80/20 read). The global ntile
+    * window sorts |customers| rows — the per-customer aggregate, never
+    * raw orders; at 100 TB the decile boundaries come from
+    * `range_bounds`-style sampled order statistics instead of one sorted
+    * partition (noted, same output). Shares are double divisions of
+    * exact decimals; rank ties break by custkey so the decile assignment
+    * is total-ordered on any data. */
+  def paretoShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perCust = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("rev"))
+    val w = Window.orderBy($"rev".desc, $"o_custkey")
+    val deciled = perCust.withColumn("decile", ntile(10).over(w))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_customers"), sum($"rev").as("dec_rev"))
+    val total = deciled.agg(sum($"dec_rev").as("total_rev"))
+    val cum = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciled.crossJoin(broadcast(total))
+      .withColumn("cum_rev", sum($"dec_rev").over(cum))
+      .select($"decile", $"n_customers",
+        $"dec_rev".cast(DoubleType).as("decile_revenue"),
+        ($"dec_rev".cast(DoubleType) / $"total_rev".cast(DoubleType))
+          .as("share"),
+        ($"cum_rev".cast(DoubleType) / $"total_rev".cast(DoubleType))
+          .as("cum_share"))
+      .orderBy($"decile")
+  }
+
+  /** NS: same-day split-order screen — the duplicate-invoice /
+    * order-splitting check a warehouse runs nightly: customers placing
+    * MORE than one order on the same calendar day, per (customer, day)
+    * with order count, exact combined amount, and the key range (the
+    * drill-down handle). One (custkey, day) shuffle, partial-aggregated
+    * map-side; the HAVING keeps only colliding groups so output is
+    * bounded by actual collisions. Day arithmetic is integer µs — no
+    * calendar functions to diverge cross-engine. */
+  def dupOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey",
+        $"o_totalprice".cast(DecimalType(18, 2)).as("amount"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("day"))
+      .groupBy($"o_custkey", $"day")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"amount").cast(DoubleType).as("total_amount"),
+        min($"o_orderkey").as("first_orderkey"),
+        max($"o_orderkey").as("last_orderkey"))
+      .where($"n_orders" > 1)
+      .select($"o_custkey".as("custkey"), $"day".as("epoch_day"),
+        $"n_orders", $"total_amount", $"first_orderkey", $"last_orderkey")
+      .orderBy($"custkey", $"epoch_day")
+  }
 }

@@ -347,7 +347,8 @@ class PlanSpec extends SparkSpecBase {
       "idle_customers", // 1-row avg-balance threshold broadcast onto customers
       "ks_drift",      // 1-row (na, nb) totals broadcast onto the value grid
       "freshness_sla", // 1-row global-max broadcast onto the |types|-row frame
-      "dsir_weights")  // 1-row (ntv, nrv) totals broadcast onto occurrences
+      "dsir_weights",  // 1-row (ntv, nrv) totals broadcast onto occurrences
+      "pareto_share")  // 1-row total-revenue broadcast onto the 10 deciles
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = physical(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
