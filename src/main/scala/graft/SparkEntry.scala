@@ -65,6 +65,8 @@ object SparkEntry {
     "revenue_bridge"       -> (Relational.revenueBridge(_, _)),
     "pareto_share"         -> (Relational.paretoShare(_, _)),
     "dup_orders"           -> (Relational.dupOrders(_, _)),
+    "rfm_segments"         -> (Relational.rfmSegments(_, _)),
+    "ab_test"              -> (Relational.abTest(_, _)),
     "range_bounds"         -> (Scale.rangeBounds(_, _)),
     "semi_anti_join"       -> (Relational.semiAntiJoin(_, _)),
     "full_outer_join"      -> (Relational.fullOuterJoin(_, _)),
@@ -740,6 +742,55 @@ object SparkEntry {
         |       CAST(max(o_orderkey) AS BIGINT) AS last_orderkey
         |FROM o GROUP BY o_custkey, day HAVING count(*) > 1
         |ORDER BY custkey, epoch_day""".stripMargin,
+    "rfm_segments" ->
+      """WITH per AS (SELECT o_custkey,
+        |               max(epoch_ns(o_orderdate)//1000 // 86400000000)
+        |                 AS last_day,
+        |               CAST(count(*) AS BIGINT) AS frequency,
+        |               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        |             FROM orders GROUP BY 1),
+        |a AS (SELECT max(last_day) AS anchor FROM per),
+        |s AS (SELECT o_custkey, monetary,
+        |        CAST(ntile(5) OVER (ORDER BY a.anchor - last_day, o_custkey)
+        |             AS INTEGER) AS r_score,
+        |        CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey)
+        |             AS INTEGER) AS f_score,
+        |        CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey)
+        |             AS INTEGER) AS m_score
+        |      FROM per, a)
+        |SELECT r_score, f_score, m_score,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(monetary) AS DOUBLE) AS segment_revenue
+        |FROM s GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin,
+    "ab_test" ->
+      """WITH p AS (SELECT (user_id % 2 = 1) AS arm_b,
+        |                  CAST(value AS DECIMAL(18,2)) AS v
+        |           FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT
+        |        CAST(sum(CASE WHEN NOT arm_b THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |        CAST(sum(CASE WHEN arm_b THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |        sum(CASE WHEN NOT arm_b THEN v END) AS sa,
+        |        sum(CASE WHEN arm_b THEN v END) AS sb,
+        |        sum(CASE WHEN NOT arm_b THEN v * v END) AS qa,
+        |        sum(CASE WHEN arm_b THEN v * v END) AS qb
+        |      FROM p),
+        |x AS (SELECT na, nb,
+        |        CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS mean_a,
+        |        CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_b,
+        |        (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+        |           / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1) AS var_a,
+        |        (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+        |           / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1) AS var_b
+        |      FROM m),
+        |y AS (SELECT *, var_a / CAST(na AS DOUBLE) AS se_a,
+        |             var_b / CAST(nb AS DOUBLE) AS se_b
+        |      FROM x),
+        |z AS (SELECT *, se_a + se_b AS se2 FROM y)
+        |SELECT na, nb, mean_a, mean_b, var_a, var_b,
+        |       (mean_b - mean_a) / sqrt(se2) AS t_stat,
+        |       (se2 * se2) / ((se_a * se_a) / (CAST(na AS DOUBLE) - 1)
+        |                    + (se_b * se_b) / (CAST(nb AS DOUBLE) - 1)) AS df
+        |FROM z""".stripMargin,
     "top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,

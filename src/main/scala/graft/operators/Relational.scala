@@ -1946,4 +1946,75 @@ object Relational {
         $"n_orders", $"total_amount", $"first_orderkey", $"last_orderkey")
       .orderBy($"custkey", $"epoch_day")
   }
+
+  /** NS: RFM segmentation — the classic recency/frequency/monetary
+    * customer scoring: per-customer last-order day (recency vs the
+    * data-derived anchor = newest order anywhere), order count, exact
+    * decimal spend; each dimension quintile-scored (r=1 most recent —
+    * ntile over the per-customer AGGREGATE, never raw orders; ties break
+    * by custkey so scores are total-ordered on any data), rolled up to
+    * the ≤125 (r,f,m) segments. At 100 TB the quintile boundaries come
+    * from sampled order statistics (`range_bounds`) instead of the
+    * single-partition window — same output, noted trade. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val day = expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    val per = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(max(day).as("last_day"), count(lit(1)).as("frequency"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).as("monetary"))
+    val anchor = per.agg(max($"last_day").as("anchor"))
+    per.crossJoin(broadcast(anchor))
+      .withColumn("recency_days", $"anchor" - $"last_day")
+      .withColumn("r_score",
+        ntile(5).over(Window.orderBy($"recency_days", $"o_custkey")))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy($"frequency".desc, $"o_custkey")))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy($"monetary".desc, $"o_custkey")))
+      .groupBy($"r_score", $"f_score", $"m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"monetary").cast(DoubleType).as("segment_revenue"))
+      .orderBy($"r_score", $"f_score", $"m_score")
+  }
+
+  /** NS: A/B test read-out — Welch's two-sample t on purchase value with
+    * deterministic arm assignment (user_id parity — the hash-bucket
+    * assignment an experiment platform uses, replayable across engines).
+    * One conditional aggregate collects both arms' exact moments
+    * (n, Σv, Σv² — decimal, order-free); the t statistic and
+    * Welch–Satterthwaite df are a fixed chain of correctly-rounded IEEE
+    * ops (±, ×, ÷, √) on those exact moments, spelled identically in the
+    * oracle — bit-identical cross-engine without quantization (the
+    * `corr_report` discipline). Single row out, zero windows. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select(($"user_id" % 2 === 1).as("arm_b"),
+        $"value".cast(DecimalType(18, 2)).as("v"))
+    val m = p.agg(
+      sum((!$"arm_b").cast(LongType)).as("na"),
+      sum($"arm_b".cast(LongType)).as("nb"),
+      sum(when(!$"arm_b", $"v")).as("sa"),
+      sum(when($"arm_b", $"v")).as("sb"),
+      sum(when(!$"arm_b", $"v" * $"v")).as("qa"),
+      sum(when($"arm_b", $"v" * $"v")).as("qb"))
+    val d = (c: Column) => c.cast(DoubleType)
+    m.select($"na", $"nb",
+        (d($"sa") / d($"na")).as("mean_a"),
+        (d($"sb") / d($"nb")).as("mean_b"),
+        ((d($"qa") - d($"sa") * d($"sa") / d($"na")) / (d($"na") - 1))
+          .as("var_a"),
+        ((d($"qb") - d($"sb") * d($"sb") / d($"nb")) / (d($"nb") - 1))
+          .as("var_b"))
+      .withColumn("se_a", $"var_a" / d($"na"))
+      .withColumn("se_b", $"var_b" / d($"nb"))
+      .withColumn("se2", $"se_a" + $"se_b")
+      .select($"na", $"nb", $"mean_a", $"mean_b", $"var_a", $"var_b",
+        (($"mean_b" - $"mean_a") / sqrt($"se2")).as("t_stat"),
+        (($"se2" * $"se2") /
+          (($"se_a" * $"se_a") / (d($"na") - 1) +
+            ($"se_b" * $"se_b") / (d($"nb") - 1))).as("df"))
+  }
 }

@@ -107,6 +107,33 @@ class PlanSpec extends SparkSpecBase {
       s"orders aggregation did not run below the join:\n$p")
   }
 
+  test("returned_items ranks its top-20 as TakeOrderedAndProject with broadcast nation") {
+    val p = physical(graft.operators.Relational.returnedItems(spark, Sf0001))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 degenerated to a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation dim did not broadcast:\n$p")
+  }
+
+  test("revenue_bridge computes both periods from ONE orders scan with the date filter pushed") {
+    val df = graft.operators.Relational.revenueBridge(spark, Sf0001)
+    val ex = formatted(df)
+    assert(ex.contains("GreaterThanOrEqual(o_orderdate") &&
+      ex.contains("LessThan(o_orderdate"),
+      s"period bounds did not reach the scan:\n$ex")
+    val p = physical(df)
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"two-period self-join instead of one conditional agg:\n$p")
+  }
+
+  test("ab_test collects both arms' moments in one aggregate: 1 scan, <=1 shuffle, no window") {
+    val p = physical(graft.operators.Relational.abTest(spark, Sf0001))
+    assert("FileScan".r.findAllIn(p).size == 1, s"more than one scan:\n$p")
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      s"more than the single final-agg exchange:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
   test("winnow_spans selects fingerprints with zero shuffle before the output sort") {
     val p = physical(graft.operators.TextAnalysis.winnowSpans(spark, Sf0001))
     assert(!p.contains("Generate"), s"winnowing exploded grams into rows:\n$p")
@@ -348,7 +375,8 @@ class PlanSpec extends SparkSpecBase {
       "ks_drift",      // 1-row (na, nb) totals broadcast onto the value grid
       "freshness_sla", // 1-row global-max broadcast onto the |types|-row frame
       "dsir_weights",  // 1-row (ntv, nrv) totals broadcast onto occurrences
-      "pareto_share")  // 1-row total-revenue broadcast onto the 10 deciles
+      "pareto_share",  // 1-row total-revenue broadcast onto the 10 deciles
+      "rfm_segments")  // 1-row anchor-day broadcast onto per-customer aggs
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = physical(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
