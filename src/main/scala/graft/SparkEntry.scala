@@ -67,6 +67,8 @@ object SparkEntry {
     "dup_orders"           -> (Relational.dupOrders(_, _)),
     "rfm_segments"         -> (Relational.rfmSegments(_, _)),
     "ab_test"              -> (Relational.abTest(_, _)),
+    "benford_check"        -> (Relational.benfordCheck(_, _)),
+    "seasonality_dow"      -> (Relational.seasonalityDow(_, _)),
     "range_bounds"         -> (Scale.rangeBounds(_, _)),
     "semi_anti_join"       -> (Relational.semiAntiJoin(_, _)),
     "full_outer_join"      -> (Relational.fullOuterJoin(_, _)),
@@ -791,6 +793,39 @@ object SparkEntry {
         |       (se2 * se2) / ((se_a * se_a) / (CAST(na AS DOUBLE) - 1)
         |                    + (se_b * se_b) / (CAST(nb AS DOUBLE) - 1)) AS df
         |FROM z""".stripMargin,
+    "benford_check" -> {
+      // Benford expectations baked as the SAME JVM-computed literals the
+      // Spark plan carries — no runtime log10 on either engine
+      val bCase = (1 to 9)
+        .map(d => s"WHEN $d THEN ${graft.operators.Relational.BenfordU20(d - 1)}")
+        .mkString(" ")
+      s"""WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+         |                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+         |           FROM orders),
+         |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_orders
+         |      FROM d GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_total FROM g)
+         |SELECT digit, n_orders,
+         |       CAST(n_orders * 1048576 // n_total AS BIGINT) AS obs_u20,
+         |       CAST(CASE digit $bCase ELSE 0 END AS BIGINT) AS exp_u20,
+         |       CAST(n_orders * 1048576 // n_total AS BIGINT)
+         |         - CAST(CASE digit $bCase ELSE 0 END AS BIGINT) AS dev_u20
+         |FROM g, t ORDER BY digit""".stripMargin
+    },
+    "seasonality_dow" ->
+      """WITH p AS (SELECT (epoch_ns(ts)//1000 // 86400000000 + 4) % 7 AS dow,
+        |                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |                    AS cents
+        |           FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_purchases,
+        |             CAST(sum(cents) AS BIGINT) AS cents
+        |      FROM p GROUP BY 1),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM g)
+        |SELECT CAST(dow AS BIGINT) AS dow, n_purchases,
+        |       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |       CAST(cents * 1048576 // total_cents AS BIGINT) AS share_u20,
+        |       CAST(cents * 7340032 // total_cents AS BIGINT) AS lift_u20
+        |FROM g, t ORDER BY dow""".stripMargin,
     "top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,

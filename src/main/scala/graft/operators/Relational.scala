@@ -2017,4 +2017,57 @@ object Relational {
           (($"se_a" * $"se_a") / (d($"na") - 1) +
             ($"se_b" * $"se_b") / (d($"nb") - 1))).as("df"))
   }
+
+  /** Benford first-digit expectations log10(1+1/d) in 2^-20 fixed point,
+    * computed ONCE on the JVM and baked as literals into BOTH plans (the
+    * `ann_ndcg` discipline) — no runtime libm on either engine. */
+  val BenfordU20: Array[Long] = (1 to 9).map(d =>
+    math.floor(math.log10(1.0 + 1.0 / d) * 1048576.0 + 0.5).toLong).toArray
+
+  /** NS: Benford first-digit screen — the fraud/synthetic-data check:
+    * first-digit distribution of order totals vs Benford's law, per-digit
+    * observed share and deviation in 2^-20 fixed point. The digit comes
+    * from integer→string conversion (exact on both engines — no log10 at
+    * runtime anywhere: the expectations are plan-time literals and the
+    * shares are pure integer division). The fixture's near-uniform totals
+    * light the screen up — which is the point: synthetic amounts fail
+    * Benford. 9-row output, one tiny agg + 1-row total broadcast. */
+  def benfordCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val digit = substring(floor($"o_totalprice").cast(LongType)
+      .cast(StringType), 1, 1).cast(IntegerType)
+    val perDigit = Tables.orders(spark, dir)
+      .select(digit.as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n_orders"))
+    val total = perDigit.agg(sum($"n_orders").as("n_total"))
+    perDigit.crossJoin(broadcast(total))
+      .select($"digit", $"n_orders",
+        expr("n_orders * 1048576 div n_total").as("obs_u20"),
+        element_at(array(BenfordU20.map(lit(_)): _*), $"digit").as("exp_u20"))
+      .withColumn("dev_u20", $"obs_u20" - $"exp_u20")
+      .orderBy($"digit")
+  }
+
+  /** NS: day-of-week seasonality profile of purchase revenue — weekday
+    * revenue share plus the lift vs a uniform 1/7 split, all integer
+    * arithmetic: exact cents (decimal×100 → long), share/lift via bigint
+    * fixed-point division, weekday from epoch-day math ((day+4) mod 7;
+    * 1970-01-01 was a Thursday) — no calendar functions to diverge
+    * cross-engine. 7-row output, one agg + 1-row total broadcast. */
+  def seasonalityDow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select(expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"),
+        ($"value".cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+      .groupBy($"dow")
+      .agg(count(lit(1)).as("n_purchases"), sum($"cents").as("cents"))
+    val total = per.agg(sum($"cents").as("total_cents"))
+    per.crossJoin(broadcast(total))
+      .select($"dow", $"n_purchases",
+        ($"cents".cast(DoubleType) / 100.0).as("revenue"),
+        expr("cents * 1048576 div total_cents").as("share_u20"),
+        expr("cents * 7340032 div total_cents").as("lift_u20"))
+      .orderBy($"dow")
+  }
 }

@@ -355,6 +355,39 @@ object StreamOps {
       .toDF("user_id", "n_events", "anchor_us", "decayed_at_anchor")
   }
 
+  /** Per-user out-of-order flagger — the streaming twin of
+    * [[graft.operators.Relational.lateArrivals]] (the metric that sizes
+    * a watermark is naturally measured ON the stream): one long of state
+    * per user (running max event time over ARRIVAL order), every event
+    * emitted with its late flag. Within a batch the group's rows fold in
+    * event_id (arrival) order; across batches the per-key delivery order
+    * is the feed's arrival order, so the fold is split-invariant —
+    * StreamingSpec asserts the flags equal the batch running-max window
+    * on the concatenated feed. Append mode, no watermark needed: the
+    * flag for an event never revises. */
+  def lateArrivalsStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, String, Long, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state) =>
+          var mx = state.getOption.getOrElse(Long.MinValue)
+          val out = rows.toArray.sortBy(_._2).map { case (u, id, tpe, us) =>
+            val ooo = mx != Long.MinValue && us < mx
+            if (us > mx) mx = us
+            (u, id, tpe, us, ooo)
+          }
+          state.update(mx)
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "event_type", "ts_us", "ooo")
+  }
+
   def runOnceToMemory(df: DataFrame, queryName: String, outputMode: String): StreamingQuery =
     df.writeStream
       .format("memory")

@@ -376,7 +376,9 @@ class PlanSpec extends SparkSpecBase {
       "freshness_sla", // 1-row global-max broadcast onto the |types|-row frame
       "dsir_weights",  // 1-row (ntv, nrv) totals broadcast onto occurrences
       "pareto_share",  // 1-row total-revenue broadcast onto the 10 deciles
-      "rfm_segments")  // 1-row anchor-day broadcast onto per-customer aggs
+      "rfm_segments",  // 1-row anchor-day broadcast onto per-customer aggs
+      "benford_check", // 1-row order-total broadcast onto the 9 digits
+      "seasonality_dow") // 1-row cents-total broadcast onto the 7 weekdays
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = physical(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")

@@ -62,6 +62,41 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("late-arrival flags: flatMapGroupsWithState fold across batches == batch running max") {
+    implicit val ctx = spark.sqlContext
+    // jittered event times: a user's consecutive events sit 6 minutes
+    // apart (event i and i+3 share user i%3), so a −10-minute jitter on
+    // every 4th per-user event lands BEFORE that user's previous event —
+    // genuine out-of-order arrivals
+    val feed: Seq[Ev] = (0 until 90).map { i =>
+      val jitter = if ((i / 3) % 4 == 2) -10L else 0L
+      Ev(i.toLong, t(i * 2L + jitter), (i % 3).toLong, "click", 1.0, "{}")
+    }
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.lateArrivalsStream(ms.toDF()).writeStream
+      .format("memory").queryName("latearr").outputMode("append")
+      .start()
+    try {
+      // arrival-ordered feed split mid-stream: the fold must be split-invariant
+      val (b1, b2) = feed.splitAt(50)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("latearr").collect()
+      .map(r => r.getLong(1) -> r.getBoolean(4)).toMap
+    val truth = feed.groupBy(_.user_id).flatMap { case (_, evs) =>
+      var mx = Long.MinValue
+      evs.sortBy(_.event_id).map { e =>
+        val us = e.ts.getTime * 1000L
+        val ooo = mx != Long.MinValue && us < mx
+        if (us > mx) mx = us
+        e.event_id -> ooo
+      }
+    }.toMap
+    assert(got === truth)
+    assert(truth.values.count(identity) > 0, "feed produced no out-of-order events")
+  }
+
   test("windowed aggregation: streaming complete-mode == batch") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
