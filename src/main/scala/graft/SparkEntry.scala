@@ -69,6 +69,7 @@ object SparkEntry {
     "ab_test"              -> (Relational.abTest(_, _)),
     "benford_check"        -> (Relational.benfordCheck(_, _)),
     "seasonality_dow"      -> (Relational.seasonalityDow(_, _)),
+    "new_vs_returning"     -> (Relational.newVsReturning(_, _)),
     "range_bounds"         -> (Scale.rangeBounds(_, _)),
     "semi_anti_join"       -> (Relational.semiAntiJoin(_, _)),
     "full_outer_join"      -> (Relational.fullOuterJoin(_, _)),
@@ -826,6 +827,19 @@ object SparkEntry {
         |       CAST(cents * 1048576 // total_cents AS BIGINT) AS share_u20,
         |       CAST(cents * 7340032 // total_cents AS BIGINT) AS lift_u20
         |FROM g, t ORDER BY dow""".stripMargin,
+    "new_vs_returning" ->
+      """WITH du AS (SELECT DISTINCT epoch_ns(ts)//1000 // 86400000000 AS day,
+        |                   user_id FROM events),
+        |f AS (SELECT user_id, CAST(min(day) AS BIGINT) AS first_day
+        |      FROM du GROUP BY 1)
+        |SELECT du.day AS epoch_day,
+        |       CAST(sum(CASE WHEN du.day = f.first_day THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_new,
+        |       CAST(sum(CASE WHEN du.day <> f.first_day THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_returning,
+        |       CAST(count(*) AS BIGINT) AS n_active
+        |FROM du JOIN f ON du.user_id = f.user_id
+        |GROUP BY du.day ORDER BY epoch_day""".stripMargin,
     "top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,

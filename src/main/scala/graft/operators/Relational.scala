@@ -2070,4 +2070,25 @@ object Relational {
         expr("cents * 7340032 div total_cents").as("lift_u20"))
       .orderBy($"dow")
   }
+
+  /** NS: new-vs-returning daily actives — the growth dashboard's core
+    * split: per day, distinct users active for the FIRST time vs
+    * returning (first-seen day from a per-user min). Both the first-seen
+    * aggregate and the join back are keyed on user_id, so the (day,user)
+    * dedup's exchange is reused — one user-keyed shuffle, then a
+    * |days|-row rollup. Pure integer epoch-day arithmetic. */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val du = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), $"user_id")
+      .distinct()
+    val first = du.groupBy($"user_id").agg(min($"day").as("first_day"))
+    du.join(first, "user_id")
+      .groupBy($"day")
+      .agg(sum(($"day" === $"first_day").cast(LongType)).as("n_new"),
+        sum(($"day" =!= $"first_day").cast(LongType)).as("n_returning"),
+        count(lit(1)).as("n_active"))
+      .select($"day".as("epoch_day"), $"n_new", $"n_returning", $"n_active")
+      .orderBy($"epoch_day")
+  }
 }

@@ -170,6 +170,48 @@ object Scale {
       .orderBy($"source", $"bin_id")
   }
 
+  /** Execute a small-file compaction — the rewrite half of
+    * [[compactionPlan]], run against REAL parquet files (Delta
+    * OPTIMIZE / Iceberg rewrite_data_files shape): plan first-fit bins
+    * over the directory's file LISTING (driver-side, metadata-scale —
+    * file contents are never read while planning), then rewrite every
+    * bin as exactly ONE output file in a single shuffled pass:
+    * input rows tag their bin via a broadcast (file → bin) map joined on
+    * file name, hash-repartition by bin keeps each bin's rows in one
+    * task, and `partitionBy(bin)` lands one file per bin directory.
+    * One read + one shuffle of the compacted bytes — the minimum any
+    * compaction pays; bins (not files) bound the write parallelism.
+    * Returns the executed manifest (bin → files in, bytes, rows out is
+    * the caller's count). ScaleSpec proves: one output file per bin,
+    * row-identical content, manifest == the driver plan. */
+  def compactSmallFiles(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long): DataFrame = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    // streaming first-fit over the listing only: bin = bytes-before/target
+    var off = 0L
+    val plan = files.map { f =>
+      val bin = off / targetBytes; off += f.getLen
+      (f.getPath.getName, bin, f.getLen)
+    }
+    val nBins = (plan.map(_._2).distinct.length).max(1)
+    val binMap = plan.map(p => (p._1, p._2)).toSeq.toDF("fname", "bin")
+    spark.read.parquet(inPath)
+      .withColumn("fname", regexp_extract(input_file_name(), "[^/]+$", 0))
+      .join(broadcast(binMap), "fname")
+      .drop("fname")
+      .repartition(nBins, $"bin")
+      .write.mode("overwrite").partitionBy("bin").parquet(outPath)
+    plan.toSeq.toDF("fname", "bin", "bytes")
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_files_in"), sum($"bytes").as("bin_bytes"))
+      .orderBy($"bin")
+  }
+
   /** Write `df` bucketed+sorted by `key` into `numBuckets` buckets as a
     * managed table. Two tables bucketed the same way join with ZERO
     * shuffle — at 100 TB this turns every repeated fact–fact join on the

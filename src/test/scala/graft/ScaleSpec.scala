@@ -145,6 +145,39 @@ class ScaleSpec extends SparkSpecBase {
     assert(joined.count() === oneDay)
   }
 
+  test("compactSmallFiles: one output file per planned bin, row-identical content") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft-compact-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-out").toString
+    // a deliberately fragmented table: 40 small files
+    val src = graft.Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"source", $"n_chars")
+    src.repartition(40).write.mode("overwrite").parquet(in)
+    val fs = new org.apache.hadoop.fs.Path(in)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def parquetFiles(p: String): Array[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.LocatedFileStatus]()
+      while (it.hasNext) buf += it.next()
+      buf.filter(f => f.getPath.getName.endsWith(".parquet")).toArray
+    }
+    val inFiles = parquetFiles(in)
+    val totalBytes = inFiles.map(_.getLen).sum
+    // target ~ a fifth of the table → ~5-6 bins
+    val manifest = graft.operators.Scale
+      .compactSmallFiles(spark, in, out, totalBytes / 5).collect()
+    val outFiles = parquetFiles(out)
+    assert(outFiles.length === manifest.length,
+      s"expected one output file per bin: ${outFiles.length} files vs ${manifest.length} bins")
+    assert(outFiles.length < inFiles.length, "compaction did not reduce file count")
+    assert(manifest.map(_.getAs[Long]("n_files_in")).sum === inFiles.length.toLong)
+    // content identical as a multiset
+    val a = src.collect().map(_.toString).sorted
+    val b = spark.read.parquet(out).select($"doc_id", $"source", $"n_chars")
+      .collect().map(_.toString).sorted
+    assert(a === b, "compacted table lost or altered rows")
+  }
+
   test("z_order2 matches hand-computed Morton vectors") {
     import graft.functions.ZOrder2
     // interleave(x, y): x even bits, y odd bits
