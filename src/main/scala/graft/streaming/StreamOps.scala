@@ -388,6 +388,44 @@ object StreamOps {
       .toDF("user_id", "event_id", "event_type", "ts_us", "ooo")
   }
 
+  /** Ordered-funnel tracker — the streaming twin of
+    * [[graft.operators.Relational.funnelSteps]]: per user a 3-slot state
+    * machine (first view µs, first qualifying click µs, first qualifying
+    * purchase µs), each step only arming within `stepUs` of the previous
+    * step's instant. Events fold in EVENT-TIME order within each batch;
+    * on a per-key time-ordered feed the fold equals the batch query's
+    * min-aggregate chain (asserted in StreamingSpec, including
+    * split-invariance across an arbitrary batch boundary). Update mode —
+    * one row per (user, batch) with the current steps_completed; state is
+    * three longs per user. */
+  def funnelStepsStream(events: DataFrame,
+      stepUs: Long = 86400000000L): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val Unset = Long.MinValue
+    events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long, Int)](
+        GroupStateTimeout.NoTimeout()) { case (user, rows, state) =>
+        var (v, s, p) = state.getOption.getOrElse((Unset, Unset, Unset))
+        rows.toArray.sortBy(_._3).foreach { case (_, tpe, us) =>
+          if (v == Unset) { if (tpe == "view") v = us }
+          else if (s == Unset) {
+            if (tpe == "click" && us > v && us <= v + stepUs) s = us
+          } else if (p == Unset) {
+            if (tpe == "purchase" && us > s && us <= s + stepUs) p = us
+          }
+        }
+        state.update((v, s, p))
+        val steps = (if (v != Unset) 1 else 0) +
+          (if (s != Unset) 1 else 0) + (if (p != Unset) 1 else 0)
+        (user, v, s, p, steps)
+      }
+      .toDF("user_id", "v_us", "s_us", "p_us", "steps_completed")
+  }
+
   def runOnceToMemory(df: DataFrame, queryName: String, outputMode: String): StreamingQuery =
     df.writeStream
       .format("memory")

@@ -97,6 +97,56 @@ class StreamingSpec extends SparkSpecBase {
     assert(truth.values.count(identity) > 0, "feed produced no out-of-order events")
   }
 
+  test("funnel tracker: mapGroupsWithState fold is split-invariant and matches the min-agg chain") {
+    implicit val ctx = spark.sqlContext
+    val W = 30L * 60000000L // 30-minute step window in µs
+    // explicit per-bucket feed: u0/u1 complete, u2 purchases too late,
+    // u3 never purchases, u4 clicks too late, u5 never views
+    def ev(id: Long, minute: Long, u: Long, tpe: String) =
+      Ev(id, t(minute), u, tpe, 1.0, "{}")
+    val feed: Seq[Ev] = Seq(
+      ev(0, 0, 0, "view"), ev(1, 10, 0, "click"), ev(2, 20, 0, "purchase"),
+      ev(3, 1, 1, "error"), ev(4, 2, 1, "view"), ev(5, 25, 1, "click"),
+      ev(6, 40, 1, "purchase"),
+      ev(7, 0, 2, "view"), ev(8, 15, 2, "click"), ev(9, 50, 2, "purchase"),
+      ev(10, 3, 3, "view"), ev(11, 9, 3, "click"), ev(12, 12, 3, "view"),
+      ev(13, 0, 4, "view"), ev(14, 35, 4, "click"), ev(15, 40, 4, "purchase"),
+      ev(16, 5, 5, "click"), ev(17, 8, 5, "purchase"))
+    def lastPerUser(table: String): Map[Long, (Long, Long, Long, Int)] =
+      spark.table(table).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.last._2 }
+    def run(name: String, batches: Seq[Seq[Ev]]): Map[Long, (Long, Long, Long, Int)] = {
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.funnelStepsStream(ms.toDF(), W).writeStream
+        .format("memory").queryName(name).outputMode("update").start()
+      try { batches.foreach { b => ms.addData(b); q.processAllAvailable() } }
+      finally q.stop()
+      lastPerUser(name)
+    }
+    val ordered = feed.sortBy(e => (e.ts.getTime, e.event_id))
+    val oneShot = run("funnel1", Seq(ordered))
+    val split = run("funnel2", Seq(ordered.take(9), ordered.drop(9)))
+    assert(oneShot === split, "fold is not split-invariant")
+    // ground truth: the batch query's min-aggregate chain per user
+    val Unset = Long.MinValue
+    val truth = feed.groupBy(_.user_id).map { case (u, evs) =>
+      val us = evs.map(e => (e.event_type, e.ts.getTime * 1000L))
+      val v = us.filter(_._1 == "view").map(_._2).sorted.headOption.getOrElse(Unset)
+      val s = if (v == Unset) Unset
+        else us.filter { case (tp, x) => tp == "click" && x > v && x <= v + W }
+          .map(_._2).sorted.headOption.getOrElse(Unset)
+      val p = if (s == Unset) Unset
+        else us.filter { case (tp, x) => tp == "purchase" && x > s && x <= s + W }
+          .map(_._2).sorted.headOption.getOrElse(Unset)
+      val steps = Seq(v, s, p).count(_ != Unset)
+      u -> (v, s, p, steps)
+    }
+    assert(oneShot === truth, "stream fold diverges from the min-agg chain")
+    val buckets = truth.values.map(_._4).toSet
+    assert(buckets.size >= 3, s"feed not discriminating: $buckets")
+  }
+
   test("windowed aggregation: streaming complete-mode == batch") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
