@@ -170,6 +170,22 @@ object Scale {
       .orderBy($"source", $"bin_id")
   }
 
+  /** The streaming first-fit bin assignment [[compactSmallFiles]] plans
+    * with: files in listing order, bin = ⌊bytes-before / target⌋ — never
+    * splits a file, one pass, O(1) planner state (the same rule
+    * `compaction_plan` expresses as a window). Pure function of the
+    * listing; PropertySpec pins its invariants (every file exactly one
+    * bin, bins nondecreasing in file order, each bin's first file starts
+    * in the bin's own [bin·target, (bin+1)·target) byte range). */
+  def firstFitBins(files: Seq[(String, Long)],
+      targetBytes: Long): Seq[(String, Long, Long)] = {
+    var off = 0L
+    files.map { case (name, len) =>
+      val bin = off / targetBytes; off += len
+      (name, bin, len)
+    }
+  }
+
   /** Execute a small-file compaction — the rewrite half of
     * [[compactionPlan]], run against REAL parquet files (Delta
     * OPTIMIZE / Iceberg rewrite_data_files shape): plan first-fit bins
@@ -192,12 +208,8 @@ object Scale {
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
-    // streaming first-fit over the listing only: bin = bytes-before/target
-    var off = 0L
-    val plan = files.map { f =>
-      val bin = off / targetBytes; off += f.getLen
-      (f.getPath.getName, bin, f.getLen)
-    }
+    val plan = firstFitBins(
+      files.map(f => (f.getPath.getName, f.getLen)), targetBytes)
     val nBins = (plan.map(_._2).distinct.length).max(1)
     val binMap = plan.map(p => (p._1, p._2)).toSeq.toDF("fname", "bin")
     spark.read.parquet(inPath)

@@ -25,6 +25,35 @@ class PropertySpec extends AnyFunSuite {
     Gen.containerOf[Array, Byte](Arbitrary.arbitrary[Byte])
   private val idGen: Gen[Int] = Gen.chooseNum(0, Int.MaxValue)
 
+  test("firstFitBins: every file one bin, bins nondecreasing, bin starts in own byte range") {
+    val fileGen = Gen.chooseNum(0L, 20000L)
+    val caseGen = Gen.zip(
+      Gen.chooseNum(1L, 8192L),
+      Gen.listOfN(40, fileGen))
+    samples(caseGen).zipWithIndex.foreach { case ((target, sizes), i) =>
+      val files = sizes.zipWithIndex.map { case (s, j) => (f"f$j%03d", s) }
+      val plan = graft.operators.Scale.firstFitBins(files, target)
+      assert(plan.map(_._1) === files.map(_._1), s"case $i: files dropped/reordered")
+      assert(plan.map(p => (p._1, p._3)) === files, s"case $i: sizes altered")
+      // bins nondecreasing in listing order
+      plan.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2 <= b._2, s"case $i: bin went backwards")
+        case _ =>
+      }
+      // each bin's FIRST file starts inside the bin's own byte range
+      var off = 0L
+      var prevBin = -1L
+      plan.foreach { case (_, bin, len) =>
+        if (bin != prevBin) {
+          assert(off >= bin * target && off < (bin + 1) * target,
+            s"case $i: bin $bin first file starts at byte $off outside its range")
+          prevBin = bin
+        }
+        off += len
+      }
+    }
+  }
+
   test("wire format: decode(encode(id, payload)) is identity, avro and proto flavors") {
     for {
       proto <- Seq(false, true)
