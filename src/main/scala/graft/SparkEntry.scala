@@ -70,6 +70,8 @@ object SparkEntry {
     "benford_check"        -> (Relational.benfordCheck(_, _)),
     "seasonality_dow"      -> (Relational.seasonalityDow(_, _)),
     "new_vs_returning"     -> (Relational.newVsReturning(_, _)),
+    "chi2_drift"           -> (Relational.chi2Drift(_, _)),
+    "gini_revenue"         -> (Relational.giniRevenue(_, _)),
     "range_bounds"         -> (Scale.rangeBounds(_, _)),
     "semi_anti_join"       -> (Relational.semiAntiJoin(_, _)),
     "full_outer_join"      -> (Relational.fullOuterJoin(_, _)),
@@ -840,6 +842,43 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_active
         |FROM du JOIN f ON du.user_id = f.user_id
         |GROUP BY du.day ORDER BY epoch_day""".stripMargin,
+    "chi2_drift" ->
+      """WITH c AS (SELECT o_orderpriority,
+        |             CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |             AND o_orderdate <  TIMESTAMP '1999-01-01'
+        |           GROUP BY 1, 2),
+        |r AS (SELECT o_orderpriority, CAST(sum(n) AS BIGINT) AS row_n
+        |      FROM c GROUP BY 1),
+        |k AS (SELECT yr, CAST(sum(n) AS BIGINT) AS col_n FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total_n FROM c),
+        |e AS (SELECT c.o_orderpriority, c.yr, c.n,
+        |        CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+        |          / CAST(total_n AS DOUBLE) AS expected
+        |      FROM c JOIN r USING (o_orderpriority) JOIN k USING (yr)
+        |             CROSS JOIN t)
+        |SELECT o_orderpriority, yr, n, expected,
+        |       (CAST(n AS DOUBLE) - expected) * (CAST(n AS DOUBLE) - expected)
+        |         / expected AS contrib
+        |FROM e ORDER BY o_orderpriority, yr""".stripMargin,
+    "gini_revenue" ->
+      """WITH per AS (SELECT o_custkey,
+        |               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                             AS BIGINT)) AS BIGINT) AS cents
+        |             FROM orders GROUP BY 1),
+        |r AS (SELECT cents,
+        |        CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT)
+        |          AS i
+        |      FROM per),
+        |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(cents) AS BIGINT) AS total_cents FROM per)
+        |SELECT n AS n_customers, total_cents,
+        |       CAST(sum((2 * i - n - 1) * cents) AS BIGINT) AS gini_num,
+        |       CAST(CAST(sum((2 * i - n - 1) * cents) AS BIGINT) AS DOUBLE)
+        |         / CAST(n * total_cents AS DOUBLE) AS gini
+        |FROM r, n1 GROUP BY n, total_cents""".stripMargin,
     "top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,

@@ -2091,4 +2091,59 @@ object Relational {
       .select($"day".as("epoch_day"), $"n_new", $"n_returning", $"n_active")
       .orderBy($"epoch_day")
   }
+
+  /** NS: chi-square categorical drift — the CATEGORICAL twin of
+    * `ks_drift`: did the order-priority mix shift between 1997 and 1998?
+    * Per-cell observed counts vs independence expectations
+    * e = row·col/total, with each cell's (o−e)²/e contribution emitted —
+    * the analyst reads both the total and WHICH cells moved. Counts are
+    * exact longs from one tiny agg; e and the contribution are a fixed
+    * correctly-rounded IEEE chain on those longs, spelled identically in
+    * the oracle (the `ab_test` discipline — raw doubles, no
+    * quantization). |priorities|×2 rows, margins broadcast back onto the
+    * cell frame off the same exchange. */
+  def chi2Drift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1997-01-01").cast(TimestampType) &&
+        $"o_orderdate" < lit("1999-01-01").cast(TimestampType))
+      .groupBy($"o_orderpriority", year($"o_orderdate").as("yr"))
+      .agg(count(lit(1)).as("n"))
+    val rowT = cells.groupBy($"o_orderpriority").agg(sum($"n").as("row_n"))
+    val colT = cells.groupBy($"yr").agg(sum($"n").as("col_n"))
+    val tot = cells.agg(sum($"n").as("total_n"))
+    val d = (c: Column) => c.cast(DoubleType)
+    cells.join(broadcast(rowT), "o_orderpriority")
+      .join(broadcast(colT), "yr")
+      .crossJoin(broadcast(tot))
+      .withColumn("expected", d($"row_n") * d($"col_n") / d($"total_n"))
+      .select($"o_orderpriority", $"yr", $"n", $"expected",
+        ((d($"n") - $"expected") * (d($"n") - $"expected") / $"expected")
+          .as("contrib"))
+      .orderBy($"o_orderpriority", $"yr")
+  }
+
+  /** NS: Gini coefficient of customer revenue — the inequality scalar
+    * behind `pareto_share`'s decile view, via the rank formula
+    * G = Σᵢ(2i−n−1)xᵢ / (n·Σx) over ascending-sorted exact cents: the
+    * numerator is PURE integer arithmetic (rank ties broken by custkey ⇒
+    * total order on any data), and the single division at the end is one
+    * correctly-rounded double op — bit-stable cross-engine. The rank
+    * window sorts |customers| aggregate rows, never raw orders. */
+  def giniRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(($"o_totalprice".cast(DecimalType(18, 2)) * 100).cast(LongType))
+        .as("cents"))
+    val w = Window.orderBy($"cents", $"o_custkey")
+    val n1 = per.agg(count(lit(1)).as("n"), sum($"cents").as("total_cents"))
+    per.withColumn("i", row_number().over(w).cast(LongType))
+      .crossJoin(broadcast(n1))
+      .agg(max($"n").as("n_customers"), max($"total_cents").as("total_cents"),
+        sum((lit(2L) * $"i" - $"n" - 1L) * $"cents").as("gini_num"))
+      .select($"n_customers", $"total_cents", $"gini_num",
+        ($"gini_num".cast(DoubleType) /
+          ($"n_customers" * $"total_cents").cast(DoubleType)).as("gini"))
+  }
 }

@@ -378,7 +378,9 @@ class PlanSpec extends SparkSpecBase {
       "pareto_share",  // 1-row total-revenue broadcast onto the 10 deciles
       "rfm_segments",  // 1-row anchor-day broadcast onto per-customer aggs
       "benford_check", // 1-row order-total broadcast onto the 9 digits
-      "seasonality_dow") // 1-row cents-total broadcast onto the 7 weekdays
+      "seasonality_dow", // 1-row cents-total broadcast onto the 7 weekdays
+      "chi2_drift",    // 1-row grand-total broadcast onto the 10 cells
+      "gini_revenue")  // 1-row (n, total) broadcast onto per-cust ranks
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = physical(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
