@@ -72,6 +72,9 @@ object SparkEntry {
     "new_vs_returning"     -> (Relational.newVsReturning(_, _)),
     "chi2_drift"           -> (Relational.chi2Drift(_, _)),
     "gini_revenue"         -> (Relational.giniRevenue(_, _)),
+    "small_qty_revenue"    -> (Relational.smallQtyRevenue(_, _)),
+    "big_orders"           -> (Relational.bigOrders(_, _)),
+    "waiting_suppliers"    -> (Relational.waitingSuppliers(_, _)),
     "range_bounds"         -> (Scale.rangeBounds(_, _)),
     "semi_anti_join"       -> (Relational.semiAntiJoin(_, _)),
     "full_outer_join"      -> (Relational.fullOuterJoin(_, _)),
@@ -879,6 +882,55 @@ object SparkEntry {
         |       CAST(CAST(sum((2 * i - n - 1) * cents) AS BIGINT) AS DOUBLE)
         |         / CAST(n * total_cents AS DOUBLE) AS gini
         |FROM r, n1 GROUP BY n, total_cents""".stripMargin,
+    "small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT p_brand, l_partkey,
+        |         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qc,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand IN ('Brand#1', 'Brand#2')),
+        |w AS (SELECT p_brand, l_partkey, qc, price,
+        |        CAST(sum(qc) OVER (PARTITION BY l_partkey) AS BIGINT) AS sum_q,
+        |        CAST(count(*) OVER (PARTITION BY l_partkey) AS BIGINT) AS n_q
+        |      FROM li)
+        |SELECT p_brand,
+        |       CAST(sum(price) AS DOUBLE) / 7.0 AS avg_yearly,
+        |       count(*) AS n_small_lots,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        |FROM w WHERE qc * n_q * 2 < sum_q
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS qty_cents
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) > 25000)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |       CAST(o_orderdate AS DATE) AS order_date, o_totalprice,
+        |       CAST(qty_cents AS DOUBLE) / 100.0 AS total_qty
+        |FROM big
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+    "waiting_suppliers" ->
+      """WITH ps AS (
+        |  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_max
+        |  FROM lineitem GROUP BY 1, 2),
+        |w1 AS (SELECT *,
+        |         CAST(count(*) OVER (PARTITION BY l_orderkey) AS BIGINT)
+        |           AS n_supp,
+        |         max(supp_max) OVER (PARTITION BY l_orderkey) AS order_max
+        |       FROM ps),
+        |w2 AS (SELECT *,
+        |         CAST(sum(CASE WHEN supp_max = order_max THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_at_max
+        |       FROM w1)
+        |SELECT s_suppkey, s_name, count(*) AS n_waiting_orders
+        |FROM w2 JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE n_supp >= 2 AND n_at_max = 1 AND supp_max = order_max
+        |GROUP BY 1, 2 ORDER BY n_waiting_orders DESC, s_suppkey""".stripMargin,
     "top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,

@@ -2146,4 +2146,96 @@ object Relational {
         ($"gini_num".cast(DoubleType) /
           ($"n_customers" * $"total_cents").cast(DoubleType)).as("gini"))
   }
+
+  /** NS: TPC-H Q17 shape — revenue locked up in small-lot orders: for the
+    * tracked brands, lineitems whose quantity is below half the part's
+    * average. The per-part mean is a WINDOW over the (brand-pruned,
+    * broadcast-joined) lineitem slice — one shuffle on `l_partkey` serves
+    * both the mean and the filter, where the textbook agg+self-join plan
+    * shuffles the fact side twice. The mean comparison is exact rational
+    * arithmetic (qty·count vs sum·½ in decimal cents — no division), so
+    * the below-threshold row set is engine-identical; at 100 TB the
+    * window partitions by partkey, bounded per-part state. */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, dir)
+      .filter($"p_brand".isin("Brand#1", "Brand#2"))
+      .select($"p_partkey", $"p_brand")
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+    val w = Window.partitionBy($"l_partkey")
+    li.withColumn("sum_q",
+        sum(($"l_quantity".cast(DecimalType(18, 2)) * 100).cast(LongType)).over(w))
+      .withColumn("n_q", count(lit(1)).over(w))
+      // qty < 0.5 * avg  ⇔  2·qty·n < Σqty, all in integer centi-units
+      .filter(($"l_quantity".cast(DecimalType(18, 2)) * 100).cast(LongType) *
+        $"n_q" * 2 < $"sum_q")
+      .groupBy($"p_brand")
+      .agg(
+        (sum($"l_extendedprice".cast(DecimalType(18, 2)))
+          .cast(DoubleType) / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_small_lots"),
+        countDistinct($"l_partkey").as("n_parts"))
+      .orderBy($"p_brand")
+  }
+
+  /** NS: TPC-H Q18 shape — large-volume orders: customers whose single
+    * order carried more than 250 units. The HAVING filter runs on the
+    * per-order aggregate (map-side partial sums shrink the shuffle to one
+    * row per order), and only the surviving handful of orders join to
+    * `orders`/`customer` — at 100 TB the expensive fact⋈fact join happens
+    * AFTER the 99th-percentile cut, not before. Quantity sums are exact
+    * decimal cents; ordering is (qty desc, orderkey) — a total order. */
+  def bigOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum(($"l_quantity".cast(DecimalType(18, 2)) * 100).cast(LongType))
+        .as("qty_cents"))
+      .filter($"qty_cents" > 250 * 100L)
+    big.join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey",
+        $"o_orderdate".cast(DateType).as("order_date"), $"o_totalprice",
+        ($"qty_cents".cast(DoubleType) / 100.0).as("total_qty"))
+      .orderBy($"total_qty".desc, $"o_orderkey")
+  }
+
+  /** NS: TPC-H Q21 shape — suppliers who held up multi-supplier orders:
+    * on orders with ≥2 suppliers, the one supplier whose latest shipment
+    * IS the order's latest shipment (and uniquely so — the exists/
+    * not-exists pair of the original, folded into one pass). Two stacked
+    * aggregations, no self-join: per-(order,supplier) max shipdate, then
+    * a window over the order computes the order max and the count of
+    * suppliers at that max — the blamed supplier is `own_max = order_max
+    * ∧ n_at_max = 1`. Everything after the first groupBy is one row per
+    * (order,supplier): the 100 TB plan shuffles the fact table once. */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // ONE fact shuffle: hash-partitioning on l_orderkey alone satisfies
+    // both the (l_orderkey, l_suppkey) groupBy (subset clustering) and the
+    // l_orderkey window, so the heavy lineitem exchange is reused — the
+    // alternative (groupBy on the pair, then re-exchange for the window)
+    // shuffles twice at 100 TB.
+    val perSupp = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      .repartition($"l_orderkey")
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max($"l_shipdate").as("supp_max"))
+    val w = Window.partitionBy($"l_orderkey")
+    val blamed = perSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("order_max", max($"supp_max").over(w))
+      .withColumn("n_at_max",
+        sum(when($"supp_max" === $"order_max", 1L).otherwise(0L)).over(w))
+      .filter($"n_supp" >= 2 && $"n_at_max" === 1 &&
+        $"supp_max" === $"order_max")
+    blamed
+      .join(broadcast(Tables.supplier(spark, dir)),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_suppkey", $"s_name")
+      .agg(count(lit(1)).as("n_waiting_orders"))
+      .orderBy($"n_waiting_orders".desc, $"s_suppkey")
+  }
 }

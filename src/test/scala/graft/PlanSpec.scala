@@ -339,7 +339,16 @@ class PlanSpec extends SparkSpecBase {
       // final orderBy range; the hourly exchange is reused by both readers
       ("burst_detection", graft.operators.Relational.burstDetection(spark, Sf0001), 5),
       // per-user decay agg + 1-row anchor broadcast + final orderBy range
-      ("decayed_counts", graft.operators.Relational.decayedCounts(spark, Sf0001), 4))
+      ("decayed_counts", graft.operators.Relational.decayedCounts(spark, Sf0001), 4),
+      // part-dim broadcast + ONE l_partkey window shuffle + brand agg +
+      // final orderBy range — the window exchange serves mean AND filter
+      ("small_qty_revenue", graft.operators.Relational.smallQtyRevenue(spark, Sf0001), 4),
+      // per-order agg + the two post-cut join exchanges + final sort
+      ("big_orders", graft.operators.Relational.bigOrders(spark, Sf0001), 4),
+      // ONE l_orderkey fact exchange reused by pair-groupBy AND both
+      // windows (subset clustering) + supplier broadcast + suppkey agg +
+      // final orderBy range
+      ("waiting_suppliers", graft.operators.Relational.waitingSuppliers(spark, Sf0001), 4))
     budgets.foreach { case (name, df, budget) =>
       val n = "Exchange".r.findAllIn(physical(df)).size
       assert(n <= budget, s"$name plans $n exchanges (budget $budget)")
