@@ -470,7 +470,7 @@ object Oracles {
         |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
     "pq_codes" -> (pqCte +
       """
-        |SELECT vec_id, list(code ORDER BY m) AS codes,
+        |SELECT vec_id, string_agg(CAST(code AS VARCHAR), '-' ORDER BY m) AS codes,
         |       CAST(sum(CAST(floor(dist * CAST(1048576 AS DOUBLE) + 0.5)
         |                AS BIGINT)) AS BIGINT) AS err_u20
         |FROM best WHERE rn = 1

@@ -1891,20 +1891,23 @@ object Relational {
 
   /** NS: Pareto / revenue-concentration report — customers ranked by
     * total order revenue, cut into deciles, with each decile's revenue
-    * share and the cumulative share (the 80/20 read). The global ntile
-    * window sorts |customers| rows — the per-customer aggregate, never
-    * raw orders; at 100 TB the decile boundaries come from
-    * `range_bounds`-style sampled order statistics instead of one sorted
-    * partition (noted, same output). Shares are double divisions of
-    * exact decimals; rank ties break by custkey so the decile assignment
-    * is total-ordered on any data. */
+    * share and the cumulative share (the 80/20 read). The decile cut is
+    * DISTRIBUTED: `Scale.withGlobalRank` range-partitions the
+    * per-customer aggregate on the revenue order and adds bounded
+    * per-partition offsets — no single-partition `ntile` window ever
+    * runs, so the plan survives billions of customers. Shares are double
+    * divisions of exact decimals; rank ties break by custkey so the
+    * decile assignment is total-ordered on any data; the 10-row
+    * cumulative window is grid-sized by construction. */
   def paretoShare(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val perCust = Tables.orders(spark, dir)
       .groupBy($"o_custkey")
       .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("rev"))
-    val w = Window.orderBy($"rev".desc, $"o_custkey")
-    val deciled = perCust.withColumn("decile", ntile(10).over(w))
+    val (ranked, nCust) =
+      Scale.withGlobalRank(perCust, "_rn", Seq($"rev".desc, $"o_custkey"))
+    val deciled = ranked
+      .withColumn("decile", Scale.ntileFromRank($"_rn", nCust, 10))
       .groupBy($"decile")
       .agg(count(lit(1)).as("n_customers"), sum($"rev").as("dec_rev"))
     val total = deciled.agg(sum($"dec_rev").as("total_rev"))
@@ -1951,11 +1954,11 @@ object Relational {
     * customer scoring: per-customer last-order day (recency vs the
     * data-derived anchor = newest order anywhere), order count, exact
     * decimal spend; each dimension quintile-scored (r=1 most recent —
-    * ntile over the per-customer AGGREGATE, never raw orders; ties break
-    * by custkey so scores are total-ordered on any data), rolled up to
-    * the ≤125 (r,f,m) segments. At 100 TB the quintile boundaries come
-    * from sampled order statistics (`range_bounds`) instead of the
-    * single-partition window — same output, noted trade. */
+    * over the per-customer AGGREGATE, never raw orders; ties break by
+    * custkey so scores are total-ordered on any data), rolled up to the
+    * ≤125 (r,f,m) segments. All three quintile cuts run DISTRIBUTED via
+    * `Scale.withGlobalRank` + `ntileFromRank` (range partitions + bounded
+    * offsets) — no single-partition window anywhere in the plan. */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val day = expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
@@ -1964,14 +1967,17 @@ object Relational {
       .agg(max(day).as("last_day"), count(lit(1)).as("frequency"),
         sum($"o_totalprice".cast(DecimalType(18, 2))).as("monetary"))
     val anchor = per.agg(max($"last_day").as("anchor"))
-    per.crossJoin(broadcast(anchor))
+    val base = per.crossJoin(broadcast(anchor))
       .withColumn("recency_days", $"anchor" - $"last_day")
-      .withColumn("r_score",
-        ntile(5).over(Window.orderBy($"recency_days", $"o_custkey")))
-      .withColumn("f_score",
-        ntile(5).over(Window.orderBy($"frequency".desc, $"o_custkey")))
-      .withColumn("m_score",
-        ntile(5).over(Window.orderBy($"monetary".desc, $"o_custkey")))
+    val (r1, n) =
+      Scale.withGlobalRank(base, "_rrk", Seq($"recency_days", $"o_custkey"))
+    val (r2, _) = Scale.withGlobalRank(
+      r1.withColumn("r_score", Scale.ntileFromRank($"_rrk", n, 5)),
+      "_frk", Seq($"frequency".desc, $"o_custkey"))
+    val (r3, _) = Scale.withGlobalRank(
+      r2.withColumn("f_score", Scale.ntileFromRank($"_frk", n, 5)),
+      "_mrk", Seq($"monetary".desc, $"o_custkey"))
+    r3.withColumn("m_score", Scale.ntileFromRank($"_mrk", n, 5))
       .groupBy($"r_score", $"f_score", $"m_score")
       .agg(count(lit(1)).as("n_customers"),
         sum($"monetary").cast(DoubleType).as("segment_revenue"))
@@ -2128,17 +2134,20 @@ object Relational {
     * G = Σᵢ(2i−n−1)xᵢ / (n·Σx) over ascending-sorted exact cents: the
     * numerator is PURE integer arithmetic (rank ties broken by custkey ⇒
     * total order on any data), and the single division at the end is one
-    * correctly-rounded double op — bit-stable cross-engine. The rank
-    * window sorts |customers| aggregate rows, never raw orders. */
+    * correctly-rounded double op — bit-stable cross-engine. The rank is
+    * DISTRIBUTED (`Scale.withGlobalRank`: range partitions + bounded
+    * offsets) over |customers| aggregate rows, never raw orders — no
+    * single-partition window. */
   def giniRevenue(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val per = Tables.orders(spark, dir)
       .groupBy($"o_custkey")
       .agg(sum(($"o_totalprice".cast(DecimalType(18, 2)) * 100).cast(LongType))
         .as("cents"))
-    val w = Window.orderBy($"cents", $"o_custkey")
     val n1 = per.agg(count(lit(1)).as("n"), sum($"cents").as("total_cents"))
-    per.withColumn("i", row_number().over(w).cast(LongType))
+    val (ranked, _) =
+      Scale.withGlobalRank(per, "i", Seq($"cents", $"o_custkey"))
+    ranked
       .crossJoin(broadcast(n1))
       .agg(max($"n").as("n_customers"), max($"total_cents").as("total_cents"),
         sum((lit(2L) * $"i" - $"n" - 1L) * $"cents").as("gini_num"))

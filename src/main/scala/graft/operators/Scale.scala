@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Scale tooling: the two shuffle-shaping techniques a 100 TB deployment
   * leans on beyond what AQE does automatically — explicit key salting for
@@ -388,6 +388,63 @@ object Scale {
       .select($"bucket", $"rows", $"min_key", $"max_key",
         ($"rows" / $"target_rows").as("balance"))
       .orderBy($"bucket")
+  }
+
+  /** Exact integer division a div b for a non-negative LongType column
+    * and a positive literal divisor, built from double-safe primitives:
+    * `a - (a mod b)` is an exact multiple of b and both operands are
+    * exact doubles below 2^53, so the IEEE division returns the integer
+    * quotient EXACTLY (no float-truncation edge at partition-scale n). */
+  private def idiv(a: Column, b: Long): Column =
+    ((a - pmod(a, lit(b))) / lit(b)).cast(LongType)
+
+  /** Global `row_number()` over a TOTAL order WITHOUT the single-partition
+    * window (`Window.orderBy` with no partitionBy funnels every row
+    * through one task — the classic 100 TB scale-killer). Instead:
+    * range-repartition on the sort key (ordered partitions), rank WITHIN
+    * each partition, and add per-partition offsets computed from a
+    * numParts-row bounded collect (same class as `rangeBounds`'
+    * boundary literals). The frame is localCheckpoint'ed so the count
+    * pass and the rank pass see the identical materialized partitioning
+    * (swap for `checkpoint()` on a real cluster). Requires `sortCols` to
+    * be a total order (callers tie-break on a key column), which makes
+    * the result independent of where the range boundaries fall.
+    * Returns the frame with `rankCol` (1-based LongType) plus the total
+    * row count (for [[ntileFromRank]]). */
+  def withGlobalRank(df: DataFrame, rankCol: String, sortCols: Seq[Column],
+      numParts: Int = 32): (DataFrame, Long) = {
+    val parted = df.repartitionByRange(numParts, sortCols: _*)
+      .withColumn("_gr_pid", spark_partition_id())
+      .localCheckpoint()
+    val cnts: Array[(Int, Long)] = parted
+      .groupBy(col("_gr_pid")).agg(count(lit(1)).as("c"))
+      .orderBy(col("_gr_pid"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val n = cnts.map(_._2).sum
+    val offs = cnts.map(_._1).zip(cnts.map(_._2).scanLeft(0L)(_ + _))
+    val offExpr = offs.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("_gr_pid") === pid, lit(off)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_gr_pid")).orderBy(sortCols: _*)
+    (parted
+      .withColumn(rankCol, row_number().over(w).cast(LongType) + offExpr)
+      .drop("_gr_pid"), n)
+  }
+
+  /** SQL-standard `ntile(k)` recomputed from a global 1-based rank and
+    * the total row count: the first `n mod k` buckets carry
+    * `n div k + 1` rows, the rest `n div k` — bit-identical to Spark's
+    * and DuckDB's `ntile`, but distributable because the rank comes from
+    * [[withGlobalRank]] instead of a single-partition window. */
+  def ntileFromRank(rank: Column, n: Long, k: Int): Column = {
+    val base   = n / k
+    val rem    = n % k
+    val bigCut = rem * (base + 1)
+    val r0     = rank - 1L
+    when(r0 < bigCut, idiv(r0, base + 1) + 1L)
+      .otherwise(lit(rem) + idiv(r0 - lit(bigCut), math.max(base, 1L)) + 1L)
+      .cast(IntegerType)
   }
 
   /** Join two identically-bucketed tables on their bucket key —

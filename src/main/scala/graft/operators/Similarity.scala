@@ -307,7 +307,11 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select($"vec_id",
         graft.functions.pq_encode($"embedding", cb, PqM, PqDims).as("pq"))
-      .select($"vec_id", $"pq.codes".as("codes"), $"pq.err_u20".as("err_u20"))
+      .select($"vec_id",
+        // serialized "c0-c1-…-c7" — the driver comparator cannot sort raw
+        // array cells, so both sides emit the dash-joined string form
+        concat_ws("-", $"pq.codes".cast("array<string>")).as("codes"),
+        $"pq.err_u20".as("err_u20"))
       .orderBy($"vec_id")
   }
 

@@ -113,7 +113,8 @@ class OperatorSmokeSpec extends SparkSpecBase {
 
   test("pq_codes: codebook rows self-code with zero quantization error") {
     val rows = Similarity.pqCodes(spark, Sf0001).collect()
-      .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
+      .map(r => r.getLong(0) ->
+        ((r.getString(1).split('-').toSeq.map(_.toLong), r.getLong(2)))).toMap
     rows.foreach { case (_, (codes, _)) =>
       assert(codes.length === 8)
       assert(codes.forall(c => c >= 0 && c < 16), s"code out of range: $codes")
@@ -145,7 +146,8 @@ class OperatorSmokeSpec extends SparkSpecBase {
     val lut = Array.tabulate(8, 16)((m, c) =>
       math.floor(subDist(m, probe, cents(c)) * 1048576.0 + 0.5).toLong)
     val codes = Similarity.pqCodes(spark, Sf0001).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      .map(r => r.getLong(0) -> r.getString(1).split('-').toSeq.map(_.toLong))
+      .toMap
     val expect = codes.view.filterKeys(_ != 0L).toSeq
       .map { case (id, cs) =>
         (id, cs.zipWithIndex.map { case (c, m) => lut(m)(c.toInt) }.sum)

@@ -398,4 +398,41 @@ class PlanSpec extends SparkSpecBase {
           s"$name plans a nested-loop join:\n$p")
     }
   }
+
+  test("no declared query runs a window with an empty partition spec") {
+    // A `Window.orderBy` without partitionBy funnels EVERY row through one
+    // task — the classic 100 TB scale-killer (the round-5 pareto/rfm/gini
+    // finding; those now rank via Scale.withGlobalRank). The allowlist
+    // names the frames that are GRID-SIZED by construction — the window
+    // input is a bounded aggregate (days, distinct grid values, top-k
+    // arms, deciles), never O(input rows).
+    val allowBounded = Set(
+      "ks_drift",         // |distinct values| grid (CDF steps)
+      "daily_revenue_ma7", // |days| rows
+      "revenue_bridge",   // |days| rows (day-over-day lag)
+      "rrf_fusion",       // two ≤20-row retrieval arms
+      "pareto_share",     // 10 decile rows (cumulative share)
+      "time_gapfill",     // hours × types grid
+      "benford_check",    // 9 digit rows
+      "chi2_drift",       // sources × buckets grid
+      "seasonality_dow",  // 7 weekday rows
+      "cms_calibration",  // heavy-hitter grid (bounded sketch width)
+      "new_vs_returning", // |days| rows
+      "minhash_calibration", // similarity-bucket grid
+      "lang_id_eval",     // |langs|² confusion grid
+      "pq_recall_eval",   // 8 probes × top-5
+      "ann_recall_eval",  // 8 probes × top-5
+      "ann_ndcg",         // 8 probes × top-5
+      "range_bounds")     // parts−1 sampled boundary ranks
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val unpart = fn(spark, Sf0001).queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      if (!allowBounded(name))
+        assert(unpart.isEmpty,
+          s"$name runs a window with no partition spec (single-task sort " +
+            s"of the full input at scale):\n${unpart.headOption.getOrElse("")}")
+    }
+  }
 }

@@ -49,6 +49,17 @@ def canon_type(t):
         return f"timestamp[{t.unit},{tz}]"
     return s
 
+def nested_cols(tbl):
+    """Columns whose arrow type the driver comparator cannot sort/hash:
+    pandas sort_values on an ndarray cell raises `unhashable type` (the
+    round-5 `pq_codes` red row). Any list/map-typed OUTPUT column is a
+    grading crash waiting to happen — queries must serialize
+    (concat_ws / array_to_string) or explode such columns."""
+    import pyarrow as pa
+    return [f.name for f in tbl.schema
+            if pa.types.is_list(f.type) or pa.types.is_large_list(f.type)
+            or pa.types.is_fixed_size_list(f.type) or pa.types.is_map(f.type)]
+
 def rows_of(tbl):
     cols = sorted(tbl.column_names)
     tbl = tbl.select(cols)
@@ -66,6 +77,13 @@ def main():
         try:
             got_t = ds.dataset(f"{out_dir}/{name}", format="parquet").to_table()
             exp_t = con.sql(sql).arrow()
+            nested = sorted(set(nested_cols(got_t) + nested_cols(exp_t)))
+            if nested:
+                print(f"FAIL {name}: array/map-typed output column(s) "
+                      f"{nested} — the grading comparator cannot sort array "
+                      f"cells; serialize or explode them on BOTH sides")
+                n_fail += 1
+                continue
             gc, gt, got = rows_of(got_t)
             ec, et, exp = rows_of(exp_t)
             if gc != ec:

@@ -71,8 +71,39 @@ def main():
             tmp, "SELECT k, CAST(sum(v) // 1 AS BIGINT) AS s "
                  "FROM events GROUP BY k ORDER BY k")
         assert rc == 0, f"pinned BIGINT oracle failed:\n{out}"
+        # array-typed oracle output: must fail the shape guard even though
+        # the spark side is scalar (the round-5 `pq_codes` class — the
+        # grading comparator crashes sorting ndarray cells)
+        rc, out = run_case(
+            tmp, "SELECT k, list(v) AS s FROM events GROUP BY k ORDER BY k")
+        assert rc != 0 and "array/map-typed" in out, (
+            f"array-shape guard did NOT fire on a list-typed column:\n{out}")
+    with tempfile.TemporaryDirectory() as d:
+        tmp = Path(d)
+        # array-typed SPARK output (scalar oracle): same guard must fire
+        pq.write_table(
+            pa.table({"k": pa.array([1, 2], pa.int64()),
+                      "s": pa.array([[2], [3]], pa.list_(pa.int64()))}),
+            str(tmp / "spark_arr.parquet"))
+        sf = tmp / "sf"; out_d = tmp / "out"
+        sf.mkdir(); (out_d / "q").mkdir(parents=True)
+        con = duckdb.connect()
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"]:
+            con.sql("SELECT CAST(1 AS BIGINT) AS k, CAST(2 AS BIGINT) AS v"
+                    ).write_parquet(str(sf / f"{t}.parquet"))
+        (tmp / "spark_arr.parquet").rename(out_d / "q" / "part-0.parquet")
+        (out_d / "oracle_sql.json").write_text(
+            '{"q": "SELECT k, v AS s FROM events ORDER BY k"}')
+        r = subprocess.run(
+            [sys.executable, str(ROOT / "localverify.py"), str(sf),
+             str(out_d)], capture_output=True, text=True)
+        assert r.returncode != 0 and "array/map-typed" in r.stdout, (
+            f"array-shape guard did NOT fire on a spark-side list column:\n"
+            f"{r.stdout}")
     print("localverify_selftest: OK "
-          "(HUGEINT promotion fails, pinned BIGINT passes)")
+          "(HUGEINT promotion fails, pinned BIGINT passes, "
+          "array-typed outputs rejected on either side)")
 
 
 if __name__ == "__main__":
