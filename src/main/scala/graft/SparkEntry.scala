@@ -807,7 +807,7 @@ object SparkEntry {
         .mkString(" ")
       s"""WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
          |                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
-         |           FROM orders),
+         |           FROM orders WHERE o_totalprice >= 1),
          |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_orders
          |      FROM d GROUP BY 1),
          |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_total FROM g)

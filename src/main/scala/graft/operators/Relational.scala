@@ -2043,6 +2043,10 @@ object Relational {
     val digit = substring(floor($"o_totalprice").cast(LongType)
       .cast(StringType), 1, 1).cast(IntegerType)
     val perDigit = Tables.orders(spark, dir)
+      // explicit contract: totals in [0,1) have no leading digit (digit 0
+      // would index past the Benford table) and negatives aren't amounts —
+      // both engines filter them identically
+      .filter($"o_totalprice" >= 1)
       .select(digit.as("digit"))
       .groupBy($"digit").agg(count(lit(1)).as("n_orders"))
     val total = perDigit.agg(sum($"n_orders").as("n_total"))

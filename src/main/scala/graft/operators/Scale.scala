@@ -211,13 +211,23 @@ object Scale {
     val plan = firstFitBins(
       files.map(f => (f.getPath.getName, f.getLen)), targetBytes)
     val nBins = (plan.map(_._2).distinct.length).max(1)
-    val binMap = plan.map(p => (p._1, p._2)).toSeq.toDF("fname", "bin")
+    // join key is the URI-ENCODED last path segment: input_file_name()
+    // returns a URI-encoded path, so a raw getName (space, %, …) would
+    // silently drop that file's rows from the inner join
+    val binMap = files.zip(plan).map { case (f, (_, bin, _)) =>
+      (f.getPath.toUri.getRawPath.split('/').last, bin)
+    }.toSeq.toDF("fname", "bin")
     spark.read.parquet(inPath)
       .withColumn("fname", regexp_extract(input_file_name(), "[^/]+$", 0))
       .join(broadcast(binMap), "fname")
       .drop("fname")
       .repartition(nBins, $"bin")
       .write.mode("overwrite").partitionBy("bin").parquet(outPath)
+    val (inRows, outRows) =
+      (spark.read.parquet(inPath).count(), spark.read.parquet(outPath).count())
+    require(outRows == inRows,
+      s"compaction dropped rows: $inRows in, $outRows out — a file name " +
+        "failed the bin join")
     plan.toSeq.toDF("fname", "bin", "bytes")
       .groupBy($"bin")
       .agg(count(lit(1)).as("n_files_in"), sum($"bytes").as("bin_bytes"))
@@ -371,12 +381,18 @@ object Scale {
     val n = sample.count()
     val w = org.apache.spark.sql.expressions.Window
       .orderBy($"l_orderkey", $"l_linenumber")
-    val bounds: Array[Long] = sample
+    // rank of boundary i (1-based): ceil(i*n/parts) — integer arithmetic.
+    // One boundary PER i (duplicates kept when the sample has n < parts
+    // rows and two boundary ranks coincide) — mirroring the oracle's
+    // range-join exactly, so degenerate samples bucket identically.
+    val ranks = (1 until parts).map(i => ((i * n + parts - 1) / parts).toInt)
+    val byRank: Map[Int, Long] = sample
       .withColumn("rk", row_number().over(w))
-      // rank of boundary i (1-based): ceil(i*n/parts) — integer arithmetic
-      .where($"rk".isin((1 until parts).map(i => (i * n + parts - 1) / parts): _*))
-      .orderBy($"rk")
-      .select($"l_orderkey").as[Long].collect()
+      .where($"rk".isin(ranks.distinct: _*))
+      .select($"rk", $"l_orderkey").as[(Int, Long)].collect().toMap
+    val bounds: Array[Long] = ranks.collect {
+      case r if byRank.contains(r) => byRank(r)
+    }.toArray
     val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + ($"l_orderkey" > b).cast(IntegerType)
     }

@@ -131,9 +131,14 @@ object TextAnalysis {
     val n = size($"toks")
     docs
       .select($"doc_id", tokens($"text").as("toks"))
-      .withColumn("b", filter(sequence(lit(3), n - 1), i =>
-        graft.functions.md5_long(
-          concat_ws(" ", slice($"toks", i - 2, lit(4))), 7) % 16 === 0))
+      // guard: sequence(3, n-1) DESCENDS when n < 4 (Spark semantics),
+      // which would fabricate boundaries — and crash slice — on docs
+      // shorter than one hash window; such docs have no boundaries at all
+      .withColumn("b", when(n >= 4,
+        filter(sequence(lit(3), n - 1), i =>
+          graft.functions.md5_long(
+            concat_ws(" ", slice($"toks", i - 2, lit(4))), 7) % 16 === 0))
+        .otherwise(array().cast("array<int>")))
       .withColumn("segs", filter(
         zip_with(
           concat(array(lit(0)), transform($"b", x => x + 1)),

@@ -261,6 +261,26 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(b.toSet != a.toSet)
   }
 
+  test("cdc_chunks: docs shorter than one hash window chunk cleanly " +
+    "(no descending-sequence boundaries, no slice crash)") {
+    // n = 0..3 tokens: sequence(3, n-1) would DESCEND without the guard,
+    // fabricating boundaries and crashing slice with negative indices
+    val docs = Seq((0L, ""), (1L, "one"), (2L, "one two"),
+      (3L, "one two three"), (4L, "one two three four")).toDF("doc_id", "text")
+    val seg = TextAnalysis.cdcSegments(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("n_toks"),
+        r.getAs[scala.collection.Seq[Long]]("hashes"))).sortBy(_._1)
+    seg.foreach { case (id, n, hashes) =>
+      if (n < 4)
+        assert(hashes.length <= 1,
+          s"doc $id (n=$n) split into ${hashes.length} chunks — the short-" +
+            "doc guard failed")
+    }
+    // a short-but-nonempty doc is exactly one chunk: the whole token list
+    assert(seg(3)._3.length === 1)
+  }
+
   test("dedup_rewrite: keepers stay whole, exact copies empty out, counts " +
     "agree with dup_spans") {
     val rows = DocDedup.dedupRewrite(spark, Sf0001).collect()

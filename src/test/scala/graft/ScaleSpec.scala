@@ -178,6 +178,29 @@ class ScaleSpec extends SparkSpecBase {
     assert(a === b, "compacted table lost or altered rows")
   }
 
+  test("compactSmallFiles: URI-hostile file names (space, %) keep their rows") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft-compact-uri").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-uri-out").toString
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact-tmp").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(in)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val src = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    // input_file_name() URI-encodes these; a raw-name join would silently
+    // drop both files' rows (the round-5 advisory)
+    Seq("has space.parquet", "pct%41.parquet").foreach { name =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+        new org.apache.hadoop.fs.Path(in, name), false,
+        spark.sessionState.newHadoopConf())
+    }
+    // the internal require would throw on any dropped row; assert anyway
+    graft.operators.Scale.compactSmallFiles(spark, in, out, 1L << 20)
+    assert(spark.read.parquet(out).count() === 4L)
+  }
+
   test("z_order2 matches hand-computed Morton vectors") {
     import graft.functions.ZOrder2
     // interleave(x, y): x even bits, y odd bits
