@@ -98,8 +98,19 @@ object Bench {
     // Full per-query map on its own prefixed line (humans / logs only — the
     // prefix keeps it from being mistaken for the machine line below).
     val bySlowest = results.toSeq.sortBy(-_._2)
-    System.err.println("bench-full: " + bySlowest.map((ent _).tupled)
-      .mkString("{", ",", "}"))
+    val fullMap = bySlowest.map((ent _).tupled).mkString("{", ",", "}")
+    System.err.println("bench-full: " + fullMap)
+    // ... and as a JSON artifact (the stdout machine line below truncates
+    // to the driver's 2000-char capture; cross-round regression diffs need
+    // the WHOLE registry, so persist it where the repo keeps round state)
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      (s"""{"sf":"$sfDir","total":${f"$total%.3f"},""" +
+        s""""queries_n":${results.size},"queries":$fullMap}""" + "\n")
+        .getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
+    }
     // Machine-readable line LAST, kept under ~1500 chars: the driver
     // captures only the final 2000 chars of output, so a map of every query
     // at full double precision (observed ~2.6 KB) never fits and the driver

@@ -91,6 +91,12 @@ package object functions {
   def vector_sum_l(c: Column): Column =
     toCol(VectorSumL(ex(c)).toAggregateExpression())
 
+  /** Fused Gram-matrix sum (aggregate): Σ x·xᵀ of array<long> rows with
+    * NO per-row d² intermediate — triangular O(d²) state per group,
+    * exact i64, emitted as the full row-major d×d array. */
+  def gram_sum_l(c: Column, d: Int): Column =
+    toCol(GramSumL(ex(c), d).toAggregateExpression())
+
   /** Unicode normalization (UAX #15; form NFC/NFD/NFKC/NFKD) — the text
     * canonicalization pass before any hash/dedup (codegen'd; Spark has no
     * built-in). */

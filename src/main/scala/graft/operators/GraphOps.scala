@@ -23,9 +23,10 @@ object GraphOps {
 
   /** PageRank iteration over an undirected edge list, fully distributed:
     * one shuffle per round (contributions grouped by destination), joined
-    * back to the degree table. `iters` is a fixed small constant — plan
-    * depth grows linearly with it, so for long runs checkpoint per round
-    * (the CC loop in [[DocDedup.connectedComponents]] shows the pattern).
+    * back to the degree table. Each round lazily localCheckpoints its
+    * result (the [[DocDedup.connectedComponents]] loop pattern), so plan
+    * depth stays CONSTANT in `iters` — long runs are safe, not just the
+    * fixed 3 rounds the declared query uses.
     *
     * @param pairs undirected edges as (doc_a, doc_b), doc_a < doc_b, distinct
     */
@@ -52,6 +53,11 @@ object GraphOps {
       pr = base.join(contrib, base("doc_id") === contrib("dst"), "left")
         .select(base("doc_id"), base("deg"), base("n_nodes"),
           (teleport + coalesce($"in_c", lit(0L))).as("pr_u20"))
+        // lazy lineage cut per round (the CC-loop pattern): without it the
+        // plan tree deepens linearly with iters and the optimizer/codegen
+        // cost blows up for long runs; the per-node frame is graph-sized,
+        // never corpus-sized (cluster: swap for checkpoint())
+        .localCheckpoint(false)
     }
     pr
   }

@@ -1418,14 +1418,15 @@ object Relational {
   def basketPairs(spark: SparkSession, dir: String, minPairN: Long = 20): DataFrame = {
     import spark.implicits._
     // localCheckpoint: the distinct (order, brand) frame feeds FOUR
-    // consumers (the order count, the brand marginals, both self-join
-    // sides) — materialize it once (cluster: swap for checkpoint())
+    // consumers (the 1-row order-total aggregate, the brand marginals,
+    // both self-join sides) — materialize once (cluster: checkpoint())
     val items = Tables.lineitem(spark, dir)
       .join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
       .select($"l_orderkey".as("okey"), $"p_brand".as("brand"))
       .distinct()
       .localCheckpoint(false)
-    val nOrders = items.select($"okey").distinct().count()
+    // 1-row totals frame folded into the plan (no separate count action)
+    val totals = items.agg(countDistinct($"okey").as("n_orders_total"))
     val brandN = items.groupBy($"brand").agg(count(lit(1)).as("bn"))
     val pairs = items.as("a")
       .join(items.as("b"),
@@ -1436,8 +1437,9 @@ object Relational {
     pairs
       .join(brandN.select($"brand".as("brand_a"), $"bn".as("na")), "brand_a")
       .join(brandN.select($"brand".as("brand_b"), $"bn".as("nb")), "brand_b")
+      .crossJoin(broadcast(totals))
       .select($"brand_a", $"brand_b", $"pair_n", $"na", $"nb",
-        floor($"pair_n".cast(DoubleType) * nOrders / $"na" / $"nb"
+        floor($"pair_n".cast(DoubleType) * $"n_orders_total" / $"na" / $"nb"
           * 1048576.0 + 0.5).cast(LongType).as("lift_u20"))
       .orderBy($"brand_a", $"brand_b")
   }

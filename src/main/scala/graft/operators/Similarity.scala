@@ -677,12 +677,12 @@ object Similarity {
 
   /** NS (LLM pipeline): the corpus second-moment (Gram) matrix XᵀX over
     * the embedding column — the one-pass statistic behind PCA/whitening
-    * of an embedding space before clustering or semantic dedup. Each row
-    * contributes its d×d outer product as a FLAT transient array (never
-    * a row explosion — `posexplode` twice would shuffle 4096 rows per
-    * vector at d=64); [[graft.functions.VectorSumL]] element-wise-sums
-    * them with O(d²) state per partition and ships ONE 4096-long array
-    * per partition across the shuffle. Components are 2^-20 fixed-point
+    * of an embedding space before clustering or semantic dedup.
+    * [[graft.functions.GramSumL]] multiply-adds each row's outer product
+    * STRAIGHT into triangular O(d²) aggregate state — no per-row d²
+    * intermediate array, no row explosion (`posexplode` twice would
+    * shuffle 4096 rows per vector at d=64) — and ships ONE array per
+    * partition across the shuffle. Components are 2^-20 fixed-point
     * quantized before multiplying, so every product is an exact i64 and
     * the sums are order-independent — cross-engine-identical without
     * tolerance. Output: the upper triangle (i ≤ j; the matrix is
@@ -692,8 +692,8 @@ object Similarity {
     * onto one axis" diagnostic (a dominant component soaking up most
     * variance means cosine distances are mostly one feature, and
     * whitening is due before semantic dedup). The distributed part is
-    * ONE [[embeddingGram]]-style pass (O(d²) state per partition via
-    * `vector_sum_l`); the iteration itself runs driver-side on the
+    * ONE [[embeddingGram]]-style pass (fused triangular O(d²) state per
+    * partition via `gram_sum_l`); the iteration itself runs driver-side on the
     * collected d×d matrix — 4096 longs, the same bounded-by-construction
     * collect class as the IVF codebook. Determinism: the matrix is
     * trace-normalized (one IEEE division per entry), each mat-vec is an
@@ -711,10 +711,9 @@ object Similarity {
     val d = 64
     val xsCol = transform($"embedding",
       x => floor(x.cast(DoubleType) * 1048576.0 + 0.5).cast(LongType))
-    val outer = flatten(transform($"xs", a => transform($"xs", b => a * b)))
     val row = Tables.embeddings(spark, dir)
       .select(xsCol.as("xs"))
-      .agg(graft.functions.vector_sum_l(outer).as("g"))
+      .agg(graft.functions.gram_sum_l($"xs", d).as("g"))
       .head()
     val s = row.getAs[scala.collection.Seq[Long]]("g").toArray
     val trace = (0 until d).map(i => s(i * d + i)).sum
@@ -739,10 +738,9 @@ object Similarity {
     val d = 64
     val xs = transform($"embedding",
       x => floor(x.cast(DoubleType) * 1048576.0 + 0.5).cast(LongType))
-    val outer = flatten(transform($"xs", a => transform($"xs", b => a * b)))
     Tables.embeddings(spark, dir)
       .select(xs.as("xs"))
-      .agg(graft.functions.vector_sum_l(outer).as("g"),
+      .agg(graft.functions.gram_sum_l($"xs", d).as("g"),
         count(lit(1)).as("n_vecs"))
       .select($"n_vecs", posexplode($"g").as(Seq("idx", "sum_q40")))
       .select(shiftright($"idx", 6).cast(IntegerType).as("i"),

@@ -145,6 +145,11 @@ object GraftExtensions {
       info("vector_sum_l",
         "vector_sum_l(arr) - aggregate: element-wise sum of array<bigint> rows."),
       (args: Seq[Expression]) => VectorSumL(args.head).toAggregateExpression()),
+    "gram_sum_l" -> (
+      info("gram_sum_l",
+        "gram_sum_l(arr, d) - aggregate: fused sum of d-dim outer products, full d*d row-major."),
+      (args: Seq[Expression]) =>
+        GramSumL(args(0), intArg("gram_sum_l", args(1))).toAggregateExpression()),
     "winnow_mins" -> (
       info("winnow_mins",
         "winnow_mins(arr, w) - distinct sliding-window-w minima of array<bigint>, first-occurrence order."),

@@ -208,4 +208,38 @@ class FunctionsSpec extends SparkSpecBase {
     }
     assert(e.getMessage != null)
   }
+
+  test("gram_sum_l: matches the unfused scalar outer-product sum exactly") {
+    import graft.functions.gram_sum_l
+    val d = 5
+    val rows: Seq[Seq[Long]] = Seq(
+      Seq(1L, -2L, 3L, 0L, 7L),
+      Seq(4L, 5L, -6L, 2L, 1L),
+      Seq(0L, 0L, 9L, -1L, 3L),
+      Seq(-8L, 1L, 2L, 6L, -4L))
+    // scalar reference: full d*d row-major sum of outer products
+    val expect = Array.fill(d * d)(0L)
+    rows.foreach { x =>
+      for (i <- 0 until d; j <- 0 until d)
+        expect(i * d + j) += x(i) * x(j)
+    }
+    // repartition(3) forces partial buffers through serialize/merge
+    val got = rows.toDF("xs").repartition(3)
+      .agg(gram_sum_l($"xs", d).as("g"))
+      .head().getAs[scala.collection.Seq[Long]]("g")
+    assert(got === expect.toSeq)
+    // symmetry of the mirrored output
+    for (i <- 0 until d; j <- 0 until d)
+      assert(got(i * d + j) === got(j * d + i))
+    // null ROWS are skipped
+    val withNull = (rows.map(Option(_)) :+ None).toDF("xs")
+      .agg(gram_sum_l($"xs", d).as("g"))
+      .head().getAs[scala.collection.Seq[Long]]("g")
+    assert(withNull === expect.toSeq)
+    // wrong dimension fails loudly
+    val bad = intercept[Exception] {
+      Seq(Seq(1L, 2L)).toDF("xs").agg(gram_sum_l($"xs", d)).collect()
+    }
+    assert(bad.getMessage != null)
+  }
 }

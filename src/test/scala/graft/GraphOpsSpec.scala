@@ -61,6 +61,27 @@ class GraphOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("pagerank: 10 rounds stay bit-exact with CONSTANT plan depth " +
+    "(per-round lineage cut)") {
+    val rnd = new scala.util.Random(0xBEEF)
+    val n = 12
+    val pairs = (0 until n * 2).map { _ =>
+      val a = rnd.nextInt(n).toLong
+      val b = rnd.nextInt(n).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b }.distinct
+    assert(prSpark(pairs, 10) === prRef(pairs, 10))
+    // plan blowup guard: the final round's plan reads the previous round
+    // from checkpoint blocks, so its size must NOT grow with iters
+    def planLen(iters: Int): Int =
+      GraphOps.pagerank(spark, pairs.toDF("doc_a", "doc_b"), iters)
+        .queryExecution.executedPlan.toString.length
+    val (p2, p10) = (planLen(2), planLen(10))
+    assert(p10 <= p2 * 2,
+      s"plan grew with iteration count ($p2 chars @2 iters vs $p10 @10) — " +
+        "the per-round checkpoint is not cutting lineage")
+  }
+
   test("pagerank: disconnected components do not leak rank across") {
     val two = Seq((1L, 2L), (10L, 11L), (11L, 12L), (12L, 10L))
     val pr = prSpark(two, 3)

@@ -142,9 +142,9 @@ class PlanSpec extends SparkSpecBase {
     assert(exchanges <= 1, s"winnowing shuffled beyond the output sort:\n$p")
   }
 
-  test("embedding_gram ships one array per partition (partial vector_sum_l, no input explode)") {
+  test("embedding_gram ships one array per partition (partial gram_sum_l, no input explode)") {
     val p = physical(graft.operators.Similarity.embeddingGram(spark, Sf0001))
-    assert(p.contains("partial_vector_sum_l"),
+    assert(p.contains("partial_gram_sum_l"),
       s"gram matrix lost its map-side combine:\n$p")
     // exactly one Generate: the d^2-row explode of the SINGLE aggregated
     // array — never a per-input-row explode below the aggregate
@@ -389,7 +389,8 @@ class PlanSpec extends SparkSpecBase {
       "benford_check", // 1-row order-total broadcast onto the 9 digits
       "seasonality_dow", // 1-row cents-total broadcast onto the 7 weekdays
       "chi2_drift",    // 1-row grand-total broadcast onto the 10 cells
-      "gini_revenue")  // 1-row (n, total) broadcast onto per-cust ranks
+      "gini_revenue",  // 1-row (n, total) broadcast onto per-cust ranks
+      "basket_pairs")  // 1-row distinct-order total broadcast onto pair rows
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = physical(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
