@@ -76,6 +76,8 @@ object SparkEntry {
     "big_orders"           -> (Relational.bigOrders(_, _)),
     "waiting_suppliers"    -> (Relational.waitingSuppliers(_, _)),
     "range_bounds"         -> (Scale.rangeBounds(_, _)),
+    "exact_median"         -> (Relational.exactMedian(_, _)),
+    "rendezvous_shards"    -> (Scale.rendezvousShards(_, _)),
     "semi_anti_join"       -> (Relational.semiAntiJoin(_, _)),
     "full_outer_join"      -> (Relational.fullOuterJoin(_, _)),
     "asof_join"            -> (Relational.asofJoin(_, _)),
@@ -966,6 +968,39 @@ object SparkEntry {
         |t AS (SELECT CAST(count(*) AS DOUBLE) / 8 AS target_rows FROM lineitem)
         |SELECT bucket, rows, min_key, max_key, rows / target_rows AS balance
         |FROM g CROSS JOIN t ORDER BY bucket""".stripMargin,
+    "exact_median" ->
+      """WITH c AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |                  AS BIGINT) AS cents, l_orderkey, l_linenumber
+        |           FROM lineitem),
+        |r AS (SELECT cents, row_number()
+        |        OVER (ORDER BY cents, l_orderkey, l_linenumber) AS rk FROM c),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c)
+        |SELECT n.n AS n_rows,
+        |       CAST(max(CASE WHEN rk = (n.n + 3) // 4 THEN cents END)
+        |            AS BIGINT) AS p25_cents,
+        |       CAST(max(CASE WHEN rk = (n.n + 1) // 2 THEN cents END)
+        |          + max(CASE WHEN rk = n.n // 2 + 1 THEN cents END)
+        |            AS BIGINT) AS median_x2_cents,
+        |       CAST(max(CASE WHEN rk = (3 * n.n + 3) // 4 THEN cents END)
+        |            AS BIGINT) AS p75_cents
+        |FROM r, n GROUP BY n.n""".stripMargin,
+    "rendezvous_shards" ->
+      """WITH h AS (SELECT d.doc_id, t.s AS shard,
+        |             CAST(concat('0x', substr(md5('rv:' || CAST(t.s AS VARCHAR)
+        |                  || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+        |                  AS BIGINT) AS hv
+        |           FROM documents d CROSS JOIN range(0, 8) t(s)),
+        |a AS (SELECT doc_id, CAST(shard AS INTEGER) AS shard FROM (
+        |        SELECT doc_id, shard, row_number() OVER (
+        |          PARTITION BY doc_id ORDER BY hv DESC, shard) AS rn FROM h)
+        |      WHERE rn = 1),
+        |g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |             min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |      FROM a GROUP BY shard),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM g)
+        |SELECT shard, n_docs, min_doc, max_doc,
+        |       CAST(n_docs AS DOUBLE) * 8 / n_total AS balance
+        |FROM g CROSS JOIN t ORDER BY shard""".stripMargin,
     "min_cost_supplier" ->
       """WITH u AS (
         |  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price,

@@ -2253,4 +2253,36 @@ object Relational {
       .agg(count(lit(1)).as("n_waiting_orders"))
       .orderBy($"n_waiting_orders".desc, $"s_suppkey")
   }
+
+  /** NS: EXACT order-statistic quantiles of a 100 TB-sized column — the
+    * "what is the real p50/p25/p75, not an approximation" audit query
+    * (approx_percentile trades exactness for mergeability; billing and
+    * SLA cuts sometimes need the true value). Fully distributed: the
+    * global rank comes from [[Scale.withGlobalRank]] (range partitions +
+    * bounded offsets — never a single-task sort), the four target ranks
+    * are integer arithmetic on the returned total count, and one tiny
+    * conditional aggregate picks the ranked values. Prices are exact
+    * decimal cents; the median over an even count is reported as the
+    * INTEGER sum of the two middle values (median_x2_cents) so no
+    * engine ever divides. Tie-break (cents, orderkey, linenumber) makes
+    * the rank — and therefore the output — total-ordered on any data. */
+  def exactMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = Tables.lineitem(spark, dir)
+      .select(($"l_extendedprice".cast(DecimalType(18, 2)) * 100)
+        .cast(LongType).as("cents"), $"l_orderkey", $"l_linenumber")
+    val (ranked, n) = Scale.withGlobalRank(cents, "rk",
+      Seq($"cents", $"l_orderkey", $"l_linenumber"))
+    val (r25, r50lo, r50hi, r75) =
+      ((n + 3) / 4, (n + 1) / 2, n / 2 + 1, (3 * n + 3) / 4)
+    ranked
+      .where($"rk".isin(Seq(r25, r50lo, r50hi, r75).distinct: _*))
+      .agg(
+        max(when($"rk" === r25, $"cents")).as("p25_cents"),
+        (max(when($"rk" === r50lo, $"cents")) +
+          max(when($"rk" === r50hi, $"cents"))).as("median_x2_cents"),
+        max(when($"rk" === r75, $"cents")).as("p75_cents"))
+      .select(lit(n).as("n_rows"), $"p25_cents", $"median_x2_cents",
+        $"p75_cents")
+  }
 }

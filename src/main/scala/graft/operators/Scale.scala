@@ -463,6 +463,47 @@ object Scale {
       .cast(IntegerType)
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment for one id
+    * column: shard(id) = argmax over s of md5("rv:<s>:<id>") — the
+    * consistent-placement scheme behind elastic shard maps: growing the
+    * fleet from n to n+1 shards reassigns ONLY the ids the new shard now
+    * wins (≈ 1/(n+1) of them), never a global reshuffle — exactly what a
+    * 100 TB corpus needs when the writer fleet resizes (PropertySpec pins
+    * the minimal-movement law). Pure per-row expression over n md5 hashes:
+    * zero shuffle, codegen'd, ties (2^-60 likely) break to the LOWEST
+    * shard on both engines. */
+  def rendezvousAssign(ids: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    import ids.sparkSession.implicits._
+    val cand = array((0 until nShards).map { s =>
+      struct(
+        graft.operators.TextAnalysis.md5Long60(
+          concat(lit(s"rv:$s:"), col(idCol).cast("string"))).as("hv"),
+        lit(-s).as("ns"))
+    }: _*)
+    ids.withColumn("shard", (-array_max(cand).getField("ns")).cast(IntegerType))
+  }
+
+  /** NS (LLM pipeline): the shard-placement audit over `documents` —
+    * rendezvous-assign every doc to 8 shards and report per-shard count,
+    * id range, and balance vs the uniform target (the go/no-go read
+    * before committing a shard map). One linear scan + an 8-row agg;
+    * the 1-row total is broadcast back (the `revenue_share` pattern). */
+  def rendezvousShards(spark: SparkSession, dir: String,
+      nShards: Int = 8): DataFrame = {
+    import spark.implicits._
+    val assigned = rendezvousAssign(
+      graft.Tables.documents(spark, dir).select($"doc_id"), "doc_id", nShards)
+    val per = assigned.groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+    val total = per.agg(sum($"n_docs").as("n_total"))
+    per.crossJoin(broadcast(total))
+      .select($"shard", $"n_docs", $"min_doc", $"max_doc",
+        ($"n_docs".cast(DoubleType) * nShards / $"n_total")
+          .as("balance"))
+      .orderBy($"shard")
+  }
+
   /** Join two identically-bucketed tables on their bucket key —
     * shuffle-free when `spark.sql.sources.bucketing.enabled` (default). */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,

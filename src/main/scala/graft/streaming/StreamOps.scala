@@ -426,6 +426,37 @@ object StreamOps {
       .toDF("user_id", "v_us", "s_us", "p_us", "steps_completed")
   }
 
+  /** NS streaming twin of `doc_dedup_exact`: ONLINE exact dedup of a
+    * document feed — the ingest-time gate that keeps a training corpus
+    * append-only-unique without re-scanning history. Keyed by content
+    * md5; state is one long (the keeper doc_id) per distinct content.
+    * Semantics: FIRST-SEEN WINS across batches (arrival order is the
+    * contract — a later batch cannot retroactively displace an earlier
+    * keeper, which is what makes the sink append-safe); within one batch
+    * the lowest doc_id is the keeper (deterministic under replay, same
+    * rule as the batch query). Emits every input doc tagged with its
+    * keeper and a duplicate flag, so the sink can route keepers to the
+    * corpus and dupes to a quarantine topic. At 100 TB: state is
+    * 16 bytes × |distinct contents| sharded across executors by the
+    * groupByKey hash; for unbounded feeds swap NoTimeout for a TTL (the
+    * dedup horizon) — the fold itself is unchanged. */
+  def dedupStream(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    docs.select(md5(col("text")).as("h"), col("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, String, Long, Boolean)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (h, rows, state) =>
+          val batch = rows.map(_._2).toArray.sorted
+          val keeper = state.getOption.getOrElse(batch.head)
+          if (state.getOption.isEmpty) state.update(keeper)
+          batch.iterator.map(id => (id, h, keeper, id != keeper))
+      }
+      .toDF("doc_id", "content_md5", "keeper_doc_id", "is_duplicate")
+  }
+
   def runOnceToMemory(df: DataFrame, queryName: String, outputMode: String): StreamingQuery =
     df.writeStream
       .format("memory")

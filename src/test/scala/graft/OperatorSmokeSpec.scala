@@ -111,6 +111,23 @@ class OperatorSmokeSpec extends SparkSpecBase {
     }
   }
 
+  test("exact_median: ranked quantiles match a scalar full sort") {
+    import org.apache.spark.sql.functions.col
+    val cents = spark.read.parquet(s"$Sf0001/lineitem.parquet")
+      .select(col("l_extendedprice").cast("decimal(18,2)").multiply(100)
+        .cast("long").as("c"), col("l_orderkey"), col("l_linenumber"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(t => (t._1, t._2, t._3)).map(_._1)
+    val n = cents.length
+    val row = graft.operators.Relational.exactMedian(spark, Sf0001).head()
+    assert(row.getLong(0) === n.toLong)
+    assert(row.getLong(1) === cents(((n + 3) / 4) - 1))
+    assert(row.getLong(2) ===
+      cents(((n + 1) / 2) - 1) + cents((n / 2 + 1) - 1))
+    assert(row.getLong(3) === cents(((3 * n + 3) / 4) - 1))
+  }
+
   test("pq_codes: codebook rows self-code with zero quantization error") {
     val rows = Similarity.pqCodes(spark, Sf0001).collect()
       .map(r => r.getLong(0) ->

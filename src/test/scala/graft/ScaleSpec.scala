@@ -201,6 +201,38 @@ class ScaleSpec extends SparkSpecBase {
     assert(spark.read.parquet(out).count() === 4L)
   }
 
+  test("rendezvousAssign: growing 8 -> 9 shards moves ONLY the docs the " +
+    "new shard wins (minimal-movement law)") {
+    import spark.implicits._
+    val ids = (0L until 500L).toDF("doc_id")
+    def assign(n: Int): Map[Long, Int] =
+      graft.operators.Scale.rendezvousAssign(ids, "doc_id", n)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a8 = assign(8)
+    val a9 = assign(9)
+    assert(a8.values.toSet.subsetOf((0 until 8).toSet))
+    var moved = 0
+    (0L until 500L).foreach { id =>
+      if (a9(id) != a8(id)) {
+        assert(a9(id) === 8,
+          s"doc $id moved $a8($id) -> ${a9(id)} without the new shard winning")
+        moved += 1
+      }
+    }
+    // expected movement ≈ 500/9 ≈ 56; allow a wide deterministic band
+    assert(moved > 20 && moved < 120, s"implausible movement count $moved")
+    // scalar recount of the argmax for a few ids (independent md5 fold)
+    def md5Long(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .take(15), 16)
+    (0L until 20L).foreach { id =>
+      val want = (0 until 8).maxBy(s => (md5Long(s"rv:$s:$id"), -s))
+      assert(a8(id) === want, s"doc $id: spark ${a8(id)} != scalar $want")
+    }
+  }
+
   test("z_order2 matches hand-computed Morton vectors") {
     import graft.functions.ZOrder2
     // interleave(x, y): x even bits, y odd bits

@@ -12,6 +12,8 @@ import graft.streaming.StreamOps
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)
 
+case class Doc(doc_id: Long, text: String)
+
 /** Streaming twins on MemoryStream: AvailableNow drains must agree with
   * the batch plans over the same rows (the A32 run-once parity the
   * reference exercises by hand). */
@@ -145,6 +147,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(oneShot === truth, "stream fold diverges from the min-agg chain")
     val buckets = truth.values.map(_._4).toSet
     assert(buckets.size >= 3, s"feed not discriminating: $buckets")
+  }
+
+  test("dedupStream: first-seen-wins across batches, min-id within a batch, " +
+    "every doc tagged exactly once") {
+    implicit val ctx = spark.sqlContext
+    // content A appears in both batches (batch-2 copy has the SMALLER id —
+    // it must still lose to the batch-1 keeper); B duplicated within
+    // batch 1 (lowest id keeps); C unique; D only in batch 2
+    val b1 = Seq(Doc(10, "aaa"), Doc(11, "bbb"), Doc(14, "bbb"), Doc(12, "ccc"))
+    val b2 = Seq(Doc(5, "aaa"), Doc(20, "ddd"), Doc(21, "aaa"))
+    val ms = MemoryStream[Doc]
+    val q = StreamOps.dedupStream(ms.toDF()).writeStream
+      .format("memory").queryName("dedup_stream").outputMode("update").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("dedup_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.size === b1.size + b2.size, "every doc tagged exactly once")
+    assert(out(10) === ((10L, false)), "first unique is its own keeper")
+    assert(out(11) === ((11L, false)) && out(14) === ((11L, true)),
+      "within-batch dup resolves to the lowest id")
+    assert(out(12) === ((12L, false)))
+    // arrival order is the contract: id 5 arrives later, so it is a DUP
+    // of batch-1's keeper 10 — no retroactive displacement
+    assert(out(5) === ((10L, true)) && out(21) === ((10L, true)))
+    assert(out(20) === ((20L, false)))
   }
 
   test("windowed aggregation: streaming complete-mode == batch") {
