@@ -650,6 +650,17 @@ object Oracles {
          |SELECT vec_id, label, ${cosSql("embedding", "p")} AS score
          |FROM embeddings, p WHERE vec_id <> 0
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "contrastive_negatives" ->
+      s"""WITH p AS (SELECT vec_id AS p_id, label AS p_label, embedding AS pe
+         |           FROM embeddings WHERE vec_id < 8),
+         |s AS (SELECT p.p_id, e.vec_id, e.label,
+         |        ${cosSql("e.embedding", "p.pe")} AS score
+         |      FROM embeddings e, p WHERE e.label <> p.p_label),
+         |r AS (SELECT p_id, vec_id, label, score, row_number() OVER (
+         |        PARTITION BY p_id ORDER BY score DESC, vec_id) AS rnk FROM s)
+         |SELECT p_id, CAST(rnk AS INTEGER) AS rnk, vec_id AS neg_vec_id,
+         |       label AS neg_label, score
+         |FROM r WHERE rnk <= 3 ORDER BY p_id, rnk""".stripMargin,
     "ann_lsh_buckets" ->
       s"""WITH b AS (SELECT vec_id, ${lshBucket(8, "embedding")} AS bucket FROM embeddings)
          |SELECT bucket, count(*) AS n_vectors,

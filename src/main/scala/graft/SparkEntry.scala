@@ -208,6 +208,7 @@ object SparkEntry {
     "dedup_rewrite"        -> (DocDedup.dedupRewrite(_, _, 16)),
     "source_overlap"       -> (DocDedup.sourceOverlap(_, _)),
     "similarity_search"    -> (Similarity.similaritySearch(_, _)),
+    "contrastive_negatives" -> (Similarity.contrastiveNegatives(_, _)),
     "ann_lsh_buckets"      -> (Similarity.annLshBuckets(_, _)),
     "ann_lsh_search"       -> (Similarity.annLshSearch(_, _)),
     "ann_multiprobe"       -> (Similarity.annMultiprobe(_, _)),

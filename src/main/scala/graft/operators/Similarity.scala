@@ -40,6 +40,35 @@ object Similarity {
       .limit(10)
   }
 
+  /** NS (LLM pipeline): hard-negative mining for contrastive training —
+    * for each probe (vec_id < 8), the top-3 nearest embeddings with a
+    * DIFFERENT label: nearest-wrong-class is exactly the gradient-rich
+    * negative a contrastive/triplet objective wants batched next to its
+    * anchor. Plan: the 8-row probe frame broadcasts onto ONE linear scan
+    * (bounded nested loop, the `similarity_search` shape × 8), and the
+    * per-probe top-k runs as the `top_k_rows` partial aggregate — k rows
+    * per (probe, partition) cross the shuffle, never the scored corpus.
+    * At 100 TB: one pass over the embeddings, 24-row merge. */
+  def contrastiveNegatives(spark: SparkSession, dir: String,
+      k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb.where($"vec_id" < 8)
+      .select($"vec_id".as("p_id"), $"label".as("p_label"),
+        $"embedding".as("pe"))
+    emb.crossJoin(broadcast(probes))
+      .where($"label" =!= $"p_label")
+      .groupBy($"p_id")
+      .agg(graft.functions.top_k_rows(
+        struct((-cosine($"embedding", $"pe")).as("neg_score"),
+          $"vec_id", $"label"), k).as("top"))
+      .select($"p_id", posexplode($"top"))
+      .select($"p_id", ($"pos" + 1).cast(IntegerType).as("rnk"),
+        $"col.vec_id".as("neg_vec_id"), $"col.label".as("neg_label"),
+        (-$"col.neg_score").as("score"))
+      .orderBy($"p_id", $"rnk")
+  }
+
   /** Signed random-hyperplane bit for plane j: sign of Σ_d w(j,d)·v_d with
     * integer weights w(j,d) = md5_28("hp:j:d") mod 2001 − 1000 — a
     * deterministic pseudo-random hyperplane reproducible in any engine.

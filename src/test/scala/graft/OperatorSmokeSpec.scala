@@ -111,6 +111,41 @@ class OperatorSmokeSpec extends SparkSpecBase {
     }
   }
 
+  test("contrastive_negatives: wrong-class only, scores descend, exact " +
+    "top-3 vs a scalar recount") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val labels = emb.map(t => t._1 -> t._2).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      // ascending-d left fold — the house dot-product order
+      (0 until a.length).foreach { i =>
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val rows = graft.operators.Similarity
+      .contrastiveNegatives(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4)))
+    assert(rows.length === 8 * 3)
+    rows.foreach { case (p, _, _, negLabel, _) =>
+      assert(negLabel !== labels(p), s"probe $p mined a same-class negative")
+    }
+    val byProbe = emb.filter(_._1 < 8).map { case (pid, plabel, pe) =>
+      val want = emb.filter(_._2 != plabel)
+        .map { case (id, l, e) => (id, l, cos(e, pe)) }
+        .sortBy { case (id, _, s) => (-s, id) }.take(3)
+      val got = rows.filter(_._1 == pid).sortBy(_._2)
+        .map { case (_, _, id, l, s) => (id, l, s) }.toSeq
+      assert(got === want.toSeq, s"probe $pid top-3 mismatch")
+    }
+  }
+
   test("exact_median: ranked quantiles match a scalar full sort") {
     import org.apache.spark.sql.functions.col
     val cents = spark.read.parquet(s"$Sf0001/lineitem.parquet")
