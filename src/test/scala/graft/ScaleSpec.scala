@@ -201,6 +201,46 @@ class ScaleSpec extends SparkSpecBase {
     assert(spark.read.parquet(out).count() === 4L)
   }
 
+  test("withGlobalRank == collect-sort rank for any partition count " +
+    "(incl. empty range partitions); ntileFromRank == SQL-standard ntile") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(0x5EED)
+    // duplicate-heavy values force the tie-break columns to matter
+    val data = (0L until 97L).map(id => (rnd.nextInt(12).toLong, id))
+    val expect = data.sortBy { case (v, id) => (v, id) }
+      .zipWithIndex.map { case ((v, id), i) => (v, id, i + 1L) }
+    for (parts <- Seq(1, 3, 8, 200)) { // 200 > n: some partitions empty
+      val (ranked, n) = graft.operators.Scale.withGlobalRank(
+        data.toDF("v", "id"), "rk", Seq(col("v"), col("id")), parts)
+      assert(n === 97L)
+      val got = ranked.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+      assert(got === expect, s"rank diverged at numParts=$parts")
+    }
+    // ntile reference: first n%k buckets take n/k+1 rows
+    def ntileRef(rank: Long, n: Long, k: Int): Int = {
+      val (base, rem) = (n / k, n % k)
+      val r0 = rank - 1
+      if (r0 < rem * (base + 1)) (r0 / (base + 1) + 1).toInt
+      else (rem + (r0 - rem * (base + 1)) / math.max(base, 1L) + 1).toInt
+    }
+    for (n <- Seq(1L, 4L, 5L, 7L, 97L); k <- Seq(3, 5, 10)) {
+      val got = spark.range(1, n + 1)
+        .select(graft.operators.Scale.ntileFromRank(col("id"), n, k).as("t"))
+        .collect().map(_.getInt(0))
+      val want = (1L to n).map(r => ntileRef(r, n, k))
+      assert(got.toSeq === want, s"ntile($k) over n=$n")
+      // spark's own ntile agrees (single partition, small n)
+      val sparkNtile = spark.range(1, n + 1)
+        .select(org.apache.spark.sql.functions.ntile(k).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("id"))).as("t"))
+        .collect().map(_.getInt(0))
+      assert(got.toSeq === sparkNtile.toSeq, s"diverges from Spark ntile($k) n=$n")
+    }
+  }
+
   test("rendezvousAssign: growing 8 -> 9 shards moves ONLY the docs the " +
     "new shard wins (minimal-movement law)") {
     import spark.implicits._
