@@ -843,6 +843,38 @@ object Oracles {
         |         i -> abs(CAST(embedding[i] AS DOUBLE) - qs[i] * scale)))
         |         AS max_abs_err
         |FROM q ORDER BY vec_id""".stripMargin,
+    "quantize_recall_eval" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |             list_max(list_transform(embedding,
+         |               x -> abs(CAST(x AS DOUBLE)))) AS abs_max
+         |           FROM embeddings),
+         |q AS (SELECT vec_id,
+         |        CASE WHEN abs_max = 0
+         |             THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+         |             ELSE list_transform(embedding, x -> floor(
+         |                    CAST(x AS DOUBLE) / (abs_max / 127.0) + 0.5)
+         |                    * (abs_max / 127.0))
+         |        END AS dq
+         |      FROM b),
+         |pq AS (SELECT vec_id AS p_id, dq AS pe FROM q WHERE vec_id < 8),
+         |px AS (SELECT vec_id AS p_id, embedding AS pe
+         |       FROM embeddings WHERE vec_id < 8),
+         |qs AS (SELECT p.p_id, e.vec_id, ${cosSql("e.dq", "p.pe")} AS score
+         |       FROM q e, pq p WHERE e.vec_id <> p.p_id),
+         |qr AS (SELECT p_id, vec_id, row_number() OVER (
+         |         PARTITION BY p_id ORDER BY score DESC, vec_id) AS rnk FROM qs),
+         |q5 AS (SELECT p_id, vec_id FROM qr WHERE rnk <= 5),
+         |xs AS (SELECT p.p_id, e.vec_id, ${cosSql("e.embedding", "p.pe")} AS score
+         |       FROM embeddings e, px p WHERE e.vec_id <> p.p_id),
+         |xr AS (SELECT p_id, vec_id, row_number() OVER (
+         |         PARTITION BY p_id ORDER BY score DESC, vec_id) AS rnk FROM xs),
+         |x5 AS (SELECT p_id, vec_id FROM xr WHERE rnk <= 5),
+         |hits AS (SELECT p_id, CAST(count(*) AS BIGINT) AS hits
+         |         FROM x5 JOIN q5 USING (p_id, vec_id) GROUP BY p_id)
+         |SELECT p.p_id, COALESCE(hits, CAST(0 AS BIGINT)) AS n_hits,
+         |       CAST(COALESCE(hits, CAST(0 AS BIGINT)) AS DOUBLE) / 5.0 AS recall
+         |FROM px p LEFT JOIN hits USING (p_id)
+         |ORDER BY p_id""".stripMargin,
     "ann_recall_eval" ->
       s"""WITH c AS (SELECT vec_id AS cell_id, embedding AS ce
          |           FROM embeddings WHERE vec_id < 16),

@@ -215,6 +215,7 @@ object SparkEntry {
     "ann_ivf_cells"        -> (Similarity.annIvfCells(_, _)),
     "ann_ivf_search"       -> (Similarity.annIvfSearch(_, _)),
     "ann_recall_eval"      -> (Similarity.annRecallEval(_, _)),
+    "quantize_recall_eval" -> (Similarity.quantizeRecallEval(_, _)),
     "ann_ndcg"             -> (Similarity.annNdcg(_, _)),
     "embedding_quantize"   -> (Similarity.embeddingQuantize(_, _)),
     "pq_codes"             -> (Similarity.pqCodes(_, _)),

@@ -605,6 +605,54 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** NS: int8-quantization retrieval eval — recall@5 of cosine over the
+    * DEQUANTIZED int8 vectors (the `embedding_quantize` codes replayed
+    * back through their per-vector scale) against exact-float cosine,
+    * per probe (vec_id < 8). This is the measurement that licenses
+    * serving a 4×-smaller int8 index: `pq_recall_eval` answers it for
+    * 8-byte PQ codes, this answers it for scalar quantization — the two
+    * compression points a production ANN tier chooses between. Both
+    * pipelines are the bounded-broadcast linear scan of
+    * [[annRecallEval]]; dequantization is the same IEEE chain spelled in
+    * the oracle (floor(x/scale + 0.5)·scale), so ranks agree bit-exactly. */
+  def quantizeRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val nProbes = 8
+    val xd: Column => Column = x => x.cast(DoubleType)
+    val deq = Tables.embeddings(spark, dir)
+      .withColumn("abs_max",
+        array_max(transform($"embedding", x => abs(xd(x)))))
+      .withColumn("scale", $"abs_max" / 127.0)
+      .withColumn("dq", when($"abs_max" === 0.0,
+        transform($"embedding", _ => lit(0.0)))
+        .otherwise(transform($"embedding",
+          x => floor(xd(x) / $"scale" + 0.5) * $"scale")))
+      .select($"vec_id", $"dq")
+    val probesQ = deq.where($"vec_id" < nProbes)
+      .select($"vec_id".as("p_id"), $"dq".as("pe"))
+    val probesX = Tables.embeddings(spark, dir).where($"vec_id" < nProbes)
+      .select($"vec_id".as("p_id"), $"embedding".as("pe"))
+    val w = Window.partitionBy($"p_id").orderBy($"score".desc, $"vec_id")
+    def top5(scored: DataFrame): DataFrame = scored
+      .withColumn("rnk", row_number().over(w)).where($"rnk" <= 5)
+      .select($"p_id", $"vec_id")
+    val quant5 = top5(deq.crossJoin(broadcast(probesQ))
+      .where($"vec_id" =!= $"p_id")
+      .select($"p_id", $"vec_id", cosine($"dq", $"pe").as("score")))
+    val exact5 = top5(Tables.embeddings(spark, dir)
+      .crossJoin(broadcast(probesX))
+      .where($"vec_id" =!= $"p_id")
+      .select($"p_id", $"vec_id", cosine($"embedding", $"pe").as("score")))
+    val hits = exact5.join(quant5, Seq("p_id", "vec_id"))
+      .groupBy($"p_id").agg(count(lit(1)).as("hits"))
+    probesX.select($"p_id")
+      .join(hits, Seq("p_id"), "left_outer")
+      .select($"p_id", coalesce($"hits", lit(0L)).as("n_hits"),
+        (coalesce($"hits", lit(0L)).cast(DoubleType) / 5.0).as("recall"))
+      .orderBy($"p_id")
+  }
+
   /** NS: ANN quality evaluation — recall@5 of the IVF search (nprobe=2)
     * against the exact brute-force top-5, per probe (vec_id < 8). The
     * eval loop you run after (re)training a codebook to size nprobe:

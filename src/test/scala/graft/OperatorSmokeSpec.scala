@@ -111,6 +111,22 @@ class OperatorSmokeSpec extends SparkSpecBase {
     }
   }
 
+  test("quantize_recall_eval: 8 probes, hits bounded by k, int8 recall " +
+    "high at this dimensionality") {
+    val rows = graft.operators.Similarity
+      .quantizeRecallEval(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq === (0L until 8L))
+    rows.foreach { case (p, hits, recall) =>
+      assert(hits >= 0 && hits <= 5, s"probe $p hits=$hits out of range")
+      assert(recall === hits.toDouble / 5.0)
+    }
+    // int8 over 64 dims loses little ranking signal: mean recall@5 well
+    // above chance (structural, not a tuned threshold)
+    val mean = rows.map(_._3).sum / rows.length
+    assert(mean >= 0.5, s"implausibly low int8 recall $mean")
+  }
+
   test("contrastive_negatives: wrong-class only, scores descend, exact " +
     "top-3 vs a scalar recount") {
     import org.apache.spark.sql.functions.col

@@ -361,7 +361,7 @@ class PlanSpec extends SparkSpecBase {
     // the intended linear scan, not a blow-up. time_gapfill's grid is
     // hours × distinct types: both sides bounded aggregates, never O(rows).
     val allowNestedLoop = Set("similarity_search", "contrastive_negatives",
-      "ngram_jaccard",
+      "quantize_recall_eval", "ngram_jaccard",
       "ann_lsh_search", "time_gapfill", "ann_recall_eval", "pq_recall_eval",
       "revenue_share", // 1-row scalar total broadcast onto 3 group rows
       "tfidf_topk",    // 1-row corpus-size N broadcast onto (doc,term) rows
