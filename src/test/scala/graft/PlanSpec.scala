@@ -216,6 +216,23 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"top-k fell back to a window shuffle:\n$p")
   }
 
+  test("contrastive_negatives top-k partial-aggregates map-side; " +
+    "exact_median ranks without a global window or extra exchanges") {
+    val p = physical(
+      graft.operators.Similarity.contrastiveNegatives(spark, Sf0001))
+    assert(p.contains("partial_top_k_rows"),
+      s"negative mining lost its bounded map-side top-k:\n$p")
+    assert(!p.contains("Window"), s"negative mining fell back to a window:\n$p")
+    val m = physical(graft.operators.Relational.exactMedian(spark, Sf0001))
+    // the rank window must be partitioned (by the range-partition id)
+    val unpart = graft.operators.Relational.exactMedian(spark, Sf0001)
+      .queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+    assert(unpart.isEmpty, s"exact_median sorts in a single task:\n$m")
+  }
+
   test("grouped_topk returns exactly ranking_window's rows") {
     val a = graft.operators.Relational.groupedTopk(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
