@@ -198,6 +198,20 @@ object CorpusOps {
     * partial-aggregated, vocabulary-bounded, no skew hot spots. */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    lmFrame(spark, dir).orderBy($"doc_id")
+  }
+
+  /** Pre-sort gate frame, memoized once per (session, dir) — see
+    * [[TextAnalysis.repetitionFrame]]; `quality_ensemble` shares it. */
+  private[graft] def lmFrame(spark: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((spark, dir, "lm_gate"),
+      lmFrameBuild(spark, dir).localCheckpoint(false))
+
+  private val memo = scala.collection.concurrent
+    .TrieMap[(SparkSession, String, String), org.apache.spark.sql.DataFrame]()
+
+  private def lmFrameBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     def bgRows = Tables.documents(spark, dir)
       .withColumn("toks", tokens($"text"))
       .where(size($"toks") >= 2)
@@ -223,7 +237,6 @@ object CorpusOps {
           .as("avg_logprob_u20"))
       .withColumn("flagged",
         when($"avg_logprob_u20" < flagAt, 1).otherwise(0))
-      .orderBy($"doc_id")
   }
 
   /** NS: per-source length quartiles — `ntile` bucketing (the one rank

@@ -346,7 +346,9 @@ class PlanSpec extends SparkSpecBase {
       // the count⋈total join (subset clustering): the matcher also counts
       // its ReusedExchange on the second branch, the small-stats
       // BroadcastExchange join choice, and the final orderBy range = 4
-      ("entropy_score", graft.operators.TextAnalysis.entropyScore(spark, Sf0001), 4),
+      // budget the INTERNAL frame: the query itself now reads a memoized
+      // checkpoint (shared with quality_ensemble), hiding the shape
+      ("entropy_score", graft.operators.TextAnalysis.entropyFrameBuild(spark, Sf0001), 4),
       ("domain_cap", graft.operators.TextAnalysis.domainCap(spark, Sf0001, 25), 2),
       // lag window, running-sum window, and the session aggregate must all
       // reuse ONE user_id exchange (subset-clustering satisfies the agg);
