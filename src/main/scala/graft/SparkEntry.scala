@@ -77,6 +77,7 @@ object SparkEntry {
     "waiting_suppliers"    -> (Relational.waitingSuppliers(_, _)),
     "range_bounds"         -> (Scale.rangeBounds(_, _)),
     "exact_median"         -> (Relational.exactMedian(_, _)),
+    "local_volume"         -> (Relational.localVolume(_, _)),
     "rendezvous_shards"    -> (Scale.rendezvousShards(_, _)),
     "semi_anti_join"       -> (Relational.semiAntiJoin(_, _)),
     "full_outer_join"      -> (Relational.fullOuterJoin(_, _)),
@@ -970,6 +971,20 @@ object SparkEntry {
         |t AS (SELECT CAST(count(*) AS DOUBLE) / 8 AS target_rows FROM lineitem)
         |SELECT bucket, rows, min_key, max_key, rows / target_rows AS balance
         |FROM g CROSS JOIN t ORDER BY bucket""".stripMargin,
+    "local_volume" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |            AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1997
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "exact_median" ->
       """WITH c AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
         |                  AS BIGINT) AS cents, l_orderkey, l_linenumber

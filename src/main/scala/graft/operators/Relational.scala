@@ -1639,6 +1639,36 @@ object Relational {
       .orderBy($"supp_nation", $"cust_nation", $"yr")
   }
 
+  /** NS: TPC-H Q5 shape — local supplier volume: revenue per nation from
+    * orders where the CUSTOMER and the SUPPLIER sit in the same nation
+    * (the "local fulfilment" read), restricted to one region and one
+    * order year. The same-nation predicate rides the lineitem→supplier
+    * join as an extra equality (c_nationkey = s_nationkey), so mismatched
+    * pairs die in the join, not in a post-filter; region membership and
+    * nation names are broadcast dims; the date cut is pushed into the
+    * orders scan. One fact shuffle (lineitem⋈orders), exact decimal
+    * revenue — the Q7 discipline on the Q5 topology. */
+  def localVolume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nations = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).where($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val ord = Tables.orders(spark, dir)
+      .where(year($"o_orderdate") === 1997)
+      .select($"o_orderkey", $"o_custkey")
+    Tables.lineitem(spark, dir)
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(spark, dir)),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nations), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(revenueExact($"l_extendedprice", $"l_discount").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
   /** NS: TPC-H Q8 shape — market share: for customers in the ASIA region,
     * the yearly share of their purchase revenue supplied from WITHIN the
     * region (the "home market share" conditional-aggregate form Q8
