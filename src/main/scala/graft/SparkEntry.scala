@@ -78,6 +78,7 @@ object SparkEntry {
     "range_bounds"         -> (Scale.rangeBounds(_, _)),
     "exact_median"         -> (Relational.exactMedian(_, _)),
     "local_volume"         -> (Relational.localVolume(_, _)),
+    "linear_attribution"   -> (Relational.linearAttribution(_, _)),
     "rendezvous_shards"    -> (Scale.rendezvousShards(_, _)),
     "semi_anti_join"       -> (Relational.semiAntiJoin(_, _)),
     "full_outer_join"      -> (Relational.fullOuterJoin(_, _)),
@@ -971,6 +972,43 @@ object SparkEntry {
         |t AS (SELECT CAST(count(*) AS DOUBLE) / 8 AS target_rows FROM lineitem)
         |SELECT bucket, rows, min_key, max_key, rows / target_rows AS balance
         |FROM g CROSS JOIN t ORDER BY bucket""".stripMargin,
+    "linear_attribution" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_ns(ts)//1000 AS p_us,
+        |             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_type AS touch_type, epoch_ns(ts)//1000 AS t_us
+        |      FROM events WHERE event_type IN ('view', 'click')),
+        |per AS (SELECT p_id, CAST(count(*) AS BIGINT) AS n_touches,
+        |          CAST(sum(CASE WHEN touch_type = 'view' THEN 1 ELSE 0 END)
+        |               AS BIGINT) AS n_view,
+        |          CAST(sum(CASE WHEN touch_type = 'click' THEN 1 ELSE 0 END)
+        |               AS BIGINT) AS n_click
+        |        FROM p JOIN t USING (user_id)
+        |        WHERE t_us < p_us AND t_us >= p_us - 86400000000
+        |        GROUP BY p_id),
+        |c AS (SELECT p.cents, per.n_touches, per.n_view, per.n_click
+        |      FROM p LEFT JOIN per USING (p_id)),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN n_touches IS NOT NULL
+        |       THEN cents * n_view * 1048576 // n_touches ELSE 0 END)
+        |       AS BIGINT) AS vu,
+        |  CAST(sum(CASE WHEN n_touches IS NOT NULL
+        |       THEN cents * n_click * 1048576 // n_touches ELSE 0 END)
+        |       AS BIGINT) AS cu,
+        |  CAST(sum(CASE WHEN n_touches IS NULL
+        |       THEN cents * 1048576 ELSE 0 END) AS BIGINT) AS nu,
+        |  CAST(sum(CASE WHEN n_view > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vp,
+        |  CAST(sum(CASE WHEN n_click > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |  CAST(sum(CASE WHEN n_touches IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS np
+        |  FROM c)
+        |SELECT touch, n_purchases, credit_u20,
+        |       CAST(credit_u20 AS DOUBLE) / 1048576.0 / 100.0 AS credit
+        |FROM (SELECT 'view' AS touch, vp AS n_purchases, vu AS credit_u20 FROM a
+        |      UNION ALL
+        |      SELECT 'click', cp, cu FROM a
+        |      UNION ALL
+        |      SELECT 'none', np, nu FROM a)
+        |ORDER BY touch""".stripMargin,
     "local_volume" ->
       """SELECT n_name,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -1041,6 +1041,56 @@ object Relational {
       .orderBy($"touch")
   }
 
+  /** NS: LINEAR multi-touch attribution — the equal-split counterpart of
+    * [[attributionReport]]'s last-touch rule: each purchase's value is
+    * divided equally over the user's view/click touches in the 24 h
+    * before it (no touch ⇒ the 'none' bucket keeps full credit, so the
+    * three buckets always sum to total purchase revenue). Cross-engine
+    * exactness: per-(purchase, type) credit is the INTEGER
+    * `cents·n_type·2^20 div n_touches` (truncating div, identical in
+    * both engines), summed exactly; only the terminal cents→dollars
+    * rescale is IEEE. Plan: one user-keyed fact–fact join bounded by
+    * per-user activity × the 24 h window, purchase-keyed agg riding the
+    * same clustering, 3-row stack output — linear at 100 TB. */
+  def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val winUs = 86400000000L
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id",
+        unix_micros($"ts").as("p_us"),
+        ($"value".cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+    val t = ev.filter($"event_type".isin("view", "click"))
+      .select($"user_id", $"event_type".as("touch_type"),
+        unix_micros($"ts").as("t_us"))
+    val per = p.join(t, Seq("user_id"))
+      .where($"t_us" < $"p_us" && $"t_us" >= $"p_us" - winUs)
+      .groupBy($"p_id")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(when($"touch_type" === "view", 1L).otherwise(0L)).as("n_view"),
+        sum(when($"touch_type" === "click", 1L).otherwise(0L)).as("n_click"))
+    val credited = p.join(per, Seq("p_id"), "left_outer")
+    credited
+      .agg(
+        sum(when($"n_touches".isNotNull,
+          expr("cents * n_view * 1048576 div n_touches")).otherwise(0L))
+          .as("vu"),
+        sum(when($"n_touches".isNotNull,
+          expr("cents * n_click * 1048576 div n_touches")).otherwise(0L))
+          .as("cu"),
+        sum(when($"n_touches".isNull, $"cents" * 1048576L).otherwise(0L))
+          .as("nu"),
+        sum(when($"n_view" > 0, 1L).otherwise(0L)).as("vp"),
+        sum(when($"n_click" > 0, 1L).otherwise(0L)).as("cp"),
+        sum(when($"n_touches".isNull, 1L).otherwise(0L)).as("np"))
+      .select(expr(
+        "stack(3, 'view', vp, vu, 'click', cp, cu, 'none', np, nu) " +
+          "AS (touch, n_purchases, credit_u20)"))
+      .select($"touch", $"n_purchases", $"credit_u20",
+        ($"credit_u20".cast(DoubleType) / 1048576.0 / 100.0).as("credit"))
+      .orderBy($"touch")
+  }
+
   /** NS: header/detail reconciliation — the data-quality join every
     * warehouse runs nightly: roll lineitem up per order (exact decimal),
     * compare against the order header's total, and bucket each order as

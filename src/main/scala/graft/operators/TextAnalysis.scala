@@ -587,7 +587,7 @@ object TextAnalysis {
   /** NS (LLM pipeline): the winnowing index as a DEDUP CANDIDATE
     * GENERATOR — pairs of docs sharing ≥ 2 selected fingerprints. This
     * is why winnowing exists at corpus scale: the pair join runs over
-    * ~2/(w+1) of the grams ([[dupSpans]]' full-fingerprint join shape at
+    * ~2/(w+1) of the grams ([[graft.operators.DocDedup.dupSpans]]' full-fingerprint join shape at
     * a fraction of the rows) yet the SIGMOD-2003 guarantee still
     * catches every shared run of ≥ w+k−1 words. Distinct fp per doc
     * before the self-join (a doc repeating a fingerprint isn't more

@@ -111,6 +111,28 @@ class OperatorSmokeSpec extends SparkSpecBase {
     }
   }
 
+  test("linear_attribution: credit conserves total purchase revenue up " +
+    "to integer-division truncation") {
+    import org.apache.spark.sql.functions.{col, expr, sum => fsum}
+    val rows = graft.operators.Relational
+      .linearAttribution(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet === Set("view", "click", "none"))
+    val ev = spark.read.parquet(s"$Sf0001/events.parquet")
+      .where(col("event_type") === "purchase")
+    val totalCents = ev
+      .agg(fsum(expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")))
+      .head().getLong(0)
+    val nPurch = ev.count()
+    val creditTotal = rows.values.map(_._2).sum
+    val loss = totalCents * 1048576L - creditTotal
+    // each credited purchase truncates two integer divisions, each losing
+    // strictly less than one 2^-20 unit
+    assert(loss >= 0 && loss < 2L * nPurch,
+      s"credit not conserved: total=${totalCents * 1048576L} " +
+        s"credited=$creditTotal loss=$loss purchases=$nPurch")
+  }
+
   test("quantize_recall_eval: 8 probes, hits bounded by k, int8 recall " +
     "high at this dimensionality") {
     val rows = graft.operators.Similarity
