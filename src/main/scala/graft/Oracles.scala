@@ -599,6 +599,71 @@ object Oracles {
          |  ON a.doc_a = s.doc_a AND a.doc_b = s.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    "corpus_pipeline" ->
+      s"""WITH base AS (SELECT doc_id, md5(text) AS h,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+         |       FROM documents),
+         |rtok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |rbg AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+         |                 i -> ts[i] || ' ' || ts[i+1])) AS bg
+         |        FROM rtok WHERE len(ts) >= 2),
+         |rc AS (SELECT doc_id, bg, count(*) AS n FROM rbg GROUP BY 1, 2),
+         |repf AS (SELECT doc_id, CASE WHEN CAST(max(n) AS DOUBLE) / sum(n) > 0.05
+         |                THEN 1 ELSE 0 END AS rep_f FROM rc GROUP BY doc_id),
+         |etok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |         FROM documents),
+         |ec AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+         |       FROM etok GROUP BY doc_id, tok),
+         |en AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens
+         |       FROM ec GROUP BY doc_id),
+         |et AS (SELECT ec.doc_id,
+         |         CAST(floor(-(CAST(ec.c AS DOUBLE) / en.n_tokens)
+         |                    * ln(CAST(ec.c AS DOUBLE) / en.n_tokens)
+         |                    * CAST(1048576 AS DOUBLE) + 0.5) AS BIGINT) AS term_u20
+         |       FROM ec JOIN en USING (doc_id)),
+         |entf AS (SELECT doc_id, CASE WHEN CAST(sum(term_u20) AS BIGINT) < 1572864
+         |                THEN 1 ELSE 0 END AS ent_f FROM et GROUP BY doc_id),
+         |lbw AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM rbg),
+         |lcb AS (SELECT bg, CAST(count(*) AS BIGINT) AS cnt_bg FROM lbw GROUP BY 1),
+         |lcw AS (SELECT split_part(bg, ' ', 1) AS w1,
+         |               CAST(sum(cnt_bg) AS BIGINT) AS cnt_w1 FROM lcb GROUP BY 1),
+         |ls AS (SELECT doc_id,
+         |         CAST(floor(ln(CAST(cnt_bg AS DOUBLE) / CAST(cnt_w1 AS DOUBLE))
+         |                * 1048576.0 + 0.5) AS BIGINT) AS u20
+         |       FROM lbw JOIN lcb USING (bg) JOIN lcw USING (w1)),
+         |lmf AS (SELECT doc_id, CASE WHEN
+         |          CAST(sum(u20) AS DOUBLE) / count(*) < -4102053.0
+         |          THEN 1 ELSE 0 END AS lm_f FROM ls GROUP BY doc_id),
+         |q AS (SELECT b.doc_id, b.h, b.n_toks,
+         |        CASE WHEN COALESCE(r.rep_f, 0) = 0 AND COALESCE(e.ent_f, 0) = 0
+         |             AND COALESCE(l.lm_f, 0) = 0 THEN 1 ELSE 0 END AS q_keep
+         |      FROM base b LEFT JOIN repf r USING (doc_id)
+         |      LEFT JOIN entf e USING (doc_id) LEFT JOIN lmf l USING (doc_id)),
+         |ek AS (SELECT h, min(doc_id) AS e_keeper FROM q WHERE q_keep = 1
+         |       GROUP BY h),
+         |q2 AS (SELECT q.doc_id, q.h, q.n_toks, q.q_keep,
+         |         CASE WHEN q.q_keep = 1 AND q.doc_id = ek.e_keeper
+         |              THEN 1 ELSE 0 END AS e_keep
+         |       FROM q LEFT JOIN ek USING (h)),
+         |cl AS (SELECT * FROM ($clustersSql)),
+         |q3 AS (SELECT q2.*, cl.cluster_id FROM q2 JOIN cl USING (doc_id)),
+         |cm AS (SELECT cluster_id, min(doc_id) AS c_keeper FROM q3
+         |       WHERE e_keep = 1 GROUP BY cluster_id),
+         |q4 AS (SELECT q3.*, CASE WHEN q3.e_keep = 1 AND q3.doc_id = cm.c_keeper
+         |              THEN 1 ELSE 0 END AS c_keep
+         |       FROM q3 LEFT JOIN cm USING (cluster_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |       CAST(sum(q_keep) AS BIGINT) AS n_quality,
+         |       CAST(sum(CASE WHEN q_keep = 1 THEN n_toks ELSE 0 END)
+         |            AS BIGINT) AS tok_quality,
+         |       CAST(sum(e_keep) AS BIGINT) AS n_exact,
+         |       CAST(sum(CASE WHEN e_keep = 1 THEN n_toks ELSE 0 END)
+         |            AS BIGINT) AS tok_exact,
+         |       CAST(sum(c_keep) AS BIGINT) AS n_neardup,
+         |       CAST(sum(CASE WHEN c_keep = 1 THEN n_toks ELSE 0 END)
+         |            AS BIGINT) AS tok_neardup
+         |FROM q4""".stripMargin,
     "dedup_clusters" -> (clustersSql + " ORDER BY doc_id"),
     // incremental merge must be row-identical to the batch closure — the
     // oracle IS the batch recursive-CTE closure over the full pair graph

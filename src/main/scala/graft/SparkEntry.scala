@@ -155,6 +155,7 @@ object SparkEntry {
     "lang_id_eval"         -> (TextAnalysis.langIdEval(_, _)),
     "fingerprint"          -> (TextAnalysis.fingerprint(_, _)),
     "corpus_curation"      -> (TextAnalysis.corpusCuration(_, _)),
+    "corpus_pipeline"      -> (CorpusOps.corpusPipeline(_, _)),
     "text_normalize"       -> (TextAnalysis.textNormalize(_, _)),
     "hash_split"           -> (TextAnalysis.hashSplit(_, _)),
     "repetition_score"     -> (TextAnalysis.repetitionScore(_, _)),

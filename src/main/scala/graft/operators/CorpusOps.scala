@@ -760,4 +760,55 @@ object CorpusOps {
         when($"sum_w_u20" > 0, 1).otherwise(0).as("target_like"))
       .orderBy($"doc_id")
   }
+
+  /** NS (LLM pipeline): the END-TO-END curation funnel as ONE declarative
+    * plan — the composition a training-data run actually executes, with
+    * per-stage survivor doc/token counts (the report that justifies every
+    * deleted byte):
+    *   1. quality gates (repetition ∧ entropy ∧ bigram-LM, all three
+    *      memoized gate frames — shared with their own queries),
+    *   2. exact dedup among quality survivors (min-doc keeper per
+    *      content md5),
+    *   3. near-dup cluster dedup (min SURVIVING doc per simhash CC
+    *      cluster — reusing the memoized star-contraction labels).
+    * Every stage is a flag column on one doc-keyed frame, so the funnel
+    * is a single linear pass + the bounded joins its inputs already pay;
+    * nothing is re-scanned per stage. At 100 TB this is the plan you'd
+    * submit nightly: gates and labels come from persisted staging tables
+    * and the funnel itself is one job. */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", md5($"text").as("h"),
+        size(TextAnalysis.tokens($"text")).cast(LongType).as("n_toks"))
+    val rep = TextAnalysis.repetitionFrame(spark, dir)
+      .select($"doc_id", $"repetitive")
+    val ent = TextAnalysis.entropyFrame(spark, dir)
+      .select($"doc_id", $"flagged".as("ent_f"))
+    val lm = lmFrame(spark, dir).select($"doc_id", $"flagged".as("lm_f"))
+    val q = base
+      .join(rep, Seq("doc_id"), "left_outer")
+      .join(ent, Seq("doc_id"), "left_outer")
+      .join(lm, Seq("doc_id"), "left_outer")
+      .withColumn("q_keep",
+        coalesce($"repetitive", lit(0)) === 0 &&
+          coalesce($"ent_f", lit(0)) === 0 && coalesce($"lm_f", lit(0)) === 0)
+    val exactKeepers = q.where($"q_keep")
+      .groupBy($"h").agg(min($"doc_id").as("e_keeper"))
+    val q2 = q.join(exactKeepers, Seq("h"), "left_outer")
+      .withColumn("e_keep", $"q_keep" && $"doc_id" === $"e_keeper")
+    val q3 = q2.join(DocDedup.dedupClusters(spark, dir), Seq("doc_id"))
+    val clusterKeepers = q3.where($"e_keep")
+      .groupBy($"cluster_id").agg(min($"doc_id").as("c_keeper"))
+    q3.join(clusterKeepers, Seq("cluster_id"), "left_outer")
+      .withColumn("c_keep", $"e_keep" && $"doc_id" === $"c_keeper")
+      .agg(
+        count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"),
+        sum(when($"q_keep", 1L).otherwise(0L)).as("n_quality"),
+        sum(when($"q_keep", $"n_toks").otherwise(0L)).as("tok_quality"),
+        sum(when($"e_keep", 1L).otherwise(0L)).as("n_exact"),
+        sum(when($"e_keep", $"n_toks").otherwise(0L)).as("tok_exact"),
+        sum(when($"c_keep", 1L).otherwise(0L)).as("n_neardup"),
+        sum(when($"c_keep", $"n_toks").otherwise(0L)).as("tok_neardup"))
+  }
 }

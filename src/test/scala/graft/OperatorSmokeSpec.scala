@@ -111,6 +111,25 @@ class OperatorSmokeSpec extends SparkSpecBase {
     }
   }
 
+  test("corpus_pipeline: funnel counts are monotone and consistent with " +
+    "the standalone stages") {
+    val r = graft.operators.CorpusOps.corpusPipeline(spark, Sf0001).head()
+    val Seq(nDocs, nTok, nQ, tokQ, nE, tokE, nC, tokC) =
+      (0 until 8).map(r.getLong)
+    assert(nDocs > 0 && nTok > 0)
+    assert(nDocs >= nQ && nQ >= nE && nE >= nC && nC > 0,
+      s"doc funnel not monotone: $nDocs >= $nQ >= $nE >= $nC")
+    assert(nTok >= tokQ && tokQ >= tokE && tokE >= tokC && tokC > 0,
+      s"token funnel not monotone: $nTok >= $tokQ >= $tokE >= $tokC")
+    // stage 1 must agree with quality_ensemble's all-clear cell
+    val clear = graft.operators.TextAnalysis.qualityEnsemble(spark, Sf0001)
+      .collect()
+      .find(x => x.getInt(0) == 0 && x.getInt(1) == 0 && x.getInt(2) == 0)
+      .map(_.getLong(3)).getOrElse(0L)
+    assert(nQ === clear,
+      s"quality survivors $nQ != ensemble all-clear cell $clear")
+  }
+
   test("linear_attribution: credit conserves total purchase revenue up " +
     "to integer-division truncation") {
     import org.apache.spark.sql.functions.{col, expr, sum => fsum}
