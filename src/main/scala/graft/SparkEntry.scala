@@ -156,6 +156,7 @@ object SparkEntry {
     "fingerprint"          -> (TextAnalysis.fingerprint(_, _)),
     "corpus_curation"      -> (TextAnalysis.corpusCuration(_, _)),
     "corpus_pipeline"      -> (CorpusOps.corpusPipeline(_, _)),
+    "k_anonymity"          -> (TextAnalysis.kAnonymity(_, _)),
     "text_normalize"       -> (TextAnalysis.textNormalize(_, _)),
     "hash_split"           -> (TextAnalysis.hashSplit(_, _)),
     "repetition_score"     -> (TextAnalysis.repetitionScore(_, _)),
@@ -1302,6 +1303,16 @@ object SparkEntry {
         |       CASE WHEN CAST(top_count AS DOUBLE) / n_bigrams > 0.05
         |            THEN 1 ELSE 0 END AS repetitive
         |FROM t ORDER BY doc_id""".stripMargin,
+    "k_anonymity" ->
+      """WITH cls AS (SELECT lang, source,
+        |               CAST(length(bin(n_chars)) - 1 AS INTEGER) AS len_bucket,
+        |               CAST(count(*) AS BIGINT) AS class_size
+        |             FROM documents GROUP BY 1, 2, 3)
+        |SELECT class_size < 5 AS at_risk,
+        |       CAST(count(*) AS BIGINT) AS n_classes,
+        |       CAST(sum(class_size) AS BIGINT) AS n_docs,
+        |       min(class_size) AS min_class, max(class_size) AS max_class
+        |FROM cls GROUP BY 1 ORDER BY at_risk""".stripMargin,
     "hash_split" ->
       """SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(doc_id) AS BIGINT) AS id_checksum,

@@ -459,6 +459,30 @@ object TextAnalysis {
       .orderBy($"labeled_lang", $"pred_lang")
   }
 
+  /** NS (governance): k-anonymity audit over quasi-identifiers — how many
+    * documents sit in a (lang, source, log2-length-bucket) equivalence
+    * class smaller than k: the re-identification risk screen a
+    * training-data release runs before publishing corpus statistics
+    * (a class of 1 means "this combination pinpoints one document").
+    * Integer bit-length buckets (the `token_spectrum` trick — no float
+    * log), one grouped count + a bounded class-size rollup; at 100 TB the
+    * class table is |langs|·|sources|·~40 buckets, always tiny. */
+  def kAnonymity(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val classes = Tables.documents(spark, dir)
+      .select($"lang", $"source",
+        (length(bin($"n_chars")) - 1).cast(IntegerType).as("len_bucket"))
+      .groupBy($"lang", $"source", $"len_bucket")
+      .agg(count(lit(1)).as("class_size"))
+    classes
+      .groupBy(($"class_size" < k).as("at_risk"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum($"class_size").as("n_docs"),
+        min($"class_size").as("min_class"),
+        max($"class_size").as("max_class"))
+      .orderBy($"at_risk")
+  }
+
   /** NS: quality-gate agreement matrix — the quality-filter twin of
     * `dedup_ensemble`: every document voted on by the three independent
     * gates (bigram repetition > 5%, token entropy < 1.5 nats, bigram-LM
