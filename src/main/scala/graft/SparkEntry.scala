@@ -156,6 +156,7 @@ object SparkEntry {
     "fingerprint"          -> (TextAnalysis.fingerprint(_, _)),
     "corpus_curation"      -> (TextAnalysis.corpusCuration(_, _)),
     "corpus_pipeline"      -> (CorpusOps.corpusPipeline(_, _)),
+    "token_budget"         -> (CorpusOps.tokenBudget(_, _)),
     "k_anonymity"          -> (TextAnalysis.kAnonymity(_, _)),
     "text_normalize"       -> (TextAnalysis.textNormalize(_, _)),
     "hash_split"           -> (TextAnalysis.hashSplit(_, _)),
@@ -1303,6 +1304,32 @@ object SparkEntry {
         |       CASE WHEN CAST(top_count AS DOUBLE) / n_bigrams > 0.05
         |            THEN 1 ELSE 0 END AS repetitive
         |FROM t ORDER BY doc_id""".stripMargin,
+    "token_budget" ->
+      """WITH per AS (SELECT source,
+        |               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+        |             FROM documents GROUP BY source),
+        |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM per),
+        |a1 AS (SELECT per.source, per.avail,
+        |         CAST(1000000 // n1.n_sources AS BIGINT) AS fair1,
+        |         CAST(least(per.avail, 1000000 // n1.n_sources) AS BIGINT)
+        |           AS alloc1
+        |       FROM per, n1),
+        |t1 AS (SELECT CAST(sum(alloc1) AS BIGINT) AS used,
+        |         CAST(sum(CASE WHEN avail > fair1 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_unsat
+        |       FROM a1)
+        |SELECT a1.source, a1.avail,
+        |       CAST(a1.alloc1 + CASE WHEN a1.avail > a1.fair1
+        |         THEN least(a1.avail - a1.alloc1,
+        |                    (1000000 - t1.used) // greatest(t1.n_unsat, 1))
+        |         ELSE 0 END AS BIGINT) AS allocated,
+        |       a1.avail <= a1.fair1 AS saturated,
+        |       CAST(a1.alloc1 + CASE WHEN a1.avail > a1.fair1
+        |         THEN least(a1.avail - a1.alloc1,
+        |                    (1000000 - t1.used) // greatest(t1.n_unsat, 1))
+        |         ELSE 0 END AS DOUBLE) / CAST(a1.avail AS DOUBLE)
+        |         AS sample_rate
+        |FROM a1, t1 ORDER BY source""".stripMargin,
     "k_anonymity" ->
       """WITH cls AS (SELECT lang, source,
         |               CAST(length(bin(n_chars)) - 1 AS INTEGER) AS len_bucket,

@@ -761,6 +761,42 @@ object CorpusOps {
       .orderBy($"doc_id")
   }
 
+  /** NS (LLM pipeline): token-budget allocation across sources — the
+    * waterfilling planner behind "train on B tokens, as uniform across
+    * sources as supply allows": round 1 gives every source
+    * min(available, B div n_sources); round 2 redistributes the surplus
+    * equally among the sources that still have supply (the 2-round
+    * truncation IS the declared contract — deterministic, integer-exact,
+    * and within n_sources tokens of the fixed point). Everything after
+    * the per-source token count is arithmetic over the |sources|-row
+    * frame with two 1-row scalar broadcasts — the planner costs one
+    * corpus aggregate at any scale. */
+  def tokenBudget(spark: SparkSession, dir: String,
+      budget: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    val per = Tables.documents(spark, dir)
+      .select($"source",
+        size(TextAnalysis.tokens($"text")).cast(LongType).as("toks"))
+      .groupBy($"source").agg(sum($"toks").as("avail"))
+    val n1 = per.agg(count(lit(1)).as("n_sources"))
+    val a1 = per.crossJoin(broadcast(n1))
+      .withColumn("fair1", expr(s"$budget div n_sources"))
+      .withColumn("alloc1", least($"avail", $"fair1"))
+    val t1 = a1.agg(sum($"alloc1").as("used"),
+      sum(when($"avail" > $"fair1", 1L).otherwise(0L)).as("n_unsat"))
+    a1.crossJoin(broadcast(t1))
+      .withColumn("alloc2", when($"avail" > $"fair1",
+        least($"avail" - $"alloc1",
+          expr(s"($budget - used) div greatest(n_unsat, 1)")))
+        .otherwise(0L))
+      .select($"source", $"avail",
+        ($"alloc1" + $"alloc2").as("allocated"),
+        ($"avail" <= $"fair1").as("saturated"),
+        (($"alloc1" + $"alloc2").cast(DoubleType) /
+          $"avail".cast(DoubleType)).as("sample_rate"))
+      .orderBy($"source")
+  }
+
   /** NS (LLM pipeline): the END-TO-END curation funnel as ONE declarative
     * plan — the composition a training-data run actually executes, with
     * per-stage survivor doc/token counts (the report that justifies every

@@ -111,6 +111,26 @@ class OperatorSmokeSpec extends SparkSpecBase {
     }
   }
 
+  test("token_budget: allocations bounded by supply and budget, " +
+    "waterfilling leaves less than one share unspent") {
+    val B = 1000000L
+    val rows = graft.operators.CorpusOps.tokenBudget(spark, Sf0001, B)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, avail, alloc, _) =>
+      assert(alloc >= 0 && alloc <= avail, s"source $s over-allocated")
+    }
+    val total = rows.map(_._3).sum
+    assert(total <= B, s"budget exceeded: $total > $B")
+    val leftover = B - total
+    val allSaturated = rows.forall { case (_, avail, alloc, _) => alloc == avail }
+    // 2-round waterfilling contract: either supply ran out, or the
+    // unspent remainder is below one per-source share (div truncation)
+    assert(allSaturated || leftover < rows.length.toLong * 2,
+      s"implausible leftover $leftover over ${rows.length} sources")
+  }
+
   test("corpus_pipeline: funnel counts are monotone and consistent with " +
     "the standalone stages") {
     val r = graft.operators.CorpusOps.corpusPipeline(spark, Sf0001).head()

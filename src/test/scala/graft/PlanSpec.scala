@@ -411,7 +411,8 @@ class PlanSpec extends SparkSpecBase {
       "chi2_drift",    // 1-row grand-total broadcast onto the 10 cells
       "gini_revenue",  // 1-row (n, total) broadcast onto per-cust ranks
       "basket_pairs",  // 1-row distinct-order total broadcast onto pair rows
-      "rendezvous_shards") // 1-row total broadcast onto the 8 shard rows
+      "rendezvous_shards", // 1-row total broadcast onto the 8 shard rows
+      "token_budget")  // two 1-row scalar broadcasts onto |sources| rows
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = physical(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
