@@ -94,7 +94,16 @@ object Bench {
       p1.map { case (name, s) => name -> math.min(s, p2(name)) }
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    def ent(k: String, v: Double) = "\"" + k + "\":" + f"$v%.3f"
+    // minimal JSON string escaping: every interpolated key/path goes
+    // through this, so a quote/backslash/control char in a query name or
+    // sfDir can never yield an invalid machine line
+    def jesc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    def ent(k: String, v: Double) = "\"" + jesc(k) + "\":" + f"$v%.3f"
     // Full per-query map on its own prefixed line (humans / logs only — the
     // prefix keeps it from being mistaken for the machine line below).
     val bySlowest = results.toSeq.sortBy(-_._2)
@@ -105,7 +114,7 @@ object Bench {
     // the WHOLE registry, so persist it where the repo keeps round state)
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
-      (s"""{"sf":"$sfDir","total":${f"$total%.3f"},""" +
+      (s"""{"sf":"${jesc(sfDir)}","total":${f"$total%.3f"},""" +
         s""""queries_n":${results.size},"queries":$fullMap}""" + "\n")
         .getBytes("UTF-8"))
     catch { case e: Throwable =>
@@ -125,7 +134,7 @@ object Bench {
       if (len + e.length + 1 <= budget) { kept += e; len += e.length + 1 }
     }
     val qs = kept.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_n":${results.size},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_n":${results.size},"sf":"${jesc(sfDir)}"}""")
     spark.stop()
   }
 }

@@ -49,6 +49,8 @@ object Verify {
     }
     val queue = new java.util.concurrent.ConcurrentLinkedQueue(
       scala.jdk.CollectionConverters.SeqHasAsJava(selected.toSeq).asJava)
+    val ok = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val workers = 4
     val threads = (1 to workers).map { _ =>
       new Thread(() => {
@@ -59,9 +61,11 @@ object Verify {
           try {
             fn(spark, sfDir).coalesce(1).write.mode("overwrite")
               .parquet(s"$outDir/$name")
+            ok.add(name)
             System.err.println(
               f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
           } catch { case e: Throwable =>
+            failed.add(name)
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
           next = queue.poll()
@@ -70,7 +74,30 @@ object Verify {
     }
     threads.foreach(_.start())
     threads.foreach(_.join())
+    writeGate(sfDir, outDir, ok.size,
+      scala.jdk.CollectionConverters.SetHasAsScala(failed).asScala.toSeq.sorted)
     spark.stop()
+  }
+
+  /** Scripted gate record — the registry tallies SURVEY cites, emitted
+    * from the registry itself so the numbers can never drift from the
+    * code (round-6 finding: hand-written counts drifted twice).
+    * Written next to the verify outputs; `tools/gate.py` merges the
+    * per-SF records + the sbt test summary into the repo-root GATE.json.
+    */
+  private def writeGate(sfDir: String, outDir: String,
+      okN: Int, failed: Seq[String]): Unit = {
+    val names = SparkEntry.queries.keySet
+    val oracled = names.intersect(SparkEntry.oracleSql.keySet)
+    val rowsOnly = (names -- oracled).toSeq.sorted
+    def q(s: String) = "\"" + s + "\""
+    val json =
+      s"""{"registry_n": ${names.size}, "oracled_n": ${oracled.size},
+         | "rows_only": ${rowsOnly.map(q).mkString("[", ", ", "]")},
+         | "sf": ${q(sfDir)}, "ran_ok": $okN,
+         | "failed": ${failed.map(q).mkString("[", ", ", "]")}}
+         |""".stripMargin
+    Files.writeString(Paths.get(s"$outDir/GATE.json"), json)
   }
 
   private def writeOracleSql(outDir: String): Unit = {

@@ -35,18 +35,21 @@ object CorpusOps {
     * keeps engine and oracle bit-identical. */
   def tfidfTopk(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import spark.implicits._
-    val tf = Tables.documents(spark, dir)
-      .select($"doc_id", explode(tokens($"text")).as("term"))
+    val toksF = TextAnalysis.docTokens(spark, dir)
+    val tf = toksF
+      .select($"doc_id", explode($"toks").as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     // df straight off per-row distinct tokens: ONE term-keyed aggregate
     // with map-side partials (deriving it from tf would re-run the
     // (doc, term) exchange — Catalyst prunes the count and the subtree
     // stops being reusable; a count-over-term window would instead sort
     // stop-word-sized partitions — a skew hazard at corpus scale).
-    val df = Tables.documents(spark, dir)
-      .select(explode(array_distinct(tokens($"text"))).as("term"))
+    // The broadcast hint fits the fixture vocabularies; at a 100 TB
+    // corpus's vocabulary, drop the hint and let stats pick the join.
+    val df = toksF
+      .select(explode(array_distinct($"toks")).as("term"))
       .groupBy($"term").agg(count(lit(1)).as("df"))
-    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val n = toksF.agg(count(lit(1)).as("n_docs"))
     val scoreU20 = floor(
       $"tf".cast(DoubleType) *
         log($"n_docs".cast(DoubleType) / $"df".cast(DoubleType)) *
@@ -380,8 +383,7 @@ object CorpusOps {
     val qterms = Seq("dup", "spark", "vector", "stream", "window")
     val k1 = 1.2
     val b = 0.75
-    val docs = Tables.documents(spark, dir)
-      .select($"doc_id", tokens($"text").as("toks"))
+    val docs = TextAnalysis.docTokens(spark, dir)
       .withColumn("dl", org.apache.spark.sql.functions.size($"toks").cast(LongType))
     val lenStats = docs.agg(sum($"dl").as("sum_dl"),
       count(lit(1)).as("n_docs"))
@@ -414,10 +416,16 @@ object CorpusOps {
   /** NS: pointwise-mutual-information word associations — the word2vec-era
     * collocation miner: for every unordered adjacent token pair,
     * PMI = ln( p(a,b) / (p(a)·p(b)) ) from corpus counts, top-20 pairs
-    * with support ≥ minCount. The plan is two bounded explodes (pair and
-    * unigram counts, both partial-aggregated and vocabulary-bounded), the
-    * 1-row totals broadcast back, and a TakeOrdered — no corpus-scale
-    * shuffle beyond the two count aggregates.
+    * with support ≥ minCount. Both count aggregates read the ONE
+    * memoized [[TextAnalysis.docTokens]] frame (the corpus is tokenized
+    * once, not once per aggregate), and the unigram counts reach the
+    * pair rows through a melt-shaped SHUFFLE join: each surviving pair
+    * contributes one row per side (wa and wb), the vocabulary table
+    * joins once on that shuffled key, and a (wa, wb) regroup re-gathers
+    * na/nb. A vocabulary is NOT broadcast-sized at corpus scale (a
+    * 100 TB corpus's unigram table is GBs), so the only broadcast left
+    * is the 1-row totals frame. The support filter runs BEFORE the melt,
+    * so the join ships 2·|surviving pairs| rows, not 2·|all pairs|.
     *
     * PMI is emitted and RANKED in 2^-20 fixed point (same cross-engine
     * log discipline as [[tfidfTopk]]); count ratios divide exact bigints,
@@ -425,7 +433,7 @@ object CorpusOps {
   def cooccurPmi(spark: SparkSession, dir: String,
       minCount: Long = 5L, k: Int = 20): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir).select(tokens($"text").as("toks"))
+    val docs = TextAnalysis.docTokens(spark, dir).select($"toks")
     val pairCnt = docs
       .select(explode(expr(
         "transform(sequence(1, size(toks)-1), i -> " +
@@ -439,13 +447,20 @@ object CorpusOps {
       .groupBy($"w").agg(count(lit(1)).as("uni_n"))
     val totals = uniCnt.agg(sum($"uni_n").as("t_uni"))
       .crossJoin(pairCnt.agg(sum($"pair_n").as("t_pair")))
+    val withUni = pairCnt
+      .where($"pair_n" >= minCount)
+      .select($"wa", $"wb", $"pair_n", explode(array(
+        struct(lit("a").as("side"), $"wa".as("w")),
+        struct(lit("b").as("side"), $"wb".as("w")))).as("m"))
+      .select($"wa", $"wb", $"pair_n", $"m.side".as("side"), $"m.w".as("w"))
+      .join(uniCnt, "w") // shuffle join — the vocab side is never broadcast
+      .groupBy($"wa", $"wb", $"pair_n")
+      .agg(max(when($"side" === "a", $"uni_n")).as("na"),
+        max(when($"side" === "b", $"uni_n")).as("nb"))
     val xd: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       _.cast(DoubleType)
-    pairCnt
-      .join(broadcast(uniCnt.select($"w".as("wa"), $"uni_n".as("na"))), "wa")
-      .join(broadcast(uniCnt.select($"w".as("wb"), $"uni_n".as("nb"))), "wb")
+    withUni
       .crossJoin(broadcast(totals))
-      .where($"pair_n" >= minCount)
       .withColumn("pmi_u20", floor(
         log((xd($"pair_n") / xd($"t_pair")) /
           ((xd($"na") / xd($"t_uni")) * (xd($"nb") / xd($"t_uni")))) *
@@ -735,9 +750,9 @@ object CorpusOps {
     * (doc, token) occurrences — the same plan at 100 TB. */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = Tables.documents(spark, dir)
+    val toks = TextAnalysis.docTokens(spark, dir)
       .select($"doc_id", ($"doc_id" % 50 === 0).as("is_bench"),
-        explode(tokens($"text")).as("tok"))
+        explode($"toks").as("tok"))
     val perTok = toks.groupBy($"tok")
       .agg(sum(when($"is_bench", 1L).otherwise(0L)).as("ct"),
         sum(when($"is_bench", 0L).otherwise(1L)).as("cr"))

@@ -96,25 +96,54 @@ object GraphOps {
     * pair agrees) from chained false-positive paths (a~b~c but a≁c) —
     * the structural quality signal for `dedup_clusters`' output.
     *
-    * Enumeration is the standard ordered-wedge join: edges are kept
-    * oriented (doc_a < doc_b, already the pair convention), wedges
-    * (a<b<c with a~b, b~c) join against the closing edge (a,c). Cost is
-    * Σ_v deg(v)² wedges — bounded by the banded pair generation, never
-    * corpus-quadratic; at 100 TB you additionally orient by DEGREE
-    * (low→high) so hub wedges collapse, the classic skew fix. */
+    * Enumeration is the DEGREE-ORIENTED wedge join (the MapReduce
+    * triangle-counting skew fix): every undirected edge is re-oriented
+    * low→high by (degree, id), wedges form only at each triangle's
+    * MINIMUM-degree vertex, and the closing edge joins in oriented form.
+    * Out-degree under this orientation is bounded by O(√|E|) regardless
+    * of hubs (a degree-d hub is the wedge CENTER for none of its edges
+    * unless everything around it is even denser), so per-key wedge
+    * fan-out — the Σ_v outdeg(v)² join cost — survives a boilerplate
+    * hub that would make the naive id-oriented join quadratic in the
+    * hub degree. Count-invariance vs the id orientation and the √
+    * fan-out bound are property-tested on a hub graph (GraphOpsSpec). */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = DocDedup.simhashPairsMemo(spark, dir).select($"doc_a", $"doc_b")
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
-      .join(e.as("e3"),
-        col("e1.doc_a") === col("e3.doc_a") && col("e2.doc_b") === col("e3.doc_b"))
-      .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"),
-        col("e2.doc_b").as("c"))
-    tri.select(explode(array($"a", $"b", $"c")).as("doc_id"))
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_triangles"))
+    trianglesPerNode(e)
       .orderBy($"n_triangles".desc, $"doc_id")
       .limit(20)
+  }
+
+  /** Per-node triangle participation counts over an undirected edge set
+    * (`doc_a` < `doc_b`, distinct) via the degree-oriented wedge join —
+    * see [[graphTriangles]]. Exposed for the orientation-invariance
+    * property test. */
+  private[graft] def trianglesPerNode(e0: DataFrame): DataFrame = {
+    val deg = e0.select(col("doc_a").as("v"))
+      .union(e0.select(col("doc_b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val withDeg = e0
+      .join(deg.select(col("v").as("doc_a"), col("deg").as("da")), "doc_a")
+      .join(deg.select(col("v").as("doc_b"), col("deg").as("db")), "doc_b")
+    // a ≺ b  ⇔  (deg(a), a) < (deg(b), b): a strict total order, so each
+    // triangle keeps exactly one wedge — at its minimum vertex.
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("doc_a") < col("doc_b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("src"),
+      when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
+    val dstFirst = col("e1.ddeg") < col("e2.ddeg") ||
+      (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.src") === col("e2.src") && dstFirst)
+      .join(oriented.as("e3"),
+        col("e1.dst") === col("e3.src") && col("e2.dst") === col("e3.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
   }
 
   /** NS: degree distribution of the near-dup pair graph, log2-bucketed —

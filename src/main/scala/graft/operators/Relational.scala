@@ -1070,6 +1070,11 @@ object Relational {
         sum(when($"touch_type" === "view", 1L).otherwise(0L)).as("n_view"),
         sum(when($"touch_type" === "click", 1L).otherwise(0L)).as("n_click"))
     val credited = p.join(per, Seq("p_id"), "left_outer")
+    // CONTRACT: purchase values are non-negative (events.value is a
+    // price). Spark `div` truncates toward zero while the oracle's
+    // DuckDB `//` floors, so the integer-exactness claim holds only for
+    // non-negative cents — a refunds-bearing feed must filter or abs()
+    // BEFORE this credit split on BOTH engines.
     credited
       .agg(
         sum(when($"n_touches".isNotNull,
@@ -1401,27 +1406,33 @@ object Relational {
     * distributions: D = max over observed values of
     * |CDF_A(v) − CDF_B(v)|. The distribution-shift monitor a feature
     * pipeline runs between snapshots before trusting a model's inputs.
-    * Computed exactly: per-value counts per side (one shuffle), ONE
-    * global cumulative window over the ~|distinct values| grid (grid-
-    * sized, not row-sized — the scan's row count never enters the
-    * window), and every CDF difference is quantized to 2^-20 fixed
-    * point BEFORE the argmax so the winning value is engine-exact
-    * (ties break to the smallest value). */
+    * Computed exactly: per-value counts per side (one shuffle), then the
+    * global CDF cumulative via [[Scale.withGlobalCumsum]] — range-
+    * partitioned per-partition running sums plus numParts-row prefix
+    * offsets, NOT an unpartitioned window: `value` is a continuous
+    * column, so its distinct grid grows with the data (≈ row count on
+    * real continuous data) and a single-task cumulative sort would be
+    * the classic 100 TB scale-killer. Every CDF difference is quantized
+    * to 2^-20 fixed point BEFORE the argmax so the winning value is
+    * engine-exact (ties break to the smallest value). */
   def ksDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
       .filter($"event_type".isin("purchase", "view"))
       .select($"event_type", $"value")
+    // lazy-checkpoint the grid so withGlobalCumsum's range-boundary
+    // sampling pass and its cumulative pass both read the materialized
+    // per-value counts instead of re-aggregating the event scan
     val perValue = ev.groupBy($"value")
       .agg(sum(($"event_type" === "purchase").cast(LongType)).as("ca"),
         sum(($"event_type" === "view").cast(LongType)).as("cb"))
-    val w = Window.orderBy($"value")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .localCheckpoint(false)
     val totals = ev.agg(
       sum(($"event_type" === "purchase").cast(LongType)).as("na"),
       sum(($"event_type" === "view").cast(LongType)).as("nb"))
-    perValue
-      .select($"value", sum($"ca").over(w).as("cuma"), sum($"cb").over(w).as("cumb"))
+    Scale.withGlobalCumsum(perValue, Seq($"value"),
+      Seq("ca" -> "cuma", "cb" -> "cumb"))
+      .select($"value", $"cuma", $"cumb")
       .crossJoin(broadcast(totals))
       .select($"value",
         floor(abs($"cuma".cast(DoubleType) / $"na"
@@ -2364,5 +2375,8 @@ object Relational {
         max(when($"rk" === r75, $"cents")).as("p75_cents"))
       .select(lit(n).as("n_rows"), $"p25_cents", $"median_x2_cents",
         $"p75_cents")
+      // empty-input shape parity: the oracle's GROUP BY emits zero rows
+      // on an empty lineitem, where a global agg would emit one
+      .where(lit(n) > 0)
   }
 }

@@ -217,17 +217,32 @@ object Scale {
     val binMap = files.zip(plan).map { case (f, (_, bin, _)) =>
       (f.getPath.toUri.getRawPath.split('/').last, bin)
     }.toSeq.toDF("fname", "bin")
+    // Row-conservation check rides the write job itself via observe()
+    // metrics — scan rows counted at the source, written rows counted
+    // after the bin join — so verification costs ZERO extra scans (the
+    // previous form re-read input AND output, two full passes at the
+    // claimed 100 TB scale). A mismatch (a file name failing the bin
+    // join) deletes the partial output before failing, so a bad run
+    // never leaves a half-written outPath behind.
+    val obsIn = org.apache.spark.sql.Observation()
+    val obsOut = org.apache.spark.sql.Observation()
     spark.read.parquet(inPath)
+      .observe(obsIn, count(lit(1)).as("rows"))
       .withColumn("fname", regexp_extract(input_file_name(), "[^/]+$", 0))
       .join(broadcast(binMap), "fname")
       .drop("fname")
+      .observe(obsOut, count(lit(1)).as("rows"))
       .repartition(nBins, $"bin")
       .write.mode("overwrite").partitionBy("bin").parquet(outPath)
     val (inRows, outRows) =
-      (spark.read.parquet(inPath).count(), spark.read.parquet(outPath).count())
-    require(outRows == inRows,
-      s"compaction dropped rows: $inRows in, $outRows out — a file name " +
-        "failed the bin join")
+      (obsIn.get("rows").asInstanceOf[Long], obsOut.get("rows").asInstanceOf[Long])
+    if (outRows != inRows) {
+      val outP = new org.apache.hadoop.fs.Path(outPath)
+      outP.getFileSystem(spark.sessionState.newHadoopConf()).delete(outP, true)
+      throw new IllegalArgumentException(
+        s"compaction dropped rows: $inRows in, $outRows out — a file name " +
+          "failed the bin join; partial output deleted")
+    }
     plan.toSeq.toDF("fname", "bin", "bytes")
       .groupBy($"bin")
       .agg(count(lit(1)).as("n_files_in"), sum($"bytes").as("bin_bytes"))
@@ -374,22 +389,29 @@ object Scale {
     import spark.implicits._
     import graft.operators.TextAnalysis.md5Long60
     val li = graft.Tables.lineitem(spark, dir)
+    // lazy-checkpoint the sample so withGlobalRank's range-boundary
+    // sampling pass and its rank pass both read the materialized 2%
+    // rows instead of re-running the md5 filter over the full fact
     val sample = li
       .select($"l_orderkey", $"l_linenumber")
       .where(md5Long60(concat_ws(":", lit("sb"), $"l_orderkey", $"l_linenumber"))
         % 50 === 0)
-    val n = sample.count()
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"l_orderkey", $"l_linenumber")
+      .localCheckpoint(false)
+    // Rank the sample DISTRIBUTED via withGlobalRank — a 2% sample of a
+    // 100 TB fact is still far too big for an unpartitioned row_number
+    // window (the exact single-task failure this planner exists to
+    // prevent); the rank pass costs one range exchange + a numParts-row
+    // offset collect, and n falls out of the same pass.
+    val (ranked, n) = withGlobalRank(sample, "rk",
+      Seq($"l_orderkey", $"l_linenumber"))
     // rank of boundary i (1-based): ceil(i*n/parts) — integer arithmetic.
     // One boundary PER i (duplicates kept when the sample has n < parts
     // rows and two boundary ranks coincide) — mirroring the oracle's
     // range-join exactly, so degenerate samples bucket identically.
-    val ranks = (1 until parts).map(i => ((i * n + parts - 1) / parts).toInt)
-    val byRank: Map[Int, Long] = sample
-      .withColumn("rk", row_number().over(w))
+    val ranks = (1 until parts).map(i => (i * n + parts - 1) / parts)
+    val byRank: Map[Long, Long] = ranked
       .where($"rk".isin(ranks.distinct: _*))
-      .select($"rk", $"l_orderkey").as[(Int, Long)].collect().toMap
+      .select($"rk", $"l_orderkey").as[(Long, Long)].collect().toMap
     val bounds: Array[Long] = ranks.collect {
       case r if byRank.contains(r) => byRank(r)
     }.toArray
@@ -446,6 +468,50 @@ object Scale {
     (parted
       .withColumn(rankCol, row_number().over(w).cast(LongType) + offExpr)
       .drop("_gr_pid"), n)
+  }
+
+  /** Global cumulative sums over a TOTAL order WITHOUT the single-task
+    * window — [[withGlobalRank]]'s trick applied to running sums:
+    * range-repartition on the sort key, cumulative-sum WITHIN each
+    * (ordered) partition, and add per-partition prefix totals computed
+    * from a numParts-row bounded collect. Exactly equal to
+    * `sum(col).over(Window.orderBy(sortCols))` but distributed — the
+    * fix for CDF/running-share queries whose value grid is data-sized
+    * (a continuous column's distinct grid ≈ its row count, so the
+    * "grid-sized window" premise fails and the unpartitioned window
+    * becomes the classic one-task sort at 100 TB).
+    *
+    * `sumCols` maps input LongType column → cumulative output column.
+    * `sortCols` must be a total order over df's rows (ties would make
+    * intermediate cumulative rows nondeterministic); callers aggregate
+    * to distinct keys first. localCheckpoint pins the partitioning the
+    * offsets were computed from (swap for `checkpoint()` on a cluster).
+    */
+  def withGlobalCumsum(df: DataFrame, sortCols: Seq[Column],
+      sumCols: Seq[(String, String)], numParts: Int = 32): DataFrame = {
+    val parted = df.repartitionByRange(numParts, sortCols: _*)
+      .withColumn("_gc_pid", spark_partition_id())
+      .localCheckpoint()
+    val aggs = sumCols.map { case (in, _) => sum(col(in)).as(in) }
+    val partRows = parted.groupBy(col("_gc_pid"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("_gc_pid"))
+      .collect()
+    val pids = partRows.map(_.getInt(0))
+    val withCums = sumCols.zipWithIndex.foldLeft(parted) {
+      case (acc, ((in, out), i)) =>
+        val offs = pids.zip(
+          partRows.map(_.getLong(i + 1)).scanLeft(0L)(_ + _))
+        val offExpr = offs.foldLeft(lit(0L)) { case (e, (pid, off)) =>
+          when(col("_gc_pid") === pid, lit(off)).otherwise(e)
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_gc_pid")).orderBy(sortCols: _*)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        acc.withColumn(out, sum(col(in)).over(w) + offExpr)
+    }
+    withCums.drop("_gc_pid")
   }
 
   /** SQL-standard `ntile(k)` recomputed from a global 1-based rank and

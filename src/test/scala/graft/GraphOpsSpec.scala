@@ -138,6 +138,46 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(got.nonEmpty, "fixture has no triangles — invariant vacuous")
   }
 
+  test("triangles: degree orientation is count-invariant on hub-heavy " +
+    "random graphs and collapses hub wedge fan-out") {
+    val rnd = new scala.util.Random(0x7A1A)
+    for (trial <- 1 to 3) {
+      // hub-heavy: node 0 connects to everything (the boilerplate-hub
+      // shape), plus random edges among the leaves
+      val n = 24 + rnd.nextInt(16)
+      val hub = (1 until n).map(i => (0L, i.toLong))
+      val rest = (0 until n * 3).map { _ =>
+        val a = 1 + rnd.nextInt(n - 1); val b = 1 + rnd.nextInt(n - 1)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter { case (a, b) => a != b }
+      val pairs = (hub ++ rest).distinct
+      val pairSet = pairs.toSet
+      // id-oriented scalar reference (the pre-round-7 enumeration)
+      val tris = for {
+        (a, b) <- pairs
+        (b2, c) <- pairs if b2 == b && pairSet((a, c))
+      } yield (a, b, c)
+      val expect = tris.flatMap { case (a, b, c) => Seq(a, b, c) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = GraphOps.trianglesPerNode(pairs.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expect, s"trial $trial")
+      assert(got.nonEmpty, s"trial $trial produced no triangles — vacuous")
+      // fan-out bound: under (degree, id) orientation the max out-degree
+      // is O(√|E|); the id orientation would give the hub out-degree n−1
+      val deg = pairs.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val outDeg = pairs.groupBy { case (a, b) =>
+        if (deg(a) < deg(b) || (deg(a) == deg(b) && a < b)) a else b
+      }.view.mapValues(_.size)
+      val bound = math.ceil(math.sqrt(2.0 * pairs.size)).toInt + 1
+      assert(outDeg.values.max <= bound,
+        s"trial $trial: oriented out-degree ${outDeg.values.max} exceeds " +
+          s"√-bound $bound (|E|=${pairs.size})")
+      assert(deg(0L) >= n - 1, "hub premise broken — test graph not hubby")
+    }
+  }
+
   test("entropy_score: direct scalar recount on raw text agrees bit-for-bit") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
       .select($"doc_id", $"text").as[(Long, String)].collect().toMap

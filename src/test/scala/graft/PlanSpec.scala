@@ -429,8 +429,10 @@ class PlanSpec extends SparkSpecBase {
     // names the frames that are GRID-SIZED by construction — the window
     // input is a bounded aggregate (days, distinct grid values, top-k
     // arms, deciles), never O(input rows).
+    // (ks_drift and range_bounds were delisted in round 7: the CDF
+    // cumulative now runs through Scale.withGlobalCumsum and the sample
+    // ranking through Scale.withGlobalRank — the sweep enforces both.)
     val allowBounded = Set(
-      "ks_drift",         // |distinct values| grid (CDF steps)
       "daily_revenue_ma7", // |days| rows
       "revenue_bridge",   // |days| rows (day-over-day lag)
       "rrf_fusion",       // two ≤20-row retrieval arms
@@ -445,8 +447,7 @@ class PlanSpec extends SparkSpecBase {
       "lang_id_eval",     // |langs|² confusion grid
       "pq_recall_eval",   // 8 probes × top-5
       "ann_recall_eval",  // 8 probes × top-5
-      "ann_ndcg",         // 8 probes × top-5
-      "range_bounds")     // parts−1 sampled boundary ranks
+      "ann_ndcg")         // 8 probes × top-5
     SparkEntry.queries.foreach { case (name, fn) =>
       val unpart = fn(spark, Sf0001).queryExecution.executedPlan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec

@@ -241,6 +241,31 @@ class ScaleSpec extends SparkSpecBase {
     }
   }
 
+  test("withGlobalCumsum == unpartitioned running sum for any partition " +
+    "count (incl. empty range partitions), multi-column") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(0xCADA)
+    // distinct keys (the documented total-order contract), two sum columns
+    val data = rnd.shuffle((0L until 83L).toList)
+      .map(k => (k, rnd.nextInt(100).toLong, rnd.nextInt(7).toLong - 3L))
+    val sorted = data.sortBy(_._1)
+    val expA = sorted.map(_._2).scanLeft(0L)(_ + _).tail
+    val expB = sorted.map(_._3).scanLeft(0L)(_ + _).tail
+    val expect = sorted.lazyZip(expA).lazyZip(expB)
+      .map { case ((k, a, b), ca, cb) => (k, a, b, ca, cb) }
+    for (parts <- Seq(1, 3, 8, 200)) { // 200 > n: some partitions empty
+      val got = graft.operators.Scale.withGlobalCumsum(
+        data.toDF("k", "a", "b"), Seq(col("k")),
+        Seq("a" -> "cum_a", "b" -> "cum_b"), parts)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .sortBy(_._1)
+      assert(got.toSeq === expect, s"cumsum diverged at numParts=$parts")
+    }
+  }
+
   test("rendezvousAssign: growing 8 -> 9 shards moves ONLY the docs the " +
     "new shard wins (minimal-movement law)") {
     import spark.implicits._
