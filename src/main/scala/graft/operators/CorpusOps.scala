@@ -341,8 +341,8 @@ object CorpusOps {
   def mixtureResample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val FP = 1048576L // 2^20
-    val perSource = Tables.documents(spark, dir)
-      .select($"source", org.apache.spark.sql.functions.size(tokens($"text"))
+    val perSource = TextAnalysis.docTokens(spark, dir)
+      .select($"source", org.apache.spark.sql.functions.size($"toks")
         .cast(LongType).as("n_tok"))
       .groupBy($"source").agg(sum($"n_tok").as("src_tokens"))
     val totals = perSource.agg(sum($"src_tokens").as("total_tokens"),

@@ -45,8 +45,8 @@ object TextAnalysis {
     * checkpoint blocks (see memo note above). */
   def clearMemo(): Unit = memo.clear()
 
-  /** The shared tokenized corpus — `(doc_id, toks)` with `toks` the
-    * whitespace token array — memoized once per (session, dir). Every
+  /** The shared tokenized corpus — `(doc_id, source, toks)` with `toks`
+    * the whitespace token array — memoized once per (session, dir). Every
     * tokenizing aggregate family (tfidf/bm25/dsir/pmi and the gate
     * frames) re-scans this frame instead of re-splitting the corpus:
     * tokenization is the single most repeated subtree in the registry,
@@ -57,7 +57,8 @@ object TextAnalysis {
   def docTokens(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     memoized(spark, dir, "doc_tokens") {
-      Tables.documents(spark, dir).select($"doc_id", tokens($"text").as("toks"))
+      Tables.documents(spark, dir)
+        .select($"doc_id", $"source", tokens($"text").as("toks"))
     }
   }
 

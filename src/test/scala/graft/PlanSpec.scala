@@ -414,11 +414,36 @@ class PlanSpec extends SparkSpecBase {
       "rendezvous_shards", // 1-row total broadcast onto the 8 shard rows
       "token_budget")  // two 1-row scalar broadcasts onto |sources| rows
     SparkEntry.queries.foreach { case (name, fn) =>
-      val p = physical(fn(spark, Sf0001))
+      val plan = fn(spark, Sf0001).queryExecution.executedPlan
+      val p = plan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
       if (!allowNestedLoop(name))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans a nested-loop join:\n$p")
+      else
+        // structural floor under the allowlist prose: every BNLJ's
+        // broadcast side must be a REDUCED frame — an aggregate (1-row
+        // totals / dim grids), a limit (top-k probes), a filter
+        // (key-selected probe rows), or a driver-literal local table —
+        // never an unfiltered scan of a full table
+        plan.collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        }.foreach { j =>
+          val bcast = j.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+            case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+          }
+          val reduced = bcast.collect {
+            case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+            case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+            case l: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => l
+            case f: org.apache.spark.sql.execution.FilterExec => f
+            case t: org.apache.spark.sql.execution.LocalTableScanExec => t
+          }
+          assert(reduced.nonEmpty,
+            s"$name is allowlisted for BNLJ but broadcasts an unreduced " +
+              s"frame:\n$bcast")
+        }
     }
   }
 
@@ -457,6 +482,24 @@ class PlanSpec extends SparkSpecBase {
         assert(unpart.isEmpty,
           s"$name runs a window with no partition spec (single-task sort " +
             s"of the full input at scale):\n${unpart.headOption.getOrElse("")}")
+      else
+        // the allowlist claims are STRUCTURAL, not just prose (the round-6
+        // range_bounds comment under-described its window input): every
+        // allowlisted unpartitioned window must sit ABOVE a cardinality-
+        // reducing node — an aggregate (grid/day/bucket frames) or a
+        // limit (top-k arms) — so its input can never be the raw scan
+        unpart.foreach { w =>
+          val reduced = w.child.collect {
+            case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+            case l: org.apache.spark.sql.execution.LocalLimitExec => l
+            case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+            case l: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => l
+          }
+          assert(reduced.nonEmpty,
+            s"$name is allowlisted as grid-bounded but its unpartitioned " +
+              s"window reads no aggregate/limit — the bound claim is " +
+              s"false:\n${w.child}")
+        }
     }
   }
 }
