@@ -468,6 +468,45 @@ object Oracles {
         |  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rnk FROM h)
         |SELECT source, CAST(rnk AS INTEGER) AS rnk, doc_id, h
         |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+    "weighted_sample" ->
+      """WITH h AS (SELECT source, doc_id, n_chars,
+        |  CAST(concat('0x', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |       AS BIGINT) AS h
+        |  FROM documents WHERE n_chars > 0),
+        |k AS (SELECT source, doc_id, n_chars,
+        |  CAST(floor(-ln((CAST(h AS DOUBLE) + 1) / 1152921504606846976.0)
+        |             / CAST(n_chars AS DOUBLE) * 1048576 + 0.5) AS BIGINT)
+        |    AS key_u20
+        |  FROM h),
+        |r AS (SELECT source, doc_id, n_chars, key_u20, row_number()
+        |        OVER (PARTITION BY source ORDER BY key_u20, doc_id) AS rnk
+        |      FROM k)
+        |SELECT source, CAST(rnk AS INTEGER) AS rnk, doc_id, n_chars, key_u20
+        |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+    "zipf_slope" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |u AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY w),
+        |t AS (SELECT w, n FROM u ORDER BY n DESC, w LIMIT 1024),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rk FROM t),
+        |q AS (SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * 4096 + 0.5) AS BIGINT) AS x,
+        |             CAST(floor(ln(CAST(n AS DOUBLE)) * 4096 + 0.5) AS BIGINT) AS y
+        |      FROM r),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |             CAST(sum(x*y) AS BIGINT) AS sxy,
+        |             CAST(sum(x*x) AS BIGINT) AS sxx,
+        |             CAST(sum(y*y) AS BIGINT) AS syy
+        |      FROM q)
+        |SELECT k AS n_terms,
+        |       CAST(floor(CAST(k*sxy - sx*sy AS DOUBLE)
+        |                  / CAST(k*sxx - sx*sx AS DOUBLE) * 1048576 + 0.5)
+        |            AS BIGINT) AS slope_u20,
+        |       CAST(floor(CAST(k*sxy - sx*sy AS DOUBLE)
+        |                  * CAST(k*sxy - sx*sy AS DOUBLE)
+        |                  / (CAST(k*sxx - sx*sx AS DOUBLE)
+        |                     * CAST(k*syy - sy*sy AS DOUBLE)) * 1048576 + 0.5)
+        |            AS BIGINT) AS r2_u20
+        |FROM s""".stripMargin,
     "pq_codes" -> (pqCte +
       """
         |SELECT vec_id, string_agg(CAST(code AS VARCHAR), '-' ORDER BY m) AS codes,

@@ -77,6 +77,8 @@ object SparkEntry {
     "waiting_suppliers"    -> (Relational.waitingSuppliers(_, _)),
     "range_bounds"         -> (Scale.rangeBounds(_, _)),
     "exact_median"         -> (Relational.exactMedian(_, _)),
+    "idle_rich_customers"  -> (Relational.idleRichCustomers(_, _)),
+    "skyline_2d"           -> (Scale.skyline2d(_, _)),
     "local_volume"         -> (Relational.localVolume(_, _)),
     "linear_attribution"   -> (Relational.linearAttribution(_, _)),
     "rendezvous_shards"    -> (Scale.rendezvousShards(_, _)),
@@ -236,6 +238,8 @@ object SparkEntry {
     "graph_triangles"      -> (GraphOps.graphTriangles(_, _)),
     "graph_degree_hist"    -> (GraphOps.graphDegreeHist(_, _)),
     "reservoir_sample"     -> (CorpusOps.reservoirSample(_, _)),
+    "weighted_sample"      -> (CorpusOps.weightedSample(_, _)),
+    "zipf_slope"           -> (CorpusOps.zipfSlope(_, _)),
     "label_propagation"    -> (GraphOps.labelPropagation(_, _, 2)),
     "entropy_score"        -> (TextAnalysis.entropyScore(_, _)),
     "mad_outliers"         -> (Relational.madOutliers(_, _)),
@@ -1042,6 +1046,35 @@ object SparkEntry {
         |       CAST(max(CASE WHEN rk = (3 * n.n + 3) // 4 THEN cents END)
         |            AS BIGINT) AS p75_cents
         |FROM r, n GROUP BY n.n""".stripMargin,
+    "idle_rich_customers" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey, c_acctbal,
+        |             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |               AS cents
+        |           FROM customer),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents,
+        |             CAST(count(*) AS BIGINT) AS n_pos
+        |      FROM c WHERE c_acctbal > 0)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_custs,
+        |       CAST(sum(cents) AS BIGINT) AS bal_cents
+        |FROM c CROSS JOIN t
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE cents * n_pos > total_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= DATE '2000-01-01')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "skyline_2d" ->
+      """WITH g AS (SELECT p_retailprice AS price,
+        |             CAST(max(p_size) AS BIGINT) AS g_size
+        |           FROM part GROUP BY 1),
+        |s AS (SELECT price, g_size, max(g_size) OVER (ORDER BY price
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |      FROM g)
+        |SELECT p_partkey, p_name, p_retailprice, p_size
+        |FROM part JOIN s ON p_retailprice = s.price
+        |               AND CAST(p_size AS BIGINT) = s.g_size
+        |WHERE pmax IS NULL OR g_size > pmax
+        |ORDER BY p_retailprice, p_partkey""".stripMargin,
     "rendezvous_shards" ->
       """WITH h AS (SELECT d.doc_id, t.s AS shard,
         |             CAST(concat('0x', substr(md5('rv:' || CAST(t.s AS VARCHAR)

@@ -862,4 +862,77 @@ object CorpusOps {
         sum(when($"c_keep", 1L).otherwise(0L)).as("n_neardup"),
         sum(when($"c_keep", $"n_toks").otherwise(0L)).as("tok_neardup"))
   }
+
+  /** NS (LLM pipeline): deterministic WEIGHTED k-per-group sample —
+    * Efraimidis–Spirakis A-ES: draw an Exp(w) key per doc
+    * (`-ln(u)/w`, here w = `n_chars`, u a salted md5 uniform) and keep
+    * the k SMALLEST keys per source; inclusion probability is then
+    * proportional to weight without replacement — the "sample long docs
+    * more" knob mixture planners need, but replayable (same corpus →
+    * same sample on any engine or partitioning, unlike an RNG draw).
+    * u = (md5₆₀+1)/2^60 is the same exact-input discipline as
+    * [[reservoirSample]]; the key is quantized to 2^-20 fixed point
+    * AFTER the one transcendental so selection order (key, doc_id) is
+    * engine-exact. Bounded [[graft.functions.TopKRows]] partials ship
+    * ≤ k rows per (source, partition) map-side — no window, no full
+    * shuffle. Linear at 100 TB. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val twoPow60 = 1152921504606846976.0 // 2^60
+    Tables.documents(spark, dir)
+      .where($"n_chars" > 0)
+      .select($"source", $"doc_id", $"n_chars",
+        floor(-log((md5Long60(concat(lit("ws:"), $"doc_id".cast(StringType)))
+            .cast(DoubleType) + 1.0) / twoPow60)
+          / $"n_chars".cast(DoubleType) * 1048576.0 + 0.5)
+          .cast(LongType).as("key_u20"))
+      .groupBy($"source")
+      .agg(graft.functions.top_k_rows(
+        struct($"key_u20", $"doc_id", $"n_chars"), k).as("top"))
+      .select($"source", posexplode($"top"))
+      .select($"source", ($"pos" + 1).cast(IntegerType).as("rnk"),
+        $"col.doc_id".as("doc_id"), $"col.n_chars".as("n_chars"),
+        $"col.key_u20".as("key_u20"))
+      .orderBy($"source", $"rnk")
+  }
+
+  /** NS (LLM pipeline): Zipf-law fit over the head of the vocabulary —
+    * the one-number corpus-health diagnostic (natural text sits near
+    * slope −1; a slope far off means boilerplate floods or tokenizer
+    * damage). OLS of ln(freq) on ln(rank) over the top-`topK` terms,
+    * with both logs quantized to 2^-12 fixed point BEFORE summing so
+    * every aggregate is exact integer arithmetic (double partial sums
+    * would be partition-order-dependent; the 2^12 scale keeps
+    * k·Σxy < 2^53 even at a 100 TB corpus's frequencies). The head is a
+    * bounded `orderBy.limit(topK)` (TakeOrdered — map-side top-k
+    * partials, never a vocabulary-wide sort), and the rank window runs
+    * over those topK rows only (PlanSpec-allowlisted, limit-bounded by
+    * construction). Slope and r² are emitted in 2^-20 fixed point from
+    * single IEEE divisions of exact integers. */
+  def zipfSlope(spark: SparkSession, dir: String, topK: Int = 1024): DataFrame = {
+    import spark.implicits._
+    val FP = 4096.0 // 2^12
+    val top = TextAnalysis.docTokens(spark, dir)
+      .select(explode($"toks").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w").limit(topK)
+    val q = top
+      .withColumn("rk", row_number().over(Window.orderBy($"n".desc, $"w")))
+      .select(
+        floor(log($"rk".cast(DoubleType)) * FP + 0.5).cast(LongType).as("x"),
+        floor(log($"n".cast(DoubleType)) * FP + 0.5).cast(LongType).as("y"))
+    val s = q.agg(count(lit(1)).as("k"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+      sum($"y" * $"y").as("syy"))
+    val num  = $"k" * $"sxy" - $"sx" * $"sy"
+    val denx = $"k" * $"sxx" - $"sx" * $"sx"
+    val deny = $"k" * $"syy" - $"sy" * $"sy"
+    s.select($"k".as("n_terms"),
+      floor(num.cast(DoubleType) / denx.cast(DoubleType) * 1048576.0 + 0.5)
+        .cast(LongType).as("slope_u20"),
+      floor(num.cast(DoubleType) * num.cast(DoubleType)
+          / (denx.cast(DoubleType) * deny.cast(DoubleType)) * 1048576.0 + 0.5)
+        .cast(LongType).as("r2_u20"))
+  }
 }

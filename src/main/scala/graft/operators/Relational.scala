@@ -2379,4 +2379,35 @@ object Relational {
       // on an empty lineitem, where a global agg would emit one
       .where(lit(n) > 0)
   }
+
+  /** NS: TPC-H Q22-shaped "global sales opportunity" — customers with an
+    * above-average positive balance and no order since 2000-01-01,
+    * rolled up by nation (the fixture has no `c_phone`, so nation
+    * replaces Q22's phone-prefix country code, and every fixture
+    * customer has SOME order so the idle cut is recency-based;
+    * FIXTURES.md). The above-average cut is exact integer arithmetic:
+    * `cents · n_pos > total_cents` cross-multiplies instead of
+    * comparing against a divided mean, so no engine ever forms a
+    * decimal/double average (cents ≤ 10^6 and n_pos ≤ ~10^9 at 100 TB
+    * keep the product well under 2^63). Plan: 1-row totals broadcast
+    * onto the customer scan (allowlisted BNLJ), LEFT ANTI shuffle join
+    * against the date-pruned orders scan (the filter reaches parquet),
+    * bounded nation dim broadcast — linear at 100 TB. */
+  def idleRichCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = ($"c_acctbal".cast(DecimalType(18, 2)) * 100).cast(LongType)
+    val c = Tables.customer(spark, dir).withColumn("cents", cents)
+    val tot = c.where($"c_acctbal" > 0)
+      .agg(sum($"cents").as("total_cents"), count(lit(1)).as("n_pos"))
+    c.crossJoin(broadcast(tot))
+      .where($"cents" * $"n_pos" > $"total_cents")
+      .join(Tables.orders(spark, dir)
+          .where($"o_orderdate" >= lit("2000-01-01").cast(DateType)),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_custs"), sum($"cents").as("bal_cents"))
+      .orderBy($"n_name")
+  }
 }

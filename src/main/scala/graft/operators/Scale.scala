@@ -514,6 +514,75 @@ object Scale {
     withCums.drop("_gc_pid")
   }
 
+  /** Global STRICT-prefix running max over a TOTAL order WITHOUT the
+    * single-task window — the [[withGlobalCumsum]] trick specialized to
+    * max: range-repartition on the sort key, take the running max over
+    * the rows STRICTLY BEFORE the current one within each (ordered)
+    * partition, and fold in the max of every preceding partition from a
+    * numParts-row bounded collect. `outCol` equals
+    * `max(maxCol).over(Window.orderBy(sortCols).rowsBetween(unboundedPreceding, -1))`
+    * with nulls replaced by Long.MinValue (the max identity, so the
+    * first row in the total order compares true against any value).
+    * The strict frame is what dominance scans need (see [[skyline2d]]):
+    * a row must never see its own value in the prefix. `sortCols` must
+    * be a total order over df's rows (callers aggregate to distinct keys
+    * first); `maxCol` must be LongType. */
+  def withGlobalPrefixMax(df: DataFrame, sortCols: Seq[Column],
+      maxCol: String, outCol: String, numParts: Int = 32): DataFrame = {
+    val parted = df.repartitionByRange(numParts, sortCols: _*)
+      .withColumn("_gm_pid", spark_partition_id())
+      .localCheckpoint()
+    val partMax: Array[(Int, Long)] = parted
+      .groupBy(col("_gm_pid")).agg(max(col(maxCol)).as("m"))
+      .orderBy(col("_gm_pid"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    // prefix max over STRICTLY preceding partitions (identity MinValue)
+    val prefix = partMax.map(_._2).scanLeft(Long.MinValue)(math.max)
+    val offExpr = partMax.map(_._1).zip(prefix)
+      .foldLeft(lit(Long.MinValue)) { case (e, (pid, off)) =>
+        when(col("_gm_pid") === pid, lit(off)).otherwise(e)
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_gm_pid")).orderBy(sortCols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    parted
+      .withColumn(outCol,
+        greatest(coalesce(max(col(maxCol)).over(w), lit(Long.MinValue)), offExpr))
+      .drop("_gm_pid")
+  }
+
+  /** NS: distributed 2-D skyline (pareto frontier) — the parts no other
+    * part beats on BOTH axes (lower `p_retailprice`, higher `p_size`):
+    * q dominates p iff q.price <= p.price AND q.size >= p.size with at
+    * least one strict. The classic O(n log n) sweep (sort by price, keep
+    * rows whose size exceeds the running max) is inherently a global
+    * cumulative — at 100 TB the textbook `Window.orderBy` form funnels
+    * everything through one task, so this runs the sweep on the
+    * per-price grid (one shuffle agg: max size + no equal-price
+    * dominance survives except the per-price max) with the strict
+    * prefix max distributed via [[withGlobalPrefixMax]], then joins the
+    * surviving (price, size) frontier back to the parts that carry it.
+    * Ties on both axes are mutually non-dominating — all such parts
+    * stay. Linear in |parts| plus one range exchange of the price grid
+    * (the grid is data-sized for a continuous price column — exactly
+    * why the prefix max must be distributed, not a window allowlist
+    * entry). */
+  def skyline2d(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = graft.Tables.part(spark, dir)
+    // per-price survivors: only a price's max size can be on the skyline
+    // (any smaller size at the same price is dominated by it)
+    val grid = p.groupBy($"p_retailprice")
+      .agg(max($"p_size".cast(LongType)).as("g_size"))
+    val swept = withGlobalPrefixMax(grid, Seq($"p_retailprice"), "g_size", "pmax")
+    val frontier = swept.where($"g_size" > $"pmax")
+      .select($"p_retailprice".as("f_price"), $"g_size")
+    p.join(frontier,
+        $"p_retailprice" === $"f_price" && $"p_size".cast(LongType) === $"g_size")
+      .select($"p_partkey", $"p_name", $"p_retailprice", $"p_size")
+      .orderBy($"p_retailprice", $"p_partkey")
+  }
+
   /** SQL-standard `ntile(k)` recomputed from a global 1-based rank and
     * the total row count: the first `n mod k` buckets carry
     * `n div k + 1` rows, the rest `n div k` — bit-identical to Spark's

@@ -412,7 +412,8 @@ class PlanSpec extends SparkSpecBase {
       "gini_revenue",  // 1-row (n, total) broadcast onto per-cust ranks
       "basket_pairs",  // 1-row distinct-order total broadcast onto pair rows
       "rendezvous_shards", // 1-row total broadcast onto the 8 shard rows
-      "token_budget")  // two 1-row scalar broadcasts onto |sources| rows
+      "token_budget",  // two 1-row scalar broadcasts onto |sources| rows
+      "idle_rich_customers") // 1-row (total, n) broadcast onto customers
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, Sf0001).queryExecution.executedPlan
       val p = plan.toString
@@ -472,7 +473,8 @@ class PlanSpec extends SparkSpecBase {
       "lang_id_eval",     // |langs|² confusion grid
       "pq_recall_eval",   // 8 probes × top-5
       "ann_recall_eval",  // 8 probes × top-5
-      "ann_ndcg")         // 8 probes × top-5
+      "ann_ndcg",         // 8 probes × top-5
+      "zipf_slope")       // top-1024 vocabulary head (orderBy.limit)
     SparkEntry.queries.foreach { case (name, fn) =>
       val unpart = fn(spark, Sf0001).queryExecution.executedPlan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec

@@ -266,6 +266,43 @@ class ScaleSpec extends SparkSpecBase {
     }
   }
 
+  test("withGlobalPrefixMax == unpartitioned STRICT prefix max for any " +
+    "partition count (incl. empty range partitions)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(0x5EAF)
+    val data = rnd.shuffle((0L until 71L).toList)
+      .map(k => (k, rnd.nextLong() % 1000L))
+    val sorted = data.sortBy(_._1)
+    // strict prefix: max over rows BEFORE this one; MinValue identity
+    val expect = sorted.map(_._2).scanLeft(Long.MinValue)(math.max)
+      .init.zip(sorted).map { case (pm, (k, v)) => (k, v, pm) }
+    for (parts <- Seq(1, 3, 8, 200)) {
+      val got = graft.operators.Scale.withGlobalPrefixMax(
+        data.toDF("k", "v"), Seq(col("k")), "v", "pmax", parts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      assert(got.toSeq === expect, s"prefix max diverged at numParts=$parts")
+    }
+  }
+
+  test("skyline2d survivors are exactly the undominated parts " +
+    "(brute-force dominance check at sf0.001)") {
+    import spark.implicits._
+    val all = graft.Tables.part(spark, Sf0001)
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    def dominated(p: (Long, Double, Int)) = all.exists { q =>
+      q._2 <= p._2 && q._3 >= p._3 && (q._2 < p._2 || q._3 > p._3)
+    }
+    val want = all.filterNot(dominated).map(_._1).toSet
+    val got = graft.operators.Scale.skyline2d(spark, Sf0001)
+      .select($"p_partkey").collect().map(_.getLong(0)).toSet
+    assert(got === want,
+      s"skyline mismatch: extra=${got -- want}, missing=${want -- got}")
+    assert(got.nonEmpty, "degenerate fixture: empty skyline")
+  }
+
   test("rendezvousAssign: growing 8 -> 9 shards moves ONLY the docs the " +
     "new shard wins (minimal-movement law)") {
     import spark.implicits._
