@@ -174,7 +174,40 @@ object Oracles {
       |           * 1048576.0 + 0.5) AS BIGINT) AS part_u20
       |       FROM tf JOIN df USING (term), ls)""".stripMargin
 
+  /** Hilbert xy2d as 16 GENERATED rounds (one CTE per scale bit, high →
+    * low), derived from the same scale constants as
+    * [[graft.functions.Hilbert2]] so the SQL provably mirrors the
+    * expression: per round, add the quadrant's curve offset s²·((3rx)^ry)
+    * to d, then reflect within the full grid (65535−·) and transpose
+    * when ry=0 — columns are versioned (x0→x16) so no round shadows its
+    * own inputs. */
+  private val hilbertCte: String = {
+    val rounds = (15 to 0 by -1).zipWithIndex.map { case (k, i) =>
+      val s = 1L << k
+      val (px, py, pd) = (s"x$i", s"y$i", s"d$i")
+      val j = i + 1
+      s"""h$j AS (SELECT l_orderkey, l_linenumber,
+         |  $pd + ${s * s} * (CASE
+         |      WHEN ($px & $s) != 0 AND ($py & $s) != 0 THEN 2
+         |      WHEN ($px & $s) != 0 THEN 3
+         |      WHEN ($py & $s) != 0 THEN 1 ELSE 0 END) AS d$j,
+         |  CASE WHEN ($py & $s) != 0 THEN $px
+         |       WHEN ($px & $s) != 0 THEN 65535 - $py ELSE $py END AS x$j,
+         |  CASE WHEN ($py & $s) != 0 THEN $py
+         |       WHEN ($px & $s) != 0 THEN 65535 - $px ELSE $px END AS y$j
+         |FROM h$i)""".stripMargin
+    }
+    s"""WITH h0 AS (SELECT l_orderkey, l_linenumber,
+       |  l_partkey % 65536 AS x0, l_suppkey % 65536 AS y0,
+       |  CAST(0 AS BIGINT) AS d0 FROM lineitem),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
   val llm: Map[String, String] = Map(
+    "hilbert_key" -> (hilbertCte +
+      """
+        |SELECT l_orderkey, l_linenumber, d16 AS h
+        |FROM h16 ORDER BY l_orderkey, l_linenumber""".stripMargin),
     "text_analysis" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,

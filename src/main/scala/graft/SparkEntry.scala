@@ -137,6 +137,7 @@ object SparkEntry {
     "range_join"           -> (Scale.bucketedRangeJoin(_, _)),
     "bloom_prune_join"     -> (Scale.bloomPruneJoin(_, _)),
     "zorder_key"           -> (Scale.zorderKey(_, _)),
+    "hilbert_key"          -> (Scale.hilbertKey(_, _)),
     "partition_advisor"    -> (Scale.partitionAdvisor(_, _)),
     "join_size_estimate"   -> (Scale.joinSizeEstimate(_, _)),
     "compaction_plan"      -> (Scale.compactionPlan(_, _, 4096L)),

@@ -62,6 +62,8 @@ package object functions {
     * the clustering value behind multi-dimensional layout/pruning. */
   def z_order2(x: Column, y: Column): Column = toCol(ZOrder2(ex(x), ex(y)))
 
+  def hilbert2(x: Column, y: Column): Column = toCol(Hilbert2(ex(x), ex(y)))
+
   /** KMV distinct sketch: the k smallest distinct md5_long(value, 15)
     * hashes as a sorted long array (aggregate; O(k) memory per group). */
   def kmv_sketch(c: Column, k: Int): Column =

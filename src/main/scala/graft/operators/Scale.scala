@@ -305,6 +305,27 @@ object Scale {
       .orderBy($"l_orderkey", $"l_linenumber")
   }
 
+  /** NS: the Hilbert clustering key, oracled bit-for-bit like
+    * [[zorderKey]] — the DuckDB twin replays the same 16 reflect/
+    * transpose rounds in generated SQL (Oracles.scala derives them from
+    * the same scale constants). Hilbert beats Z-order for layout
+    * clustering because the walk never jumps: consecutive keys are
+    * always Manhattan-adjacent cells, so range partitions on `h` cut
+    * tighter per-file min/max bounding boxes for pruning on EITHER key
+    * at 100 TB. Keys are pmod-normalized into the 2^16 axis domain
+    * (documented contract of [[graft.functions.Hilbert2]]; rank or hash
+    * wider domains instead when collisions matter). Pure per-row
+    * codegen'd expression — zero shuffle. */
+  def hilbertKey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber",
+        graft.functions.hilbert2(
+          pmod($"l_partkey", lit(65536L)),
+          pmod($"l_suppkey", lit(65536L))).as("h"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
   /** NS: partition-layout advisor — profiles candidate partition keys
     * (low-cardinality dispatch column, ingest day, hash-mod bucket) and
     * verdicts each against the two failure modes of a 100 TB layout:

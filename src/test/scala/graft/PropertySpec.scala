@@ -236,6 +236,35 @@ class PropertySpec extends AnyFunSuite {
     assert((ZOrder2.interleave(5L, 9L) ^ ZOrder2.interleave(5L, 8L)) === 2L)
   }
 
+  test("hilbert: xy2d/d2xy round-trip, never-jumps walk, domain guard") {
+    import graft.functions.Hilbert2
+    // round trip pins the forward map against the independent inverse
+    val u16 = Gen.chooseNum(0L, 0xFFFFL)
+    for {
+      x <- samples(u16) ++ Seq(0L, 1L, 0xFFFFL, 0x8000L)
+      y <- Seq(0L, 1L, x, 0xFFFFL - x)
+    } {
+      val d = Hilbert2.xy2d(x, y)
+      assert(d >= 0L && d < (1L << 32), s"d out of range for ($x, $y)")
+      assert(Hilbert2.d2xy(d) === ((x.toInt, y.toInt)), s"roundtrip ($x, $y)")
+    }
+    // the Hilbert property Z-order lacks: consecutive d are ALWAYS
+    // Manhattan-adjacent cells (|dx| + |dy| == 1), including across
+    // power-of-two boundaries where Morton jumps
+    val dGen = Gen.chooseNum(0L, (1L << 32) - 2)
+    for (d <- samples(dGen) ++ Seq(0L, 0xFFFFL, 0xFFFFFFL, (1L << 31) - 1)) {
+      val (x0, y0) = Hilbert2.d2xy(d)
+      val (x1, y1) = Hilbert2.d2xy(d + 1)
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) === 1,
+        s"walk jumps between d=$d and d=${d + 1}: ($x0,$y0) -> ($x1,$y1)")
+    }
+    // corner vectors of the order-16 curve
+    assert(Hilbert2.xy2d(0L, 0L) === 0L)
+    assert(Hilbert2.xy2d(0xFFFFL, 0L) === (1L << 32) - 1) // walk ends at (N-1, 0)
+    intercept[IllegalArgumentException](Hilbert2.xy2d(65536L, 0L))
+    intercept[IllegalArgumentException](Hilbert2.xy2d(0L, -1L))
+  }
+
   test("pq kernel: codes/err match an independent scalar argmin on random vectors") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
