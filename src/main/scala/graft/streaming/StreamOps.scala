@@ -125,6 +125,24 @@ object StreamOps {
       .groupBy(col("user_id"))
       .agg(sum(col("value")).as("revenue"), count(lit(1)).as("n_purchases"))
 
+  /** NS streaming twin of `Relational.kmvDistinct`: the KMV distinct
+    * sketch is STREAMING-NATIVE — a `TypedImperativeAggregate` whose
+    * partials merge in complete/update mode, and the k-smallest-distinct-
+    * hash set is a pure set union (commutative, idempotent), so the
+    * streamed sketch is BIT-IDENTICAL to the batch sketch however the
+    * arrival batches split — unlike HLL, whose estimate is reproducible
+    * but opaque, the sketch itself is the checkable state. This is the
+    * 100 TB shape of streaming distinct-count: 64 bytes of state per
+    * group, no per-key exact dedup state growing with the stream. */
+  def kmvDistinct(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(graft.functions.kmv_sketch(col("user_id").cast("string"), 8)
+          .as("kmv"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), concat_ws(",", col("kmv")).as("kmv_csv"),
+        col("n_events"))
+
   /** Streaming twin of `Relational.ktableLatest`: the KTable / compacted-
     * topic materialization as a continuously-updated table — latest record
     * per key, last-write-wins on (ts, event_id). The same map-side
@@ -424,6 +442,45 @@ object StreamOps {
         (user, v, s, p, steps)
       }
       .toDF("user_id", "v_us", "s_us", "p_us", "steps_completed")
+  }
+
+  /** NS streaming twin of `status_transitions`: per-user consecutive
+    * event-type transitions as an ONLINE fold — the Markov-matrix feed
+    * computed at ingest instead of by a nightly lag-window job. State is
+    * one (last_type, last_us, last_id) per user; each batch sorts its
+    * per-user slice by (event time, event_id) — the same total order the
+    * feed arrives in, so a batch boundary lands BETWEEN two ordered
+    * events and the emitted transition set is split-invariant (append
+    * mode: each transition is emitted exactly once, in the batch where
+    * its later event arrives). At 100 TB: state is O(|users|) × ~40
+    * bytes sharded by the groupByKey hash; swap NoTimeout for a TTL on
+    * idle users to bound it. */
+  def statusTransitionsStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val Unset = Long.MinValue
+    events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Long, Long),
+        (Long, String, String, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state) =>
+          var (last, lastUs, lastId) =
+            state.getOption.getOrElse(("", Unset, Unset))
+          val out =
+            scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+          rows.toArray.sortBy(r => (r._3, r._4)).foreach {
+            case (_, tpe, us, id) =>
+              if (lastUs != Unset) out += ((user, last, tpe, id))
+              last = tpe; lastUs = us; lastId = id
+          }
+          state.update((last, lastUs, lastId))
+          out.iterator
+      }
+      .toDF("user_id", "from_type", "to_type", "event_id")
   }
 
   /** NS streaming twin of `doc_dedup_exact`: ONLINE exact dedup of a

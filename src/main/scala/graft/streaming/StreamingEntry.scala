@@ -178,6 +178,7 @@ object StreamingEntry {
     "session_window_stream" -> aggTwin("complete", StreamOps.sessionWindow(_)),
     // update mode emits per-batch revisions; last row per user is the
     // materialized KTable and must equal the batch argmax
+    "kmv_distinct_stream" -> aggTwin("complete", StreamOps.kmvDistinct),
     "ktable_latest_stream" -> aggTwin("update", StreamOps.ktableLatest,
       (df, _) => canonLastPerKey(df, 0)),
     // -- fold twins: split invariance -------------------------------
@@ -188,6 +189,8 @@ object StreamingEntry {
       order = e => (e.event_id, 0L)),
     "funnel_steps_stream" -> foldTwin("update",
       StreamOps.funnelStepsStream(_), canonLastPerKey(_, 0)),
+    "status_transitions_stream" -> foldTwin("append",
+      StreamOps.statusTransitionsStream(_), canon),
     "tws_running_totals" -> Twin("fold", (spark, dir, splits) => {
       import spark.implicits._
       // transformWithState requires the RocksDB store (multiple column
