@@ -179,6 +179,38 @@ object StreamingEntry {
     // update mode emits per-batch revisions; last row per user is the
     // materialized KTable and must equal the batch argmax
     "kmv_distinct_stream" -> aggTwin("complete", StreamOps.kmvDistinct),
+    // stream-stream interval join: the one twin with TWO streaming sides
+    // (both derived from the same feed, like a fanned-out topic). Ordered
+    // arrival + watermarked time-bounded condition ⇒ the streamed append
+    // result must equal the batch inequality join exactly.
+    "interval_join_stream" -> Twin("agg", (spark, dir, splits) => {
+      def shape(df: DataFrame) = (
+        df.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"),
+            col("event_id").as("p_event_id"), col("ts").as("p_ts")),
+        df.select(col("user_id").as("e_user"),
+          col("event_id").as("e_event_id"), col("ts").as("e_ts")))
+      val cond =
+        expr("p_user = e_user AND e_ts > p_ts AND e_ts <= p_ts + INTERVAL 1 HOUR")
+      val rows = events(spark, dir)
+      import spark.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val name = s"graft_parity_${nameCtr.incrementAndGet()}"
+      val ms = MemoryStream[Ev]
+      val (sp, se) = shape(ms.toDF())
+      val q = StreamOps.intervalJoinFollowups(sp, se)
+        .select(col("p_event_id"), col("e_event_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try splitInto(rows, splits).foreach { b =>
+        ms.addData(b); q.processAllAvailable()
+      } finally q.stop()
+      val got = canon(spark.table(name))
+      val (bp, be) = shape(spark.createDataset(rows).toDF())
+      val want = canon(bp.join(be, cond)
+        .select(col("p_event_id"), col("e_event_id")))
+      Parity(got, want)
+    }),
     "ktable_latest_stream" -> aggTwin("update", StreamOps.ktableLatest,
       (df, _) => canonLastPerKey(df, 0)),
     // -- fold twins: split invariance -------------------------------
