@@ -516,6 +516,35 @@ object Oracles {
         |      FROM k)
         |SELECT source, CAST(rnk AS INTEGER) AS rnk, doc_id, n_chars, key_u20
         |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+    "mixture_temperature" ->
+      """WITH tok AS (SELECT source, len(string_split(text, ' ')) AS toks
+        |             FROM documents),
+        |per AS (SELECT source, CAST(sum(toks) AS BIGINT) AS src_tokens
+        |        FROM tok GROUP BY source),
+        |t AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens FROM per),
+        |w AS (SELECT source, src_tokens,
+        |        CAST(floor(CAST(src_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+        |                   * 1048576 + 0.5) AS BIGINT) AS p_u20,
+        |        CAST(floor(exp(ln(CAST(src_tokens AS DOUBLE)
+        |                          / CAST(total_tokens AS DOUBLE)) * 0.7)
+        |                   * 1048576 + 0.5) AS BIGINT) AS w_u20
+        |      FROM per CROSS JOIN t),
+        |wt AS (SELECT CAST(sum(w_u20) AS BIGINT) AS w_total FROM w)
+        |SELECT source, src_tokens, p_u20, w_u20,
+        |       CAST(floor(CAST(w_u20 AS DOUBLE) / CAST(w_total AS DOUBLE)
+        |                  * 1048576 + 0.5) AS BIGINT) AS share_u20,
+        |       CAST(floor(CAST(w_u20 AS DOUBLE) / CAST(w_total AS DOUBLE)
+        |                  * 1048576 + 0.5) AS BIGINT) > p_u20 AS upsampled
+        |FROM w CROSS JOIN wt ORDER BY source""".stripMargin,
+    "curriculum_order" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |             ntile(8) OVER (ORDER BY n_chars, doc_id) AS phase
+        |           FROM documents)
+        |SELECT CAST(phase AS INTEGER) AS phase,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM r GROUP BY phase ORDER BY phase""".stripMargin,
     "zipf_slope" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
         |u AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY w),

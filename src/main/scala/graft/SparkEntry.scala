@@ -241,6 +241,8 @@ object SparkEntry {
     "reservoir_sample"     -> (CorpusOps.reservoirSample(_, _)),
     "weighted_sample"      -> (CorpusOps.weightedSample(_, _)),
     "zipf_slope"           -> (CorpusOps.zipfSlope(_, _)),
+    "mixture_temperature"  -> (CorpusOps.mixtureTemperature(_, _)),
+    "curriculum_order"     -> (CorpusOps.curriculumOrder(_, _)),
     "label_propagation"    -> (GraphOps.labelPropagation(_, _, 2)),
     "entropy_score"        -> (TextAnalysis.entropyScore(_, _)),
     "mad_outliers"         -> (Relational.madOutliers(_, _)),

@@ -863,6 +863,63 @@ object CorpusOps {
         sum(when($"c_keep", $"n_toks").otherwise(0L)).as("tok_neardup"))
   }
 
+  /** NS (LLM pipeline): temperature-scaled source mixture — the standard
+    * multilingual/multi-source mixing rule (weight ∝ p^α, here α = 0.7):
+    * flattens the natural source distribution so low-resource sources are
+    * upsampled without letting any source dominate. Both engines compute
+    * the power as `exp(α·ln p)` over exact bigint-ratio inputs (the same
+    * one-transcendental discipline as the PMI/tf-idf logs), quantized to
+    * 2^-20 fixed point before the weight normalization so the final
+    * shares divide exact integers. `upsampled` flags sources whose
+    * temperature share exceeds their natural share. Plan: one corpus
+    * aggregate to |sources| rows + two 1-row scalar broadcasts — linear
+    * at 100 TB. */
+  def mixtureTemperature(spark: SparkSession, dir: String,
+      alpha: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    val FP = 1048576.0 // 2^20
+    val per = TextAnalysis.docTokens(spark, dir)
+      .select($"source",
+        org.apache.spark.sql.functions.size($"toks").cast(LongType).as("toks"))
+      .groupBy($"source").agg(sum($"toks").as("src_tokens"))
+    val tot = per.agg(sum($"src_tokens").as("total_tokens"))
+    val p = $"src_tokens".cast(DoubleType) / $"total_tokens".cast(DoubleType)
+    val w = per.crossJoin(broadcast(tot))
+      .withColumn("p_u20", floor(p * FP + 0.5).cast(LongType))
+      .withColumn("w_u20", floor(exp(log(p) * alpha) * FP + 0.5).cast(LongType))
+    val wt = w.agg(sum($"w_u20").as("w_total"))
+    w.crossJoin(broadcast(wt))
+      .select($"source", $"src_tokens", $"p_u20", $"w_u20",
+        floor($"w_u20".cast(DoubleType) / $"w_total".cast(DoubleType) * FP + 0.5)
+          .cast(LongType).as("share_u20"))
+      .withColumn("upsampled", $"share_u20" > $"p_u20")
+      .orderBy($"source")
+  }
+
+  /** NS (LLM pipeline): curriculum ordering manifest — the corpus in
+    * global easy→hard order (difficulty proxy: `n_chars`, the classic
+    * length curriculum) cut into `phases` equal training phases. The
+    * global order comes from [[Scale.withGlobalRank]] (range partitions
+    * + bounded offsets — ordering 100 TB of documents is exactly the
+    * workload a single-task `row_number` window dies on) and the phase
+    * cut from [[Scale.ntileFromRank]], bit-identical to SQL `ntile`.
+    * Emits the per-phase manifest (doc counts, char mass, length band)
+    * a training scheduler consumes; the ranked frame itself is what
+    * you'd hand to the shard writer. */
+  def curriculumOrder(spark: SparkSession, dir: String,
+      phases: Int = 8): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"n_chars")
+    val (ranked, n) = Scale.withGlobalRank(docs, "rk",
+      Seq($"n_chars", $"doc_id"))
+    ranked
+      .withColumn("phase", Scale.ntileFromRank($"rk", n, phases))
+      .groupBy($"phase")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+        min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+      .orderBy($"phase")
+  }
+
   /** NS (LLM pipeline): deterministic WEIGHTED k-per-group sample —
     * Efraimidis–Spirakis A-ES: draw an Exp(w) key per doc
     * (`-ln(u)/w`, here w = `n_chars`, u a salted md5 uniform) and keep

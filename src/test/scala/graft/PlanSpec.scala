@@ -413,7 +413,8 @@ class PlanSpec extends SparkSpecBase {
       "basket_pairs",  // 1-row distinct-order total broadcast onto pair rows
       "rendezvous_shards", // 1-row total broadcast onto the 8 shard rows
       "token_budget",  // two 1-row scalar broadcasts onto |sources| rows
-      "idle_rich_customers") // 1-row (total, n) broadcast onto customers
+      "idle_rich_customers", // 1-row (total, n) broadcast onto customers
+      "mixture_temperature") // two 1-row scalar broadcasts onto |sources| rows
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, Sf0001).queryExecution.executedPlan
       val p = plan.toString
