@@ -305,6 +305,25 @@ object Scale {
       .orderBy($"l_orderkey", $"l_linenumber")
   }
 
+  /** Write `df` range-partitioned and sorted by the order-16 Hilbert key
+    * of (c1, c2) — [[writeZOrdered]]'s premium sibling: because the
+    * Hilbert walk never jumps, each output file covers a CONTIGUOUS
+    * curve segment, and contiguous segments have asymptotically square
+    * bounding boxes (Morton segments straddle power-of-two seams and
+    * blow their boxes wide). Tighter per-file min/max on both keys =
+    * more files pruned per predicate at 100 TB. Keys must lie in
+    * [0, 2^16) — pmod/rank/hash wider domains first (ScaleSpec pins the
+    * box-area advantage over Z-order on a uniform grid). */
+  def writeHilbertOrdered(df: DataFrame, path: String, c1: String, c2: String,
+      numFiles: Int): Unit =
+    df.withColumn("__h", graft.functions.hilbert2(col(c1).cast("long"),
+        col(c2).cast("long")))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+      .write.mode("overwrite")
+      .parquet(path)
+
   /** NS: the Hilbert clustering key, oracled bit-for-bit like
     * [[zorderKey]] — the DuckDB twin replays the same 16 reflect/
     * transpose rounds in generated SQL (Oracles.scala derives them from

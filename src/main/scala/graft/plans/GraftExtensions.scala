@@ -116,6 +116,10 @@ object GraftExtensions {
       info("z_order2",
         "z_order2(x, y) - 2-D Z-order (Morton) interleave of two non-negative bigint keys."),
       (args: Seq[Expression]) => ZOrder2(args(0), args(1))),
+    "hilbert2" -> (
+      info("hilbert2",
+        "hilbert2(x, y) - order-16 Hilbert-curve distance of two bigint keys in [0, 2^16)."),
+      (args: Seq[Expression]) => Hilbert2(args(0), args(1))),
     "unicode_normalize" -> (
       info("unicode_normalize",
         "unicode_normalize(str, form) - UAX #15 normalization; form NFC/NFD/NFKC/NFKD."),

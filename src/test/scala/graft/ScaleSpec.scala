@@ -381,6 +381,45 @@ class ScaleSpec extends SparkSpecBase {
       f"z-order boxes too wide: avgX=$avgX%.2f avgY=$avgY%.2f")
   }
 
+  test("hilbert layout: round-trips, bounds both dims, and cuts tighter " +
+    "boxes than morton on unaligned segments") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-hilbert").toString
+    val grid = spark.range(4096)
+      .select(($"id" % 64).as("x"), ($"id" / 64).cast("long").as("y"))
+    Scale.writeHilbertOrdered(grid, path, "x", "y", numFiles = 8)
+    val back = spark.read.parquet(path)
+    assert(back.count() === 4096L)
+    val boxes = back
+      .withColumn("f", input_file_name())
+      .groupBy($"f")
+      .agg(min($"x").as("x0"), max($"x").as("x1"),
+        min($"y").as("y0"), max($"y").as("y1"))
+      .collect()
+    assert(boxes.length > 2, "needs several files for a meaningful check")
+    val avgX = boxes.map(b => (b.getLong(2) - b.getLong(1) + 1) / 64.0).sum / boxes.length
+    val avgY = boxes.map(b => (b.getLong(4) - b.getLong(3) + 1) / 64.0).sum / boxes.length
+    assert(avgX <= 0.75 && avgY <= 0.75,
+      f"hilbert boxes too wide: avgX=$avgX%.2f avgY=$avgY%.2f")
+    // The Hilbert CLAIM vs morton, pinned deterministically (no file or
+    // sampling nondeterminism): split the same uniform grid into 10
+    // UNALIGNED contiguous key ranges — power-of-two seams make morton
+    // segments straddle distant quadrants while the never-jumping hilbert
+    // walk stays local, so summed bounding-box area must be smaller.
+    val cells = for { x <- 0 until 256; y <- 0 until 256 } yield (x, y)
+    def boxArea(key: (Int, Int) => Long): Long = {
+      val sorted = cells.sortBy { case (x, y) => key(x, y) }
+      val per = (sorted.size + 9) / 10
+      sorted.grouped(per).map { g =>
+        (g.map(_._1).max - g.map(_._1).min + 1).toLong *
+          (g.map(_._2).max - g.map(_._2).min + 1).toLong
+      }.sum
+    }
+    val hil = boxArea((x, y) => graft.functions.Hilbert2.xy2d(x.toLong, y.toLong))
+    val mor = boxArea((x, y) => graft.functions.ZOrder2.interleave(x.toLong, y.toLong))
+    assert(hil < mor, s"hilbert box area $hil not tighter than morton $mor")
+  }
+
   test("identically-bucketed tables join with zero shuffle") {
     import spark.implicits._
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
