@@ -99,6 +99,7 @@ object SparkEntry {
     "rank_family"          -> (Relational.rankFamily(_, _)),
     "running_total"        -> (Relational.runningTotal(_, _)),
     "lag_lead_gaps"        -> (Relational.lagLeadGaps(_, _)),
+    "inter_event_gaps"     -> (Relational.interEventGaps(_, _)),
     "grouping_sets_report" -> (Relational.groupingSetsReport(_, _)),
     "ktable_latest"        -> (Relational.ktableLatest(_, _)),
     "user_journey"         -> (Relational.userJourney(_, _)),
@@ -1542,6 +1543,19 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id)
         |ORDER BY event_id""".stripMargin,
+    "inter_event_gaps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS ts_us,
+        |                  event_id FROM events),
+        |g AS (SELECT event_type,
+        |        ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id, event_type
+        |                                    ORDER BY ts_us, event_id) AS gap_us
+        |      FROM e)
+        |SELECT event_type,
+        |       CAST(length(bin(gap_us)) - 1 AS INTEGER) AS gap_bucket,
+        |       CAST(count(*) AS BIGINT) AS n_gaps,
+        |       min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, gap_bucket""".stripMargin,
     "grouping_sets_report" ->
       """SELECT event_type, weekday, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,

@@ -922,6 +922,30 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** NS: inter-arrival-time spectrum — consecutive same-(user, type)
+    * event gaps, log2-bucketed by integer bit length (the
+    * `graph_degree_hist` trick: `length(bin(gap)) − 1`, no floating
+    * log2, so bucket edges are engine-exact). THE histogram that sizes
+    * watermarks and session-gap thresholds: the watermark should sit
+    * past the bulk of the spectrum, the session gap at its first big
+    * hole. One user-keyed window shuffle + a |types|×64-bounded rollup —
+    * linear at 100 TB. */
+  def interEventGaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts_us", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"),
+        $"event_id")
+      .withColumn("gap_us", $"ts_us" - lag($"ts_us", 1).over(w))
+      .where($"gap_us".isNotNull)
+      .groupBy($"event_type",
+        (length(bin($"gap_us")) - 1).cast(IntegerType).as("gap_bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min($"gap_us").as("min_gap_us"), max($"gap_us").as("max_gap_us"))
+      .orderBy($"event_type", $"gap_bucket")
+  }
+
   /** NS: explicit GROUPING SETS — the (event_type), (weekday), () margins
     * WITHOUT the cross-product a cube would add, plus the grouping flags
     * that disambiguate "aggregated-away" from a genuinely-null key. Same
