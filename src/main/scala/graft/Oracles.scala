@@ -1071,6 +1071,51 @@ object Oracles {
          |       CAST(COALESCE(hits, CAST(0 AS BIGINT)) AS DOUBLE) / 5.0 AS recall
          |FROM probes p LEFT JOIN hits USING (p_id)
          |ORDER BY p_id""".stripMargin,
+    "ann_nprobe_frontier" ->
+      s"""WITH c AS (SELECT vec_id AS cell_id, embedding AS ce
+         |           FROM embeddings WHERE vec_id < 16),
+         |s AS (SELECT e.vec_id, e.embedding, c.cell_id,
+         |        ${cosSql("e.embedding", "c.ce")} AS score FROM embeddings e, c),
+         |r AS (SELECT vec_id, embedding, cell_id, score, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY score DESC, cell_id) AS rnk FROM s),
+         |a AS (SELECT vec_id, embedding, cell_id FROM r WHERE rnk = 1),
+         |probes AS (SELECT vec_id AS p_id, embedding AS pe
+         |           FROM embeddings WHERE vec_id < 8),
+         |pc AS (SELECT vec_id AS p_id, cell_id, CAST(rnk AS INTEGER) AS pc_rnk
+         |       FROM r WHERE vec_id < 8 AND rnk <= 4),
+         |np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+         |cand AS (SELECT np.nprobe, pc.p_id, a.vec_id,
+         |           ${cosSql("a.embedding", "p.pe")} AS score
+         |         FROM a JOIN pc ON a.cell_id = pc.cell_id
+         |         JOIN probes p ON p.p_id = pc.p_id
+         |         CROSS JOIN np
+         |         WHERE a.vec_id <> pc.p_id AND pc.pc_rnk <= np.nprobe),
+         |ivfr AS (SELECT nprobe, p_id, vec_id, row_number() OVER (
+         |          PARTITION BY nprobe, p_id ORDER BY score DESC, vec_id)
+         |          AS rnk FROM cand),
+         |ivf5 AS (SELECT nprobe, p_id, vec_id FROM ivfr WHERE rnk <= 5),
+         |ex AS (SELECT p.p_id, e.vec_id, ${cosSql("e.embedding", "p.pe")} AS score
+         |       FROM embeddings e, probes p WHERE e.vec_id <> p.p_id),
+         |exr AS (SELECT p_id, vec_id, row_number() OVER (
+         |          PARTITION BY p_id ORDER BY score DESC, vec_id) AS rnk FROM ex),
+         |ex5 AS (SELECT p_id, vec_id FROM exr WHERE rnk <= 5),
+         |hits AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_hits
+         |         FROM ivf5 JOIN ex5 USING (p_id, vec_id) GROUP BY nprobe),
+         |cs AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS cell_n
+         |       FROM a GROUP BY cell_id),
+         |sc AS (SELECT np.nprobe, CAST(sum(cs.cell_n) AS BIGINT) AS scanned_rows
+         |       FROM pc JOIN cs USING (cell_id) CROSS JOIN np
+         |       WHERE pc.pc_rnk <= np.nprobe GROUP BY np.nprobe),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM embeddings)
+         |SELECT np.nprobe AS nprobe,
+         |       COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+         |       COALESCE(h.n_hits, CAST(0 AS BIGINT)) * 1048576 // 40
+         |         AS recall_u20,
+         |       sc.scanned_rows,
+         |       sc.scanned_rows * 1048576 // (8 * t.n_total) AS scanned_u20
+         |FROM np LEFT JOIN hits h USING (nprobe)
+         |JOIN sc USING (nprobe) CROSS JOIN t
+         |ORDER BY nprobe""".stripMargin,
     "ann_ndcg" -> {
       val W = graft.operators.Similarity.NdcgW
       val P = graft.operators.Similarity.NdcgP

@@ -244,6 +244,7 @@ object SparkEntry {
     "zipf_slope"           -> (CorpusOps.zipfSlope(_, _)),
     "mixture_temperature"  -> (CorpusOps.mixtureTemperature(_, _)),
     "curriculum_order"     -> (CorpusOps.curriculumOrder(_, _)),
+    "ann_nprobe_frontier"  -> (Similarity.annNprobeFrontier(_, _)),
     "label_propagation"    -> (GraphOps.labelPropagation(_, _, 2)),
     "entropy_score"        -> (TextAnalysis.entropyScore(_, _)),
     "mad_outliers"         -> (Relational.madOutliers(_, _)),

@@ -698,6 +698,69 @@ object Similarity {
       .orderBy($"p_id")
   }
 
+  /** NS (LLM pipeline): the nprobe COST/RECALL frontier — the one table
+    * that decides an IVF deployment: for nprobe ∈ {1, 2, 4}, mean
+    * recall@5 over the 8 eval probes AGAINST the fraction of the corpus
+    * the probe actually scans (Σ probed-cell sizes / (probes × N)). Both
+    * axes are exact integers in 2^-20 fixed point (hit counts and cell
+    * sizes divide by literal totals — no FP drift), so the trade-off
+    * read ("nprobe 2 buys X recall for Y× scan") is engine-exact. The
+    * candidate generation reuses the literal-codebook assignment (zero
+    * shuffle); the three per-nprobe rank passes re-filter the same
+    * candidate frame — an eval you run on a fixed probe sample, not on
+    * the full corpus, so the 3× candidate scan is sample-sized at
+    * 100 TB. */
+  def annNprobeFrontier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cents = codebook(spark, dir)
+    val nProbes = 8
+    val probeCells = cents.filter(_._1 < nProbes).flatMap { case (pid, pe) =>
+      val pNorm = math.sqrt(dotD(pe, pe))
+      cents.map { case (cid, ce) =>
+        (pid, cid, dotD(pe, ce) / (pNorm * math.sqrt(dotD(ce, ce)))) }
+        .sortBy { case (_, cid, s) => (-s, cid) }
+        .take(4).zipWithIndex.map { case ((_, cid, _), i) => (pid, cid, i + 1) }
+    }.toSeq.toDF("p_id", "cell_id", "pc_rnk")
+    val probes = Tables.embeddings(spark, dir).where($"vec_id" < nProbes)
+      .select($"vec_id".as("p_id"), $"embedding".as("pe"))
+    val score = cosine($"embedding", $"pe")
+    val assigned = ivfAssigned(spark, dir, cents).drop("score")
+    val cand = assigned
+      .join(broadcast(probeCells), "cell_id")
+      .join(broadcast(probes), "p_id")
+      .where($"vec_id" =!= $"p_id")
+      .select($"p_id", $"vec_id", $"pc_rnk", score.as("score"))
+    val w = Window.partitionBy($"p_id").orderBy($"score".desc, $"vec_id")
+    val exact5 = Tables.embeddings(spark, dir)
+      .crossJoin(broadcast(probes))
+      .where($"vec_id" =!= $"p_id")
+      .select($"p_id", $"vec_id", score.as("score"))
+      .withColumn("rnk", row_number().over(w)).where($"rnk" <= 5)
+      .select($"p_id", $"vec_id")
+    val cellSizes = assigned.groupBy($"cell_id").agg(count(lit(1)).as("cell_n"))
+    val total = Tables.embeddings(spark, dir).agg(count(lit(1)).as("n_total"))
+    Seq(1, 2, 4).map { np =>
+      val ivf5 = cand.where($"pc_rnk" <= np)
+        .withColumn("rnk", row_number().over(w)).where($"rnk" <= 5)
+        .select($"p_id", $"vec_id")
+      val hits = exact5.join(ivf5, Seq("p_id", "vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      val scanned = probeCells.where($"pc_rnk" <= np)
+        .join(cellSizes, "cell_id")
+        .agg(sum($"cell_n").as("scanned_rows"))
+      hits.crossJoin(scanned).select(lit(np).as("nprobe"), $"n_hits",
+        $"scanned_rows")
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(total))
+      .select($"nprobe", $"n_hits",
+        expr(s"n_hits * 1048576 div ${nProbes * 5}").as("recall_u20"),
+        $"scanned_rows",
+        expr(s"scanned_rows * 1048576 div ($nProbes * n_total)")
+          .as("scanned_u20"))
+      .orderBy($"nprobe")
+  }
+
   /** NS: semantic (embedding-space) deduplication — the SemDeDup recipe
     * (Abbas et al. 2023, arXiv:2303.09540): cluster the embeddings, form
     * cosine pairs ONLY within a cluster, and drop every vector that has a

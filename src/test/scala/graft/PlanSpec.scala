@@ -414,7 +414,8 @@ class PlanSpec extends SparkSpecBase {
       "rendezvous_shards", // 1-row total broadcast onto the 8 shard rows
       "token_budget",  // two 1-row scalar broadcasts onto |sources| rows
       "idle_rich_customers", // 1-row (total, n) broadcast onto customers
-      "mixture_temperature") // two 1-row scalar broadcasts onto |sources| rows
+      "mixture_temperature", // two 1-row scalar broadcasts onto |sources| rows
+      "ann_nprobe_frontier") // 1-row hit/scan/total aggregates joined per nprobe
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, Sf0001).queryExecution.executedPlan
       val p = plan.toString
