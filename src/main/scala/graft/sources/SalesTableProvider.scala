@@ -87,30 +87,86 @@ class SalesTable(rows: Long, parts: Int) extends Table with SupportsRead {
 }
 
 class SalesScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   private var required: StructType = SalesTable.Schema
+  private var lo: Long = 0L
+  private var hi: Long = Long.MaxValue
+  private var accepted: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new SalesScan(rows, parts, rowsPerBatch, required)
+
+  /** Filter pushdown on the generator's own index: `row_id` range/equality
+    * predicates tighten the [lo, hi) id window BEFORE partition planning,
+    * so a `WHERE row_id BETWEEN a AND b` over a 10^11-row source plans
+    * only the overlapping ranges and never generates a skipped row — the
+    * DSv2 analogue of parquet row-group pruning, and EXACT here (row_id
+    * IS the generator index), so accepted filters are fully handled and
+    * never re-evaluated post-scan. Everything else stays unhandled and
+    * Spark filters it after the read. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, theirs) = filters.partition {
+      case EqualTo("row_id", _: Long)             => true
+      case GreaterThan("row_id", _: Long)         => true
+      case GreaterThanOrEqual("row_id", _: Long)  => true
+      case LessThan("row_id", _: Long)            => true
+      case LessThanOrEqual("row_id", _: Long)     => true
+      case IsNotNull("row_id")                    => true // never null
+      case _ => false
+    }
+    ours.foreach {
+      case EqualTo(_, v: Long)            => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case GreaterThan(_, v: Long)        => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual(_, v: Long) => lo = math.max(lo, v)
+      case LessThan(_, v: Long)           => hi = math.min(hi, v)
+      case LessThanOrEqual(_, v: Long)    => hi = math.min(hi, v + 1)
+      case _ => ()
+    }
+    accepted = ours
+    theirs
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan =
+    new SalesScan(rows, parts, rowsPerBatch, required, lo, math.min(hi, rows))
 }
 
 case class SalesRange(start: Long, end: Long) extends InputPartition
 
-class SalesScan(rows: Long, parts: Int, rowsPerBatch: Long, required: StructType)
-    extends Scan with Batch {
+class SalesScan(rows: Long, parts: Int, rowsPerBatch: Long,
+    required: StructType, lo: Long = 0L, hiOpt: Long = Long.MaxValue)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  private val hi = math.min(hiOpt, rows)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-sales rows=$rows cols=${required.fieldNames.mkString(",")}"
+    s"graft-sales rows=$rows cols=${required.fieldNames.mkString(",")} " +
+      s"rowBounds=[$lo,$hi)"
   override def planInputPartitions(): Array[InputPartition] = {
     val per = math.max(1L, (rows + parts - 1) / parts)
     (0L until rows by per)
-      .map(s => SalesRange(s, math.min(rows, s + per))).toArray
+      .map(s => SalesRange(math.max(s, lo), math.min(math.min(rows, s + per), hi)))
+      .filter(r => r.start < r.end)
+      .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new SalesReaderFactory(required.fieldNames)
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
     new SalesMicroBatchStream(rows, rowsPerBatch, required.fieldNames)
+
+  /** Exact statistics (the generator knows its cardinality): bounds-aware
+    * row count + a per-row byte estimate, so Catalyst's join planning
+    * (broadcast threshold, AQE) sees the truth instead of defaulting to
+    * "unknown = huge". */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(0L, hi - lo)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n * 48L)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n)
+  }
 }
 
 /** Micro-batch stream over the same generator: the offset is simply "rows

@@ -90,6 +90,36 @@ class SourcesSpec extends SparkSpecBase {
     assert(pruned.collect().map(_.getInt(0)).sum === (0 until 100).map(_ % 10 + 1).sum)
   }
 
+  test("DSv2 sales connector: row_id filters push into partition planning") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("graft-sales")
+      .option("rows", "100").option("partitions", "4").load()
+    // range predicate: bounds reach the scan (visible in its description),
+    // non-overlapping ranges are pruned at PLAN time, values are right
+    val sliced = df.where(col("row_id") >= 30L && col("row_id") < 55L)
+    val plan = sliced.queryExecution.executedPlan.toString
+    assert(plan.contains("rowBounds=[30,55)"), s"bounds not pushed:\n$plan")
+    // rows 0-24 and 75-99 live in partitions 0 and 3 → both pruned
+    assert(sliced.rdd.getNumPartitions === 2, "non-overlapping ranges not pruned")
+    assert(sliced.select("row_id").collect().map(_.getLong(0)).sorted
+      === (30L until 55L).toArray)
+    // equality collapses to a single 1-row range
+    val one = df.where(col("row_id") === 42L)
+    assert(one.rdd.getNumPartitions === 1)
+    assert(one.select("quantity").head().getInt(0) === (42 % 10 + 1))
+    // empty intersection plans ZERO partitions (never generates a row)
+    val none = df.where(col("row_id") >= 1000L)
+    assert(none.rdd.getNumPartitions === 0)
+    assert(none.count() === 0L)
+    // a non-row_id predicate stays post-scan and still filters correctly
+    val q = df.where(col("quantity") === 3)
+    assert(q.count() === 10L) // row_id % 10 + 1 == 3 → 10 of 100 rows
+    // exact statistics: bounds-aware row count reaches the scan stats
+    val stats = sliced.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(25)),
+      s"connector stats not exact: ${stats.rowCount}")
+  }
+
   test("DSv2 sales connector streams: AvailableNow drain == batch read") {
     val q = spark.readStream.format("graft-sales")
       .option("rows", "57").option("rowsPerBatch", "10").load()
