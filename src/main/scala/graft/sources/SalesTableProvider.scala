@@ -88,7 +88,8 @@ class SalesTable(rows: Long, parts: Int) extends Table with SupportsRead {
 
 class SalesScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   import org.apache.spark.sql.sources._
   private var required: StructType = SalesTable.Schema
   private var lo: Long = 0L
@@ -96,6 +97,16 @@ class SalesScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long)
   private var accepted: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** LIMIT pushdown: any n generated ids are a valid LIMIT n result, so
+    * cap the id window at lo+n and report fully-pushed — `LIMIT 10` over
+    * a 10^11-row source plans one tiny range instead of scanning. Runs
+    * AFTER filter pushdown in Spark's pushdown order, so the cap
+    * composes with a pushed row_id window. */
+  override def pushLimit(limit: Int): Boolean = {
+    if (hi == Long.MaxValue || hi - lo > limit) hi = lo + limit
+    true
+  }
 
   /** Filter pushdown on the generator's own index: `row_id` range/equality
     * predicates tighten the [lo, hi) id window BEFORE partition planning,

@@ -118,6 +118,12 @@ class SourcesSpec extends SparkSpecBase {
     val stats = sliced.queryExecution.optimizedPlan.stats
     assert(stats.rowCount.contains(BigInt(25)),
       s"connector stats not exact: ${stats.rowCount}")
+    // LIMIT pushdown caps the planned id window (composes with filters)
+    val lim = df.where(col("row_id") >= 30L).limit(5)
+    val lplan = lim.queryExecution.executedPlan.toString
+    assert(lplan.contains("rowBounds=[30,35)"), s"limit not pushed:\n$lplan")
+    assert(lim.select("row_id").collect().map(_.getLong(0)).sorted
+      === (30L until 35L).toArray)
   }
 
   test("DSv2 sales connector streams: AvailableNow drain == batch read") {
