@@ -89,7 +89,8 @@ class SalesTable(rows: Long, parts: Int) extends Table with SupportsRead {
 class SalesScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
   private var required: StructType = SalesTable.Schema
   private var lo: Long = 0L
@@ -139,23 +140,51 @@ class SalesScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long)
   }
   override def pushedFilters(): Array[Filter] = accepted
 
+  /** COUNT(*) pushdown: the generator KNOWS its cardinality (the pushed
+    * [lo, hi) window), so an ungrouped count is answered from metadata —
+    * one 1-row partition, zero rows generated, the aggregate rewritten
+    * away (complete pushdown). The DSv2 analogue of answering COUNT(*)
+    * from parquet footers. */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    val countStarOnly = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (countStarOnly) pushedCount = true
+    countStarOnly
+  }
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = agg.groupByExpressions.isEmpty &&
+    agg.aggregateExpressions.length == 1 &&
+    agg.aggregateExpressions.head
+      .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+  private var pushedCount = false
+
   override def build(): Scan =
-    new SalesScan(rows, parts, rowsPerBatch, required, lo, math.min(hi, rows))
+    new SalesScan(rows, parts, rowsPerBatch, required, lo, math.min(hi, rows),
+      pushedCount)
 }
 
 case class SalesRange(start: Long, end: Long) extends InputPartition
 
 class SalesScan(rows: Long, parts: Int, rowsPerBatch: Long,
-    required: StructType, lo: Long = 0L, hiOpt: Long = Long.MaxValue)
+    required: StructType, lo: Long = 0L, hiOpt: Long = Long.MaxValue,
+    countOnly: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   private val hi = math.min(hiOpt, rows)
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    if (countOnly) StructType(Seq(StructField("count", LongType, nullable = false)))
+    else required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-sales rows=$rows cols=${required.fieldNames.mkString(",")} " +
-      s"rowBounds=[$lo,$hi)"
+      s"rowBounds=[$lo,$hi)" + (if (countOnly) " agg=count(*)" else "")
   override def planInputPartitions(): Array[InputPartition] = {
+    if (countOnly) return Array(SalesRange(0L, 0L)) // 1 metadata-row partition
     val per = math.max(1L, (rows + parts - 1) / parts)
     (0L until rows by per)
       .map(s => SalesRange(math.max(s, lo), math.min(math.min(rows, s + per), hi)))
@@ -163,7 +192,8 @@ class SalesScan(rows: Long, parts: Int, rowsPerBatch: Long,
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SalesReaderFactory(required.fieldNames)
+    if (countOnly) new SalesCountReaderFactory(math.max(0L, hi - lo))
+    else new SalesReaderFactory(required.fieldNames)
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
     new SalesMicroBatchStream(rows, rowsPerBatch, required.fieldNames)
 
@@ -220,6 +250,17 @@ class SalesMicroBatchStream(rows: Long, rowsPerBatch: Long, fields: Array[String
     new SalesReaderFactory(fields)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** Emits the single metadata-answered COUNT(*) row. */
+class SalesCountReaderFactory(n: Long) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val go = !emitted; emitted = true; go }
+      override def get(): InternalRow = InternalRow(n)
+      override def close(): Unit = ()
+    }
 }
 
 class SalesReaderFactory(fields: Array[String])

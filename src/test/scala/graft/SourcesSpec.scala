@@ -124,6 +124,13 @@ class SourcesSpec extends SparkSpecBase {
     assert(lplan.contains("rowBounds=[30,35)"), s"limit not pushed:\n$lplan")
     assert(lim.select("row_id").collect().map(_.getLong(0)).sorted
       === (30L until 35L).toArray)
+    // COUNT(*) pushdown: answered from metadata (window-aware), the
+    // aggregate rewritten away — no HashAggregate over generated rows
+    val cnt = df.where(col("row_id") >= 30L && col("row_id") < 55L)
+      .groupBy().count()
+    val cplan = cnt.queryExecution.executedPlan.toString
+    assert(cplan.contains("agg=count(*)"), s"count not pushed:\n$cplan")
+    assert(cnt.head().getLong(0) === 25L)
   }
 
   test("DSv2 sales connector streams: AvailableNow drain == batch read") {
