@@ -927,10 +927,11 @@ object CorpusOps {
     * proportional to weight without replacement — the "sample long docs
     * more" knob mixture planners need, but replayable (same corpus →
     * same sample on any engine or partitioning, unlike an RNG draw).
-    * u = (md5₆₀+1)/2^60 is the same exact-input discipline as
-    * [[reservoirSample]]; the key is quantized to 2^-20 fixed point
-    * AFTER the one transcendental so selection order (key, doc_id) is
-    * engine-exact. Bounded [[graft.functions.TopKRows]] partials ship
+    * u = (md5₆₀+1)/2^60: the 60-bit hash exceeds double precision, so
+    * the BIGINT→DOUBLE cast rounds — but round-to-nearest is IEEE-
+    * mandated and identical in both engines, so the one transcendental
+    * sees bit-identical input; the key is quantized to 2^-20 fixed
+    * point AFTER it, making selection order (key, doc_id) engine-exact. Bounded [[graft.functions.TopKRows]] partials ship
     * ≤ k rows per (source, partition) map-side — no window, no full
     * shuffle. Linear at 100 TB. */
   def weightedSample(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
