@@ -492,6 +492,70 @@ object Oracles {
         |       min(deg) AS min_deg, max(deg) AS max_deg,
         |       CAST(sum(deg) AS BIGINT) AS sum_deg
         |FROM deg GROUP BY 1 ORDER BY deg_bucket""".stripMargin),
+    // 6 unrolled peel rounds: fixpoint is reached by round 5 on every
+    // fixture SF (the Spark loop converges by survivor-count fingerprint,
+    // so any extra unrolled round is the identity)
+    "kcore_membership" -> (simhashCte +
+      s""",
+         |b AS (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
+         |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
+         |pairs AS (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
+         |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
+         |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+         |e AS (SELECT pa AS src, pb AS dst FROM pairs
+         |      UNION ALL SELECT pb, pa FROM pairs),
+         |v0 AS (SELECT DISTINCT src AS doc_id FROM e),
+         |${(1 to 6).map(i =>
+             s"v$i AS (SELECT e.src AS doc_id FROM e " +
+               s"JOIN v${i - 1} x ON x.doc_id = e.src " +
+               s"JOIN v${i - 1} y ON y.doc_id = e.dst " +
+               "GROUP BY e.src HAVING count(*) >= 3)").mkString(",\n")},
+         |cd AS (SELECT e.src AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+         |       FROM e JOIN v6 x ON x.doc_id = e.src
+         |              JOIN v6 y ON y.doc_id = e.dst
+         |       GROUP BY e.src)
+         |SELECT v0.doc_id,
+         |       CASE WHEN cd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in_core,
+         |       COALESCE(cd.core_deg, 0) AS core_deg
+         |FROM v0 LEFT JOIN cd ON cd.doc_id = v0.doc_id
+         |ORDER BY v0.doc_id""".stripMargin),
+    // the lm_score CTE chain + per-lang tercile by row_number (the Spark
+    // side subtracts per-lang first-rank offsets from ONE global rank —
+    // identical within-lang order, identical integer bucket math)
+    "perplexity_buckets" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, len(ts)),
+        |           i -> ts[i] || ' ' || ts[i+1])) AS bg
+        |       FROM tok WHERE len(ts) >= 2),
+        |bw AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM bg),
+        |cb AS (SELECT bg, CAST(count(*) AS BIGINT) AS cnt_bg FROM bw GROUP BY 1),
+        |cw AS (SELECT split_part(bg, ' ', 1) AS w1,
+        |              CAST(sum(cnt_bg) AS BIGINT) AS cnt_w1 FROM cb GROUP BY 1),
+        |s AS (SELECT doc_id,
+        |        CAST(floor(ln(CAST(cnt_bg AS DOUBLE) / CAST(cnt_w1 AS DOUBLE))
+        |               * 1048576.0 + 0.5) AS BIGINT) AS u20
+        |      FROM bw JOIN cb USING (bg) JOIN cw USING (w1)),
+        |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |             CAST(sum(u20) AS BIGINT) AS sum_logprob_u20
+        |      FROM s GROUP BY doc_id),
+        |j AS (SELECT d.doc_id, doc.lang, d.n_bigrams,
+        |        CAST(d.sum_logprob_u20 AS DOUBLE) / CAST(d.n_bigrams AS DOUBLE)
+        |          AS avg_u20
+        |      FROM d JOIN documents doc ON doc.doc_id = d.doc_id),
+        |r AS (SELECT lang, n_bigrams, avg_u20,
+        |        row_number() OVER (PARTITION BY lang
+        |                           ORDER BY avg_u20 DESC, doc_id) AS rk,
+        |        count(*) OVER (PARTITION BY lang) AS n_lang
+        |      FROM j),
+        |g AS (SELECT lang, CAST(((rk - 1) * 3) // n_lang AS INTEGER) AS bucket,
+        |             n_bigrams, avg_u20 FROM r)
+        |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+        |       min(avg_u20) AS min_avg_u20, max(avg_u20) AS max_avg_u20,
+        |       CASE WHEN bucket = 0 THEN 'head'
+        |            WHEN bucket = 1 THEN 'middle' ELSE 'tail' END AS bucket_label
+        |FROM g GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
     "reservoir_sample" ->
       """WITH h AS (SELECT source, doc_id,
         |  CAST(concat('0x', substr(md5('rsv:' || CAST(doc_id AS VARCHAR)), 1, 15))

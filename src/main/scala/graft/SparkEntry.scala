@@ -245,6 +245,9 @@ object SparkEntry {
     "mixture_temperature"  -> (CorpusOps.mixtureTemperature(_, _)),
     "curriculum_order"     -> (CorpusOps.curriculumOrder(_, _)),
     "ann_nprobe_frontier"  -> (Similarity.annNprobeFrontier(_, _)),
+    "kcore_membership"     -> (GraphOps.kcoreMembership(_, _)),
+    "perplexity_buckets"   -> (CorpusOps.perplexityBuckets(_, _)),
+    "cusum_changepoint"    -> (Relational.cusumChangepoint(_, _)),
     "label_propagation"    -> (GraphOps.labelPropagation(_, _, 2)),
     "entropy_score"        -> (TextAnalysis.entropyScore(_, _)),
     "mad_outliers"         -> (Relational.madOutliers(_, _)),
@@ -712,6 +715,30 @@ object SparkEntry {
         |SELECT day AS epoch_day, CAST(day_rev AS DOUBLE) AS day_rev,
         |       n_purchases, ma7
         |FROM m ORDER BY epoch_day""".stripMargin,
+    // CUSUM via the prefix-min identity: S_t = max(0, cum_t − min(0,
+    // min_{j<t} cum_j)) — all integer cents, mirrors the distributed
+    // cumsum/prefix-max pair on the Spark side
+    "cusum_changepoint" ->
+      """WITH o AS (SELECT epoch_ns(o_orderdate)//1000 // 86400000000 AS day,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM orders),
+        |pd AS (SELECT day, CAST(sum(cents) AS BIGINT) AS x FROM o GROUP BY day),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM pd),
+        |grid AS (SELECT unnest(generate_series(lo, hi)) AS day FROM b),
+        |f AS (SELECT g.day AS day, COALESCE(x, 0) AS x
+        |      FROM grid g LEFT JOIN pd ON g.day = pd.day),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |             CAST(sum(x) AS BIGINT) AS total FROM f),
+        |c AS (SELECT day, x,
+        |        CAST(sum(x * n_days - total) OVER (ORDER BY day) AS BIGINT) AS cum
+        |      FROM f, t),
+        |p AS (SELECT day, x, cum,
+        |        COALESCE(min(cum) OVER (ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pmin
+        |      FROM c)
+        |SELECT day AS epoch_day, x AS day_cents, cum AS cum_drift,
+        |       greatest(cum - least(pmin, 0), 0) AS cusum
+        |FROM p ORDER BY cusum DESC, epoch_day LIMIT 10""".stripMargin,
     "revenue_bridge" ->
       """WITH pc AS (
         |  SELECT o_custkey,

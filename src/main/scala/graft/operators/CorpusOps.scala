@@ -204,6 +204,42 @@ object CorpusOps {
     lmFrame(spark, dir).orderBy($"doc_id")
   }
 
+  /** NS: CCNet-style perplexity bucketing — per language, split the
+    * corpus into head / middle / tail terciles by LM score (Wenzek et
+    * al., arXiv:1911.00359: the head is what you train on first, the
+    * tail is what you drop or re-filter). Reads the ONE memoized
+    * [[lmFrame]] (no re-tokenization), and the per-lang tercile is
+    * computed WITHOUT a per-lang window: languages are few, so
+    * `Window.partitionBy(lang)` would funnel each language's entire
+    * corpus through one task at 100 TB. Instead ONE
+    * [[Scale.withGlobalRank]] over the composite total order
+    * (lang, score desc, doc_id) ranks everything distributed; per-lang
+    * ranks fall out by subtracting each language's first global rank
+    * (a |langs|-row bounded agg, broadcast back), and the tercile is
+    * exact integer math `((rk−rk0)·3) div n_lang` — no ntile, no divided
+    * quantile, engine-exact. */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = lmFrame(spark, dir)
+      .join(Tables.documents(spark, dir).select($"doc_id", $"lang"), "doc_id")
+      .select($"doc_id", $"lang", $"n_bigrams", $"avg_logprob_u20")
+    val (ranked, _) = Scale.withGlobalRank(scored, "rk",
+      Seq($"lang", $"avg_logprob_u20".desc, $"doc_id"))
+    val offs = ranked.groupBy($"lang")
+      .agg(min($"rk").as("rk0"), count(lit(1)).as("n_lang"))
+    ranked.join(broadcast(offs), "lang")
+      .withColumn("bucket", expr("((rk - rk0) * 3) div n_lang").cast(IntegerType))
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_bigrams").as("sum_bigrams"),
+        min($"avg_logprob_u20").as("min_avg_u20"),
+        max($"avg_logprob_u20").as("max_avg_u20"))
+      .withColumn("bucket_label",
+        when($"bucket" === 0, "head").when($"bucket" === 1, "middle")
+          .otherwise("tail"))
+      .orderBy($"lang", $"bucket")
+  }
+
   /** Pre-sort gate frame, memoized once per (session, dir) — see
     * [[TextAnalysis.repetitionFrame]]; `quality_ensemble` shares it. */
   private[graft] def lmFrame(spark: SparkSession, dir: String): DataFrame =

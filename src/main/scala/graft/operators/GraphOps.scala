@@ -180,4 +180,80 @@ object GraphOps {
       .limit(20)
       .select($"doc_id", $"deg", $"pr_u20")
   }
+
+  /** k-core of an undirected edge set (`doc_a` < `doc_b`, distinct) by
+    * iterated peeling: drop every node whose degree WITHIN the surviving
+    * subgraph is < k, until a fixpoint. Returns the surviving node set.
+    *
+    * Fully distributed and convergence-checked the way
+    * [[DocDedup.dedupClusters]]' CC loop is: each round is two semi joins
+    * (edge endpoints against the surviving set — the pair graph is the
+    * bounded frame here, never the corpus) plus one degree count, the
+    * surviving set is lazily localCheckpoint'ed so plan depth stays
+    * constant in rounds (cluster: swap for `checkpoint()`), and the loop
+    * stops on a 1-row survivor-count fingerprint — peeling is strictly
+    * monotone decreasing, so equal counts ⇒ equal sets ⇒ fixpoint. Round
+    * count is bounded by the peel depth of the graph (≤ 5 on every
+    * fixture SF; `maxRounds` is a runaway guard, not the convergence
+    * contract). */
+  def kcore(spark: SparkSession, pairs: DataFrame, k: Int,
+      maxRounds: Int = 64): DataFrame = {
+    import spark.implicits._
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .localCheckpoint(false)
+    var surv = edges.select($"src".as("doc_id")).distinct()
+      .localCheckpoint(false)
+    var nPrev = -1L
+    var n = surv.count()
+    var round = 0
+    while (n != nPrev && round < maxRounds) {
+      surv = edges
+        .join(surv.select($"doc_id".as("src")), "src", "left_semi")
+        .join(surv.select($"doc_id".as("dst")), "dst", "left_semi")
+        .groupBy($"src".as("doc_id")).agg(count(lit(1)).as("deg"))
+        .where($"deg" >= k).select($"doc_id")
+        .localCheckpoint(false)
+      nPrev = n
+      n = surv.count() // 1-row driver read: the convergence fingerprint
+      round += 1
+    }
+    surv
+  }
+
+  /** NS: 3-core membership over the simhash near-dup pair graph — the
+    * density screen between [[labelPropagation]]'s communities and
+    * [[graphTriangles]]' cliques: a node survives the 3-core peel iff it
+    * keeps ≥3 neighbors after every weakly-attached node is recursively
+    * removed, so the core isolates the tight boilerplate families (every
+    * member corroborated by ≥3 others) from chain-linked periphery that
+    * one borderline simhash match would detach. Output: every node of the
+    * pair graph with its in-core flag and its degree INSIDE the core —
+    * the corroboration count a survivorship policy keys on. The oracle
+    * unrolls 6 peel rounds (fixpoint is reached by round 5 on every
+    * fixture SF; the Spark loop converges by fingerprint, so extra
+    * unrolled rounds are identity). */
+  def kcoreMembership(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    kcoreMembershipOf(spark,
+      DocDedup.simhashPairsMemo(spark, dir).select(col("doc_a"), col("doc_b")), k)
+
+  /** [[kcoreMembership]] over an explicit undirected edge set — exposed
+    * for the scalar-reference property test. */
+  private[graft] def kcoreMembershipOf(spark: SparkSession, pairs: DataFrame,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+    val core = kcore(spark, pairs, k)
+    val coreDeg = edges
+      .join(core.select($"doc_id".as("src")), "src", "left_semi")
+      .join(core.select($"doc_id".as("dst")), "dst", "left_semi")
+      .groupBy($"src".as("doc_id")).agg(count(lit(1)).as("core_deg"))
+    edges.select($"src".as("doc_id")).distinct()
+      .join(coreDeg, Seq("doc_id"), "left_outer")
+      .select($"doc_id",
+        when($"core_deg".isNotNull, 1).otherwise(0).as("in_core"),
+        coalesce($"core_deg", lit(0L)).as("core_deg"))
+      .orderBy($"doc_id")
+  }
 }

@@ -2434,4 +2434,47 @@ object Relational {
       .agg(count(lit(1)).as("n_custs"), sum($"cents").as("bal_cents"))
       .orderBy($"n_name")
   }
+
+  /** NS: CUSUM changepoint scan over daily order revenue — the
+    * sequential drift detector (Page 1954) a revenue/ingest monitor runs
+    * to localize WHEN a level shift started, where `anomaly_zscore` only
+    * flags isolated spikes. One-sided CUSUM against the all-period mean,
+    * computed exactly in integers via the prefix-min identity:
+    * the recursive S_t = max(0, S_{t−1} + d_t) equals
+    * cum_t − min(0, min_{j<t} cum_j) clamped at 0, with
+    * d_t = x_t·n_days − total (cross-multiplied cents, no divided mean —
+    * |d| ≤ total·n_days stays far under 2^63 at fixture scale; re-center
+    * per shard before applying at 100 TB-year spans). Both prefix
+    * passes are DISTRIBUTED: [[Scale.withGlobalCumsum]] for cum and
+    * [[Scale.withGlobalPrefixMax]] on −cum for the strict prefix min —
+    * no unpartitioned window even though the day grid is
+    * calendar-bounded, so the same code survives a per-minute grid.
+    * Missing days count as zero revenue (a dark day IS drift). Output:
+    * the 10 highest-alarm days. */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perDay = Tables.orders(spark, dir)
+      .select(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("day"),
+        floor($"o_totalprice" * 100 + 0.5).cast(LongType).as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("x"))
+    val bounds = perDay.agg(min($"day").as("lo"), max($"day").as("hi"))
+    val grid = bounds.select(explode(sequence($"lo", $"hi")).as("day"))
+    val daily = grid.join(perDay, Seq("day"), "left_outer")
+      .select($"day", coalesce($"x", lit(0L)).as("x"))
+    val totals = daily.agg(count(lit(1)).as("n_days"), sum($"x").as("total"))
+    val drift = daily.crossJoin(broadcast(totals))
+      .select($"day", $"x", ($"x" * $"n_days" - $"total").as("d"))
+    val cum = Scale.withGlobalCumsum(drift, Seq($"day"), Seq("d" -> "cum"))
+      .withColumn("neg_cum", -$"cum")
+    val withPm = Scale.withGlobalPrefixMax(cum, Seq($"day"), "neg_cum", "pm")
+    withPm
+      // min(0, min_{j<t} cum_j) = −max(0, max_{j<t} −cum_j); the max
+      // identity (Long.MinValue on the first day) clamps to 0 safely
+      .select($"day".as("epoch_day"), $"x".as("day_cents"),
+        $"cum".as("cum_drift"),
+        greatest($"cum" + greatest($"pm", lit(0L)), lit(0L)).as("cusum"))
+      .orderBy($"cusum".desc, $"epoch_day")
+      .limit(10)
+  }
 }

@@ -11,6 +11,29 @@ import graft.operators.CorpusOps
 class CorpusOpsSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("perplexity_buckets: tercile sizes partition each language and " +
+    "score ranges are disjoint head ≥ middle ≥ tail") {
+    val rows = CorpusOps.perplexityBuckets(spark, Sf0001).collect()
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val byBucket = rs.sortBy(_.getInt(1))
+      assert(byBucket.map(_.getInt(1)).toSeq === byBucket.indices.map(identity),
+        s"$lang buckets must be contiguous from 0")
+      // exact tercile arithmetic: bucket sizes of ((i·3) div n) partition n
+      val n = byBucket.map(_.getLong(2)).sum
+      val want = (0L until n).groupBy(i => i * 3 / n).view.mapValues(_.size.toLong)
+      byBucket.foreach(r =>
+        assert(r.getLong(2) === want(r.getInt(1).toLong), s"$lang b${r.getInt(1)}"))
+      // buckets are score-descending: head's min ≥ middle's max ≥ tail's max
+      byBucket.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi.getDouble(4) >= lo.getDouble(5),
+            s"$lang: bucket ${hi.getInt(1)} min_avg below bucket ${lo.getInt(1)} max_avg")
+        case _ => ()
+      }
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("tfidf_topk: ranks are 1..k and scores non-increasing within a doc") {
     val rows = CorpusOps.tfidfTopk(spark, Sf0001, 3)
       .select($"doc_id", $"rnk", $"score_u20").collect()

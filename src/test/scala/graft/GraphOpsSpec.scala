@@ -234,4 +234,65 @@ class GraphOpsSpec extends SparkSpecBase {
       assert(got(t) === ((n.toLong, med, mad, outliers.toLong)), s"type $t")
     }
   }
+
+  /** Scalar reference: peel to fixpoint, report (in_core, core_deg) per
+    * node — the exact contract of [[GraphOps.kcoreMembershipOf]]. */
+  private def kcoreRef(pairs: Seq[(Long, Long)], k: Int): Map[Long, (Int, Long)] = {
+    val nodes = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+    def degIn(s: Set[Long]): Map[Long, Long] = pairs
+      .filter { case (a, b) => s(a) && s(b) }
+      .flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var surv = nodes.toSet
+    var changed = true
+    while (changed) {
+      val d = degIn(surv)
+      val next = surv.filter(v => d.getOrElse(v, 0L) >= k)
+      changed = next != surv
+      surv = next
+    }
+    val cd = degIn(surv)
+    nodes.map(v => v -> (if (surv(v)) (1, cd(v)) else (0, 0L))).toMap
+  }
+
+  private def kcoreSpark(pairs: Seq[(Long, Long)], k: Int): Map[Long, (Int, Long)] =
+    GraphOps.kcoreMembershipOf(spark, pairs.toDF("doc_a", "doc_b"), k)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+
+  test("kcore: a clique survives its own peel, a tree dies entirely") {
+    // K4: every node has degree 3 → the whole clique IS the 3-core
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(kcoreSpark(k4, 3) === k4.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(_ -> ((1, 3L))).toMap)
+    // a path has max degree 2 → empty 3-core, every node flagged out
+    val path = (1L to 6L).map(i => (i, i + 1))
+    val got = kcoreSpark(path, 3)
+    assert(got.values.forall(_ === ((0, 0L))))
+    assert(got.keySet === (1L to 7L).toSet)
+  }
+
+  test("kcore: multi-round peeling cascades (clique + pendant chain)") {
+    // K4 with a chain hung off node 1: the chain peels over SEVERAL
+    // rounds (outermost node first), the clique stays — exercises the
+    // fixpoint loop beyond one round
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (5L, 6L), (6L, 7L))
+    assert(kcoreSpark(g, 3) === kcoreRef(g, 3))
+    assert(kcoreSpark(g, 2) === kcoreRef(g, 2))
+  }
+
+  test("kcore matches the scalar reference on seeded random graphs") {
+    val rnd = new scala.util.Random(0xBEEF)
+    for (trial <- 1 to 5) {
+      val n = 8 + rnd.nextInt(16)
+      val pairs = (0 until n * 3).map { _ =>
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter { case (a, b) => a != b }.distinct
+      if (pairs.nonEmpty)
+        for (k <- 2 to 3)
+          assert(kcoreSpark(pairs, k) === kcoreRef(pairs, k), s"trial $trial k=$k")
+    }
+  }
 }

@@ -7,6 +7,32 @@ import graft.operators.Scale
 /** Scale tooling: salting correctness + bucketed co-located joins. */
 class ScaleSpec extends SparkSpecBase {
 
+  test("cusum_changepoint: the textbook recursion replayed on the fixture " +
+    "matches the distributed prefix-min identity") {
+    import spark.implicits._
+    // scalar replay of S_t = max(0, S_{t-1} + d_t) over the same day/cents
+    // frame (same IEEE floor arithmetic via the same Spark expressions)
+    val perDay = spark.read.parquet(s"$Sf0001/orders.parquet")
+      .select(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .as("day"), floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (lo, hi) = (perDay.keys.min, perDay.keys.max)
+    val days = (lo to hi).map(d => d -> perDay.getOrElse(d, 0L))
+    val nDays = days.size.toLong
+    val total = days.map(_._2).sum
+    var s = 0L
+    val ref = days.map { case (d, x) =>
+      s = math.max(0L, s + (x * nDays - total))
+      (d, x, s)
+    }
+    val expected = ref.sortBy { case (d, _, cs) => (-cs, d) }.take(10)
+      .map { case (d, x, cs) => (d, x, cs) }
+    val got = graft.operators.Relational.cusumChangepoint(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq === expected)
+  }
+
   test("salted join returns exactly the unsalted join's rows") {
     import spark.implicits._
     // Heavy skew: key 1 holds 10k of 10.2k rows.
