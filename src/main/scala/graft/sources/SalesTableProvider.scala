@@ -140,51 +140,77 @@ class SalesScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long)
   }
   override def pushedFilters(): Array[Filter] = accepted
 
-  /** COUNT(*) pushdown: the generator KNOWS its cardinality (the pushed
-    * [lo, hi) window), so an ungrouped count is answered from metadata —
-    * one 1-row partition, zero rows generated, the aggregate rewritten
-    * away (complete pushdown). The DSv2 analogue of answering COUNT(*)
-    * from parquet footers. */
+  /** COUNT(*)/MIN(row_id)/MAX(row_id) pushdown: the generator KNOWS its
+    * cardinality and its id bounds (the pushed [lo, hi) window), so any
+    * ungrouped combination of those aggregates is answered from
+    * metadata — one 1-row partition, zero rows generated, the aggregate
+    * rewritten away (complete pushdown). The DSv2 analogue of answering
+    * COUNT/MIN/MAX from parquet footer statistics. Anything else (a
+    * grouped agg, MIN over a generated column) is declined and Spark
+    * computes it over the scan. */
+  private def aggKinds(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Array[String]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def rowIdRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case r: NamedReference => r.fieldNames.sameElements(Array("row_id"))
+        case _                 => false
+      }
+    if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty)
+      return None
+    val kinds = agg.aggregateExpressions.map {
+      case _: CountStar                  => "count"
+      case m: Min if rowIdRef(m.column)  => "min"
+      case m: Max if rowIdRef(m.column)  => "max"
+      case _                             => return None
+    }
+    Some(kinds)
+  }
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = {
-    val countStarOnly = agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions.head
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
-    if (countStarOnly) pushedCount = true
-    countStarOnly
+      : Boolean = aggKinds(agg) match {
+    case Some(kinds) => pushedAggKinds = kinds; true
+    case None        => false
   }
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = agg.groupByExpressions.isEmpty &&
-    agg.aggregateExpressions.length == 1 &&
-    agg.aggregateExpressions.head
-      .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
-  private var pushedCount = false
+      : Boolean = aggKinds(agg).isDefined
+  private var pushedAggKinds: Array[String] = Array.empty
 
   override def build(): Scan =
     new SalesScan(rows, parts, rowsPerBatch, required, lo, math.min(hi, rows),
-      pushedCount)
+      pushedAggKinds)
 }
 
 case class SalesRange(start: Long, end: Long) extends InputPartition
 
 class SalesScan(rows: Long, parts: Int, rowsPerBatch: Long,
     required: StructType, lo: Long = 0L, hiOpt: Long = Long.MaxValue,
-    countOnly: Boolean = false)
+    aggKinds: Array[String] = Array.empty)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   private val hi = math.min(hiOpt, rows)
+  private def aggLabel(kind: String): String = kind match {
+    case "count" => "count(*)"
+    case k       => s"$k(row_id)"
+  }
   override def readSchema(): StructType =
-    if (countOnly) StructType(Seq(StructField("count", LongType, nullable = false)))
+    if (aggKinds.nonEmpty)
+      StructType(aggKinds.zipWithIndex.map { case (k, i) =>
+        // MIN/MAX of an empty window are NULL; COUNT never is
+        StructField(s"agg$i", LongType, nullable = k != "count")
+      }.toIndexedSeq)
     else required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-sales rows=$rows cols=${required.fieldNames.mkString(",")} " +
-      s"rowBounds=[$lo,$hi)" + (if (countOnly) " agg=count(*)" else "")
+      s"rowBounds=[$lo,$hi)" +
+      (if (aggKinds.nonEmpty) s" agg=${aggKinds.map(aggLabel).mkString(",")}"
+       else "")
   override def planInputPartitions(): Array[InputPartition] = {
-    if (countOnly) return Array(SalesRange(0L, 0L)) // 1 metadata-row partition
+    if (aggKinds.nonEmpty) return Array(SalesRange(0L, 0L)) // 1 metadata-row partition
     val per = math.max(1L, (rows + parts - 1) / parts)
     (0L until rows by per)
       .map(s => SalesRange(math.max(s, lo), math.min(math.min(rows, s + per), hi)))
@@ -192,8 +218,14 @@ class SalesScan(rows: Long, parts: Int, rowsPerBatch: Long,
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    if (countOnly) new SalesCountReaderFactory(math.max(0L, hi - lo))
-    else new SalesReaderFactory(required.fieldNames)
+    if (aggKinds.nonEmpty) {
+      val empty = hi <= lo
+      new SalesAggReaderFactory(aggKinds.map {
+        case "count" => math.max(0L, hi - lo): Any
+        case "min"   => if (empty) null else (lo: Any)
+        case "max"   => if (empty) null else (hi - 1: Any)
+      })
+    } else new SalesReaderFactory(required.fieldNames)
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
     new SalesMicroBatchStream(rows, rowsPerBatch, required.fieldNames)
 
@@ -252,13 +284,14 @@ class SalesMicroBatchStream(rows: Long, rowsPerBatch: Long, fields: Array[String
   override def stop(): Unit = ()
 }
 
-/** Emits the single metadata-answered COUNT(*) row. */
-class SalesCountReaderFactory(n: Long) extends PartitionReaderFactory {
+/** Emits the single metadata-answered aggregate row (COUNT/MIN/MAX
+  * values precomputed from the scan's [lo, hi) window). */
+class SalesAggReaderFactory(values: Array[Any]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private var emitted = false
       override def next(): Boolean = { val go = !emitted; emitted = true; go }
-      override def get(): InternalRow = InternalRow(n)
+      override def get(): InternalRow = InternalRow.fromSeq(values.toIndexedSeq)
       override def close(): Unit = ()
     }
 }

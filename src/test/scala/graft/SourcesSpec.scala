@@ -131,6 +131,28 @@ class SourcesSpec extends SparkSpecBase {
     val cplan = cnt.queryExecution.executedPlan.toString
     assert(cplan.contains("agg=count(*)"), s"count not pushed:\n$cplan")
     assert(cnt.head().getLong(0) === 25L)
+    // MIN/MAX(row_id) pushdown: bounds answered from the same window
+    // metadata, composing with COUNT in one pushed aggregation
+    val mm = df.where(col("row_id") >= 30L && col("row_id") < 55L)
+      .agg(org.apache.spark.sql.functions.min("row_id"),
+        org.apache.spark.sql.functions.max("row_id"),
+        org.apache.spark.sql.functions.count(col("*")))
+    val mplan = mm.queryExecution.executedPlan.toString
+    assert(mplan.contains("agg=min(row_id),max(row_id),count(*)"),
+      s"min/max not pushed:\n$mplan")
+    assert(mm.head() === org.apache.spark.sql.Row(30L, 54L, 25L))
+    // empty window: COUNT=0, MIN/MAX=NULL — still answered from metadata
+    val emptyAgg = df.where(col("row_id") >= 1000L)
+      .agg(org.apache.spark.sql.functions.min("row_id"),
+        org.apache.spark.sql.functions.count(col("*")))
+    assert(emptyAgg.head() === org.apache.spark.sql.Row(null, 0L))
+    // a MIN over a GENERATED column is declined: Spark computes it
+    // post-scan and the value is still right
+    val minQty = df.where(col("row_id") < 13L)
+      .agg(org.apache.spark.sql.functions.min("quantity"))
+    assert(!minQty.queryExecution.executedPlan.toString.contains("agg=min"),
+      "min(quantity) must NOT claim pushdown")
+    assert(minQty.head().getInt(0) === 1) // row_id 0 → quantity 1
   }
 
   test("DSv2 sales connector streams: AvailableNow drain == batch read") {
