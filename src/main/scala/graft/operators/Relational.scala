@@ -2453,11 +2453,15 @@ object Relational {
     * the 10 highest-alarm days. */
   def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // lazy-checkpoint the |days|-row aggregate so the bounds/grid/totals/
+    // cumsum passes all read the materialized day frame instead of each
+    // re-scanning orders (the ksDrift perValue pattern)
     val perDay = Tables.orders(spark, dir)
       .select(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
           .as("day"),
         floor($"o_totalprice" * 100 + 0.5).cast(LongType).as("cents"))
       .groupBy($"day").agg(sum($"cents").as("x"))
+      .localCheckpoint(false)
     val bounds = perDay.agg(min($"day").as("lo"), max($"day").as("hi"))
     val grid = bounds.select(explode(sequence($"lo", $"hi")).as("day"))
     val daily = grid.join(perDay, Seq("day"), "left_outer")
