@@ -406,6 +406,45 @@ object StreamOps {
       .toDF("user_id", "event_id", "event_type", "ts_us", "ooo")
   }
 
+  /** Online CUSUM drift monitor — the streaming twin of
+    * [[graft.operators.Relational.cusumChangepoint]]: the recursion
+    * S_t = max(0, S_{t−1} + (x_t − ref)) folded live as each day's total
+    * closes, against an a-priori reference level `refCents` (an online
+    * monitor cannot know the retrospective all-period mean the batch
+    * detector centers on — Page's test takes its target as
+    * configuration). State is two longs — (cum drift, strict-prefix min
+    * of cum) — on ONE monitor key per watched series; the per-day totals
+    * feeding it are an ordinary upstream aggregate, so the single-key
+    * fold touches |days| rows, never raw volume. Days fold in day order
+    * within a batch; on a day-ordered feed the fold is split-invariant
+    * (the StreamingEntry parity contract) and equals the scalar
+    * recursion exactly — integer arithmetic end to end, asserted in
+    * StreamingSpec. Append mode: a closed day's alarm level never
+    * revises. */
+  def cusumStream(refCents: Long)(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    daily
+      .select(col("day"), col("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_ => 0) // one monitored series — the global revenue line
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state) =>
+          var (cum, minPrefix) = state.getOption.getOrElse((0L, 0L))
+          val out = rows.toArray.sortBy(_._1).map { case (day, x) =>
+            cum += x - refCents
+            // minPrefix is min(0, min over STRICTLY earlier cum) here
+            val s = math.max(0L, cum - minPrefix)
+            if (cum < minPrefix) minPrefix = cum
+            (day, x, cum, s)
+          }
+          state.update((cum, minPrefix))
+          out.iterator
+      }
+      .toDF("day", "day_cents", "cum_drift", "cusum")
+  }
+
   /** Ordered-funnel tracker — the streaming twin of
     * [[graft.operators.Relational.funnelSteps]]: per user a 3-slot state
     * machine (first view µs, first qualifying click µs, first qualifying

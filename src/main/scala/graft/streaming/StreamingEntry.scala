@@ -223,6 +223,24 @@ object StreamingEntry {
       StreamOps.funnelStepsStream(_), canonLastPerKey(_, 0)),
     "status_transitions_stream" -> foldTwin("append",
       StreamOps.statusTransitionsStream(_), canon),
+    // online CUSUM over closed-day revenue totals: a day-ordered
+    // (day, cents) feed folded against a configured reference level —
+    // the N-split alarm sequence must equal the 1-split one exactly
+    // (integer state, append mode: closed alarms never revise)
+    "cusum_stream" -> Twin("fold", (spark, dir, splits) => {
+      import spark.implicits._
+      val daily = graft.Tables.orders(spark, dir)
+        .select(expr("unix_micros(cast(o_orderdate as timestamp)) " +
+          "div 86400000000").as("day"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
+        .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+      val ref = daily.map(_._2).sum / daily.size // the configured target
+      def run(n: Int): Seq[String] =
+        canon(runStream[(Long, Long)](spark, daily, n, "append",
+          df => StreamOps.cusumStream(ref)(df.toDF("day", "cents"))))
+      Parity(run(splits), run(1))
+    }),
     "tws_running_totals" -> Twin("fold", (spark, dir, splits) => {
       import spark.implicits._
       // transformWithState requires the RocksDB store (multiple column

@@ -31,6 +31,31 @@ class StreamingSpec extends SparkSpecBase {
 
   private def batchDf = spark.createDataset(rows).toDF()
 
+  test("cusum stream: split fold equals the scalar recursion exactly") {
+    implicit val ctx = spark.sqlContext
+    // ref=10: drifts [2,-5,-7,10,-1] → cum [2,-3,-10,0,-1],
+    // strict-prefix min(0,·) [0,0,-3,-10,-10] → S [2,0,0,10,9]
+    val feed = Seq((1L, 12L), (2L, 5L), (3L, 3L), (4L, 20L), (5L, 9L))
+    for (splitAt <- Seq(2, 5)) {
+      val ms = MemoryStream[(Long, Long)]
+      val name = s"cusum_s$splitAt"
+      val q = StreamOps.cusumStream(10L)(ms.toDF().toDF("day", "cents"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        val (b1, b2) = feed.splitAt(splitAt)
+        ms.addData(b1); q.processAllAvailable()
+        if (b2.nonEmpty) { ms.addData(b2); q.processAllAvailable() }
+      } finally q.stop()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(got === Seq((1L, 12L, 2L, 2L), (2L, 5L, -3L, 0L),
+        (3L, 3L, -10L, 0L), (4L, 20L, 0L, 10L), (5L, 9L, -1L, 9L)),
+        s"split at $splitAt")
+    }
+  }
+
   test("decayed counters: mapGroupsWithState fold across batches == ground truth") {
     implicit val ctx = spark.sqlContext
     val tauUs = 3.6e9
