@@ -10,7 +10,7 @@ object Oracles {
   /** Shared CTE: distinct word-3-gram shingles per document. */
   private val gramsCte =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |g AS (SELECT doc_id, list_distinct(list_transform(
+      |g AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
       |        generate_series(1, len(w) - 2),
       |        i -> array_to_string(w[i:i+2], ' '))) AS grams FROM d)""".stripMargin
 
@@ -19,7 +19,7 @@ object Oracles {
     """,
       |x AS (SELECT doc_id, list_transform(grams,
       |        s -> CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT)) AS xs FROM g),
-      |s AS (SELECT doc_id, list_transform(range(0, 16),
+      |s AS MATERIALIZED (SELECT doc_id, list_transform(range(0, 16),
       |        i -> list_min(list_transform(xs,
       |               v -> (v * (2*i + 1) + 7919*i + 1) % 268435399))) AS sig FROM x)""".stripMargin
 
@@ -35,7 +35,7 @@ object Oracles {
     s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
        |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
        |s AS (SELECT doc_id, $simhashBitSums FROM h GROUP BY doc_id),
-       |m AS (SELECT doc_id, $simhashAssemble AS simhash FROM s)""".stripMargin
+       |m AS MATERIALIZED (SELECT doc_id, $simhashAssemble AS simhash FROM s)""".stripMargin
 
   private def lshDot(j: Int, v: String) =
     s"list_sum(list_transform(range(0, 64), d -> " +
@@ -92,9 +92,9 @@ object Oracles {
   private lazy val clustersSql: String =
     simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """,
-        |b AS (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
+        |b AS MATERIALIZED (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
         |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
-        |pairs AS (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
+        |pairs AS MATERIALIZED (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
         |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
         |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
         |edges AS (SELECT pa AS src, pb AS dst FROM pairs
@@ -127,9 +127,9 @@ object Oracles {
          |        LEFT JOIN c$i ON c$i.doc_id = d.doc_id)""".stripMargin
     simhashCte +
       """,
-        |b AS (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
+        |b AS MATERIALIZED (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
         |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
-        |pairs AS (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
+        |pairs AS MATERIALIZED (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
         |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
         |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
         |e AS (SELECT pa AS src, pb AS dst FROM pairs
@@ -294,7 +294,7 @@ object Oracles {
         |FROM s ORDER BY doc_id""".stripMargin),
     "minhash_dedup_pairs" -> (minhashCte +
       """,
-        |b AS (SELECT doc_id, ks.k, array_to_string(sig[4*ks.k+1:4*ks.k+4], ',') AS bv, sig
+        |b AS MATERIALIZED (SELECT doc_id, ks.k, array_to_string(sig[4*ks.k+1:4*ks.k+4], ',') AS bv, sig
         |      FROM s, (SELECT unnest([0,1,2,3]) AS k) ks)
         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
         |  CAST(list_sum(list_transform(range(1, 17),
@@ -317,9 +317,9 @@ object Oracles {
          |GROUP BY split ORDER BY split""".stripMargin,
     "split_leakage" -> (simhashCte +
       """,
-        |b AS (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
+        |b AS MATERIALIZED (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
         |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
-        |pairs AS (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
+        |pairs AS MATERIALIZED (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
         |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
         |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
         |sp AS (SELECT pa, pb,
@@ -341,7 +341,7 @@ object Oracles {
         |ORDER BY split_a, split_b""".stripMargin),
     "minhash_calibration" -> (minhashCte +
       """,
-        |b AS (SELECT doc_id, ks.k, array_to_string(sig[4*ks.k+1:4*ks.k+4], ',') AS bv, sig
+        |b AS MATERIALIZED (SELECT doc_id, ks.k, array_to_string(sig[4*ks.k+1:4*ks.k+4], ',') AS bv, sig
         |      FROM s, (SELECT unnest([0,1,2,3]) AS k) ks),
         |p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
         |        CAST(list_sum(list_transform(range(1, 17),
@@ -364,7 +364,7 @@ object Oracles {
         |FROM q ORDER BY doc_a, doc_b""".stripMargin),
     "minhash_incremental" -> (minhashCte +
       """,
-        |b AS (SELECT doc_id, ks.k, array_to_string(sig[4*ks.k+1:4*ks.k+4], ',') AS bv, sig
+        |b AS MATERIALIZED (SELECT doc_id, ks.k, array_to_string(sig[4*ks.k+1:4*ks.k+4], ',') AS bv, sig
         |      FROM s, (SELECT unnest([0,1,2,3]) AS k) ks)
         |SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS index_doc,
         |  CAST(list_sum(list_transform(range(1, 17),
@@ -406,9 +406,9 @@ object Oracles {
         |ORDER BY source, shard_id""".stripMargin,
     "label_propagation" -> (simhashCte +
       """,
-        |b AS (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
+        |b AS MATERIALIZED (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
         |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
-        |pairs AS (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
+        |pairs AS MATERIALIZED (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
         |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
         |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
         |e AS (SELECT pa AS src, pb AS dst FROM pairs
@@ -429,9 +429,9 @@ object Oracles {
         |SELECT doc_id, label FROM l2 ORDER BY doc_id""".stripMargin),
     "graph_triangles" -> (simhashCte +
       """,
-        |b AS (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
+        |b AS MATERIALIZED (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
         |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
-        |pairs AS (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
+        |pairs AS MATERIALIZED (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
         |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
         |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
         |t AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
@@ -478,9 +478,9 @@ object Oracles {
     // both engines print unpadded binary, so bucket edges are exact
     "graph_degree_hist" -> (simhashCte +
       """,
-        |b AS (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
+        |b AS MATERIALIZED (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
         |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
-        |pairs AS (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
+        |pairs AS MATERIALIZED (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
         |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
         |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
         |deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS deg FROM
@@ -492,27 +492,31 @@ object Oracles {
         |       min(deg) AS min_deg, max(deg) AS max_deg,
         |       CAST(sum(deg) AS BIGINT) AS sum_deg
         |FROM deg GROUP BY 1 ORDER BY deg_bucket""".stripMargin),
-    // 6 unrolled peel rounds: fixpoint is reached by round 5 on every
+    // 8 unrolled peel rounds: fixpoint is reached by round 5 on every
     // fixture SF (the Spark loop converges by survivor-count fingerprint,
-    // so any extra unrolled round is the identity)
+    // so any extra unrolled round is the identity; the 3-round margin
+    // absorbs a driver testdata regeneration). The multi-referenced CTEs
+    // are MATERIALIZED: DuckDB inlines CTEs by default, and each round
+    // references the previous one twice — inlined, the unroll would
+    // re-evaluate the simhash chain 2^8 times
     "kcore_membership" -> (simhashCte +
       s""",
-         |b AS (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
+         |b AS MATERIALIZED (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
          |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
-         |pairs AS (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
+         |pairs AS MATERIALIZED (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
          |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
          |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
-         |e AS (SELECT pa AS src, pb AS dst FROM pairs
+         |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
          |      UNION ALL SELECT pb, pa FROM pairs),
-         |v0 AS (SELECT DISTINCT src AS doc_id FROM e),
-         |${(1 to 6).map(i =>
-             s"v$i AS (SELECT e.src AS doc_id FROM e " +
+         |v0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id FROM e),
+         |${(1 to 8).map(i =>
+             s"v$i AS MATERIALIZED (SELECT e.src AS doc_id FROM e " +
                s"JOIN v${i - 1} x ON x.doc_id = e.src " +
                s"JOIN v${i - 1} y ON y.doc_id = e.dst " +
                "GROUP BY e.src HAVING count(*) >= 3)").mkString(",\n")},
          |cd AS (SELECT e.src AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
-         |       FROM e JOIN v6 x ON x.doc_id = e.src
-         |              JOIN v6 y ON y.doc_id = e.dst
+         |       FROM e JOIN v8 x ON x.doc_id = e.src
+         |              JOIN v8 y ON y.doc_id = e.dst
          |       GROUP BY e.src)
          |SELECT v0.doc_id,
          |       CASE WHEN cd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in_core,
@@ -735,7 +739,7 @@ object Oracles {
         |FROM m ORDER BY doc_id""".stripMargin),
     "simhash_neardup_pairs" -> (simhashCte +
       """,
-        |b AS (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
+        |b AS MATERIALIZED (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
         |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks)
         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
@@ -745,13 +749,13 @@ object Oracles {
     "dedup_ensemble" -> {
       val mhPairs = minhashCte +
         """,
-          |b AS (SELECT doc_id, ks.k, array_to_string(sig[4*ks.k+1:4*ks.k+4], ',') AS bv
+          |b AS MATERIALIZED (SELECT doc_id, ks.k, array_to_string(sig[4*ks.k+1:4*ks.k+4], ',') AS bv
           |      FROM s, (SELECT unnest([0,1,2,3]) AS k) ks)
           |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
           |FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id""".stripMargin
       val shPairs = simhashCte +
         """,
-          |b AS (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
+          |b AS MATERIALIZED (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
           |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks)
           |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
           |FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id

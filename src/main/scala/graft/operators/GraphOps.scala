@@ -230,9 +230,10 @@ object GraphOps {
     * one borderline simhash match would detach. Output: every node of the
     * pair graph with its in-core flag and its degree INSIDE the core —
     * the corroboration count a survivorship policy keys on. The oracle
-    * unrolls 6 peel rounds (fixpoint is reached by round 5 on every
+    * unrolls 8 peel rounds (fixpoint is reached by round 5 on every
     * fixture SF; the Spark loop converges by fingerprint, so extra
-    * unrolled rounds are identity). */
+    * unrolled rounds are identity and the margin absorbs a testdata
+    * regeneration). */
   def kcoreMembership(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
     kcoreMembershipOf(spark,
       DocDedup.simhashPairsMemo(spark, dir).select(col("doc_a"), col("doc_b")), k)

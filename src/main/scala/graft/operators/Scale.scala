@@ -260,6 +260,59 @@ object Scale {
       .sortBy(key)
       .saveAsTable(table)
 
+  /** Parquet row-group statistics audit — the pruning-health
+    * introspection behind every `PushedFilters` win: per (file,
+    * row group, INT64 column), the footer's num_values / null_count /
+    * min / max, plus how SELECTIVE the min–max envelope is (a column
+    * whose row groups all span the full value range prunes nothing; a
+    * clustered layout — see [[writeZOrdered]] / [[writeHilbertOrdered]] —
+    * keeps envelopes tight). Reads ONLY footers through
+    * parquet-hadoop's metadata API (the jar Spark itself reads through):
+    * metadata-scale driver work, file contents untouched — the same
+    * access pattern as a Delta/Iceberg manifest read, listed-directory
+    * or single file alike. ScaleSpec proves the reported stats equal an
+    * exact recomputation of min/max/count over the data itself. */
+  def parquetStatsAudit(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files: Seq[org.apache.hadoop.fs.Path] =
+      if (fs.getFileStatus(p).isFile) Seq(p)
+      else fs.listStatus(p).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath).sortBy(_.getName)
+    val rows = files.flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = scala.jdk.CollectionConverters
+          .ListHasAsScala(reader.getFooter.getBlocks).asScala
+        blocks.zipWithIndex.flatMap { case (b, rg) =>
+          scala.jdk.CollectionConverters.ListHasAsScala(b.getColumns).asScala
+            // plain INT64 only: timestamps are INT64-physical with a
+            // logical annotation and belong to a typed audit, not this one
+            .filter(c => c.getPrimitiveType.getPrimitiveTypeName ==
+              org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 &&
+              c.getPrimitiveType.getLogicalTypeAnnotation == null)
+            .map { c =>
+              val st = c.getStatistics
+              val (mn, mx) =
+                if (st != null && st.hasNonNullValue)
+                  (Some(st.genericGetMin.asInstanceOf[Long]),
+                    Some(st.genericGetMax.asInstanceOf[Long]))
+                else (None: Option[Long], None: Option[Long])
+              (f.getName, rg, c.getPath.toDotString, c.getValueCount,
+                if (st == null) -1L else st.getNumNulls, mn, mx)
+            }
+        }
+      } finally reader.close()
+    }
+    rows.toDF("file", "row_group", "column", "num_values", "null_count",
+        "min_value", "max_value")
+      .orderBy($"file", $"row_group", $"column")
+  }
+
   /** Write `df` as parquet hive-partitioned by `partCol` (one directory
     * per value), rows sorted by `sortCol` inside each file. This is the
     * 100 TB data-layout contract: queries filtering on `partCol` read

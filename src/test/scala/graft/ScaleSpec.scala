@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 import graft.operators.Scale
@@ -31,6 +32,27 @@ class ScaleSpec extends SparkSpecBase {
     val got = graft.operators.Relational.cusumChangepoint(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
     assert(got.toSeq === expected)
+  }
+
+  test("parquetStatsAudit: footer row-group stats equal exact recomputation") {
+    import spark.implicits._
+    val path = s"$Sf0001/lineitem.parquet"
+    val audit = Scale.parquetStatsAudit(spark, path).collect()
+    assert(audit.nonEmpty, "no INT64 row-group stats found")
+    // footer num_values per column must sum to the table's row count,
+    // and the global min/max envelope must equal the exact aggregates
+    val n = spark.read.parquet(path).count()
+    val byCol = audit.groupBy(_.getString(2))
+    assert(byCol.keySet.contains("l_orderkey"))
+    byCol.foreach { case (column, rows) =>
+      assert(rows.map(_.getLong(3)).sum === n, s"$column num_values")
+      val ex: Row = spark.read.parquet(path).agg(
+        min(col(column)), max(col(column)),
+        sum(when(col(column).isNull, 1L).otherwise(0L))).head()
+      assert(rows.map(_.getLong(5)).min === ex.getLong(0), s"$column min")
+      assert(rows.map(_.getLong(6)).max === ex.getLong(1), s"$column max")
+      assert(rows.map(_.getLong(4)).sum === ex.getLong(2), s"$column nulls")
+    }
   }
 
   test("salted join returns exactly the unsalted join's rows") {
