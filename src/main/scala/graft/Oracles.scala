@@ -523,6 +523,103 @@ object Oracles {
          |       COALESCE(cd.core_deg, 0) AS core_deg
          |FROM v0 LEFT JOIN cd ON cd.doc_id = v0.doc_id
          |ORDER BY v0.doc_id""".stripMargin),
+    // the three gate chains (repetition / entropy / bigram-LM, renamed
+    // r_/e_/l_) + the minhash incremental band probe (m_), composed into
+    // the batch funnel — flag thresholds identical to the standalone
+    // repetition_score / entropy_score / lm_score / minhash_incremental
+    // oracles; multi-referenced CTEs materialized
+    "corpus_pipeline_incremental" ->
+      """WITH ib AS MATERIALIZED (SELECT doc_id, md5(text) AS h,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |        (doc_id % 10 = 7) AS is_new FROM documents),
+        |r_tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |r_bg AS (SELECT doc_id, list_transform(range(1, len(ts)),
+        |                 i -> ts[i] || ' ' || ts[i+1]) AS bgs
+        |        FROM r_tok WHERE len(ts) >= 2),
+        |r_e AS (SELECT doc_id, unnest(bgs) AS bg FROM r_bg),
+        |r_c AS (SELECT doc_id, bg, count(*) AS n FROM r_e GROUP BY 1, 2),
+        |r_t AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS top_count,
+        |               CAST(sum(n) AS BIGINT) AS n_bigrams FROM r_c GROUP BY 1),
+        |rf AS MATERIALIZED (SELECT doc_id,
+        |        CASE WHEN CAST(top_count AS DOUBLE) / n_bigrams > 0.05
+        |             THEN 1 ELSE 0 END AS repetitive FROM r_t),
+        |e_tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |          FROM documents),
+        |e_c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |        FROM e_tok GROUP BY doc_id, tok),
+        |e_n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens
+        |        FROM e_c GROUP BY doc_id),
+        |e_t AS (SELECT e_c.doc_id,
+        |          CAST(floor(-(CAST(e_c.c AS DOUBLE) / e_n.n_tokens)
+        |                     * ln(CAST(e_c.c AS DOUBLE) / e_n.n_tokens)
+        |                     * CAST(1048576 AS DOUBLE) + 0.5) AS BIGINT) AS term_u20
+        |        FROM e_c JOIN e_n USING (doc_id)),
+        |ef AS MATERIALIZED (SELECT doc_id,
+        |        CASE WHEN CAST(sum(term_u20) AS BIGINT) < 1572864
+        |             THEN 1 ELSE 0 END AS ent_f FROM e_t GROUP BY doc_id),
+        |l_tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |l_bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |           i -> ts[i] || ' ' || ts[i+1])) AS bg
+        |         FROM l_tok WHERE len(ts) >= 2),
+        |l_bw AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM l_bg),
+        |l_cb AS (SELECT bg, CAST(count(*) AS BIGINT) AS cnt_bg FROM l_bw GROUP BY 1),
+        |l_cw AS (SELECT split_part(bg, ' ', 1) AS w1,
+        |                CAST(sum(cnt_bg) AS BIGINT) AS cnt_w1 FROM l_cb GROUP BY 1),
+        |l_s AS (SELECT doc_id,
+        |          CAST(floor(ln(CAST(cnt_bg AS DOUBLE) / CAST(cnt_w1 AS DOUBLE))
+        |                 * 1048576.0 + 0.5) AS BIGINT) AS u20
+        |        FROM l_bw JOIN l_cb USING (bg) JOIN l_cw USING (w1)),
+        |lf AS MATERIALIZED (SELECT doc_id,
+        |        CASE WHEN CAST(sum(u20) AS DOUBLE) / count(*) < -4102053.0
+        |             THEN 1 ELSE 0 END AS lm_f FROM l_s GROUP BY doc_id),
+        |m_d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |m_g AS (SELECT doc_id, list_distinct(list_transform(
+        |          generate_series(1, len(w) - 2),
+        |          i -> array_to_string(w[i:i+2], ' '))) AS grams FROM m_d),
+        |m_x AS (SELECT doc_id, list_transform(grams,
+        |          s -> CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT)) AS xs
+        |        FROM m_g),
+        |m_s AS MATERIALIZED (SELECT doc_id, list_transform(range(0, 16),
+        |          i -> list_min(list_transform(xs,
+        |                 v -> (v * (2*i + 1) + 7919*i + 1) % 268435399))) AS sig
+        |        FROM m_x),
+        |m_b AS MATERIALIZED (SELECT doc_id, ks.k,
+        |          array_to_string(sig[4*ks.k+1:4*ks.k+4], ',') AS bv, sig
+        |        FROM m_s, (SELECT unnest([0,1,2,3]) AS k) ks),
+        |nh AS MATERIALIZED (SELECT DISTINCT x.doc_id
+        |      FROM m_b x JOIN m_b y ON x.k = y.k AND x.bv = y.bv
+        |      WHERE x.doc_id % 10 = 7 AND y.doc_id % 10 <> 7
+        |        AND CAST(list_sum(list_transform(range(1, 17),
+        |              i -> CASE WHEN x.sig[i] = y.sig[i] THEN 1 ELSE 0 END))
+        |            AS DOUBLE) / 16 >= 0.5),
+        |q AS MATERIALIZED (SELECT ib.*,
+        |        CASE WHEN ib.is_new AND COALESCE(rf.repetitive, 0) = 0
+        |              AND COALESCE(ef.ent_f, 0) = 0
+        |              AND COALESCE(lf.lm_f, 0) = 0
+        |             THEN 1 ELSE 0 END AS q_keep
+        |      FROM ib LEFT JOIN rf ON rf.doc_id = ib.doc_id
+        |              LEFT JOIN ef ON ef.doc_id = ib.doc_id
+        |              LEFT JOIN lf ON lf.doc_id = ib.doc_id),
+        |idx AS (SELECT DISTINCT h FROM ib WHERE NOT is_new),
+        |bk AS (SELECT h, min(doc_id) AS b_keeper FROM q WHERE q_keep = 1
+        |       GROUP BY h),
+        |q2 AS (SELECT q.*, CASE WHEN q.q_keep = 1 AND idx.h IS NULL
+        |               AND q.doc_id = bk.b_keeper THEN 1 ELSE 0 END AS e_keep
+        |       FROM q LEFT JOIN idx ON idx.h = q.h
+        |              LEFT JOIN bk ON bk.h = q.h
+        |       WHERE q.is_new),
+        |q3 AS (SELECT q2.*, CASE WHEN q2.e_keep = 1 AND nh.doc_id IS NULL
+        |               THEN 1 ELSE 0 END AS c_keep
+        |       FROM q2 LEFT JOIN nh ON nh.doc_id = q2.doc_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_batch,
+        |       CAST(sum(n_toks) AS BIGINT) AS tok_batch,
+        |       CAST(sum(q_keep) AS BIGINT) AS n_quality,
+        |       CAST(sum(q_keep * n_toks) AS BIGINT) AS tok_quality,
+        |       CAST(sum(e_keep) AS BIGINT) AS n_exact,
+        |       CAST(sum(e_keep * n_toks) AS BIGINT) AS tok_exact,
+        |       CAST(sum(c_keep) AS BIGINT) AS n_ingest,
+        |       CAST(sum(c_keep * n_toks) AS BIGINT) AS tok_ingest
+        |FROM q3""".stripMargin,
     // the lm_score CTE chain + per-lang tercile by row_number (the Spark
     // side subtracts per-lang first-rank offsets from ONE global rank —
     // identical within-lang order, identical integer bucket math)

@@ -246,6 +246,7 @@ object SparkEntry {
     "curriculum_order"     -> (CorpusOps.curriculumOrder(_, _)),
     "ann_nprobe_frontier"  -> (Similarity.annNprobeFrontier(_, _)),
     "kcore_membership"     -> (GraphOps.kcoreMembership(_, _)),
+    "corpus_pipeline_incremental" -> (CorpusOps.corpusPipelineIncremental(_, _)),
     "perplexity_buckets"   -> (CorpusOps.perplexityBuckets(_, _)),
     "cusum_changepoint"    -> (Relational.cusumChangepoint(_, _)),
     "label_propagation"    -> (GraphOps.labelPropagation(_, _, 2)),

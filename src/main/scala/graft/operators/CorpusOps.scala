@@ -899,6 +899,66 @@ object CorpusOps {
         sum(when($"c_keep", $"n_toks").otherwise(0L)).as("tok_neardup"))
   }
 
+  /** NS (LLM pipeline): the INCREMENTAL ingest funnel — what a daily
+    * crawl batch actually runs, where [[corpusPipeline]] is the
+    * full-corpus backfill: the new batch (doc_id ≡ 7 mod 10, the
+    * `minhash_incremental` split) flows through
+    *   1. the quality gates (repetition ∧ entropy ∧ bigram-LM — the same
+    *      memoized corpus-trained gate frames),
+    *   2. exact dedup against the INDEX's content hashes (a distinct-h
+    *      anti-membership join) and within the batch (min-doc keeper),
+    *   3. near-dup dedup against the persisted MinHash signature index
+    *      (band-bucket probe, batch side broadcast — the index is never
+    *      reshuffled) at estimated-Jaccard ≥ 1/2 (a k/16 dyadic, so the
+    *      threshold is boundary-exact in any engine).
+    * Emits the per-stage batch survivor counts (docs + tokens) — the
+    * daily ingest report. At 100 TB: gates read staging tables, the
+    * index probe is the broadcast-vs-bucketed join `minhash_incremental`
+    * documents, and nothing rescans the index corpus. */
+  def corpusPipelineIncremental(spark: SparkSession, dir: String,
+      estThreshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", md5($"text").as("h"),
+        size(TextAnalysis.tokens($"text")).cast(LongType).as("n_toks"),
+        ($"doc_id" % 10 === 7).as("is_new"))
+    val rep = TextAnalysis.repetitionFrame(spark, dir)
+      .select($"doc_id", $"repetitive")
+    val ent = TextAnalysis.entropyFrame(spark, dir)
+      .select($"doc_id", $"flagged".as("ent_f"))
+    val lm = lmFrame(spark, dir).select($"doc_id", $"flagged".as("lm_f"))
+    val q = base
+      .join(rep, Seq("doc_id"), "left_outer")
+      .join(ent, Seq("doc_id"), "left_outer")
+      .join(lm, Seq("doc_id"), "left_outer")
+      .withColumn("q_keep", $"is_new" &&
+        coalesce($"repetitive", lit(0)) === 0 &&
+        coalesce($"ent_f", lit(0)) === 0 && coalesce($"lm_f", lit(0)) === 0)
+    val idxH = base.where(!$"is_new").select($"h").distinct()
+      .withColumn("in_index", lit(1))
+    val batchKeeper = q.where($"q_keep")
+      .groupBy($"h").agg(min($"doc_id").as("b_keeper"))
+    val q2 = q.where($"is_new")
+      .join(idxH, Seq("h"), "left_outer")
+      .join(batchKeeper, Seq("h"), "left_outer")
+      .withColumn("e_keep",
+        $"q_keep" && $"in_index".isNull && $"doc_id" === $"b_keeper")
+    val nearHits = DocDedup.minhashIncrementalPairs(spark, dir)
+      .where($"est_jaccard" >= estThreshold)
+      .select($"new_doc".as("doc_id")).distinct()
+      .withColumn("near_hit", lit(1))
+    q2.join(nearHits, Seq("doc_id"), "left_outer")
+      .withColumn("c_keep", $"e_keep" && $"near_hit".isNull)
+      .agg(
+        count(lit(1)).as("n_batch"), sum($"n_toks").as("tok_batch"),
+        sum(when($"q_keep", 1L).otherwise(0L)).as("n_quality"),
+        sum(when($"q_keep", $"n_toks").otherwise(0L)).as("tok_quality"),
+        sum(when($"e_keep", 1L).otherwise(0L)).as("n_exact"),
+        sum(when($"e_keep", $"n_toks").otherwise(0L)).as("tok_exact"),
+        sum(when($"c_keep", 1L).otherwise(0L)).as("n_ingest"),
+        sum(when($"c_keep", $"n_toks").otherwise(0L)).as("tok_ingest"))
+  }
+
   /** NS (LLM pipeline): temperature-scaled source mixture — the standard
     * multilingual/multi-source mixing rule (weight ∝ p^α, here α = 0.7):
     * flattens the natural source distribution so low-resource sources are

@@ -122,6 +122,14 @@ object DocDedup {
     * the new batch is always broadcast-small relative to it. */
   def minhashIncremental(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    minhashIncrementalPairs(spark, dir).orderBy($"new_doc", $"index_doc")
+  }
+
+  /** The unordered (new_doc, index_doc, est_jaccard) candidate frame of
+    * [[minhashIncremental]] — reused by the incremental ingest funnel. */
+  private[graft] def minhashIncrementalPairs(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
     // LAZY checkpoint: the signature pipeline (corpus scan + per-shingle
     // md5 + 16-perm aggregation) feeds BOTH join inputs — without the
     // materialization it would execute twice (the filters differ, so no
@@ -139,7 +147,6 @@ object DocDedup {
         (size(filter(zip_with(col("x.sig"), col("y.sig"), (u, v) => u === v),
           b => b)).cast(DoubleType) / NumHashes).as("est_jaccard"))
       .distinct()
-      .orderBy($"new_doc", $"index_doc")
   }
 
   // SimHash: 32-bit signature from md5-60 token hashes, frequency-weighted.
