@@ -373,6 +373,53 @@ object Oracles {
         |FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv
         |WHERE x.doc_id % 10 = 7 AND y.doc_id % 10 <> 7
         |ORDER BY new_doc, index_doc""".stripMargin),
+    // k16 is the integer slot-agreement count (est·16) — boundary-exact
+    // at every threshold; DuckDB's rounding double→BIGINT cast and
+    // Spark's truncating one agree because the value IS an integer
+    "dedup_threshold_sweep" -> (minhashCte +
+      """,
+        |b AS MATERIALIZED (SELECT doc_id, ks.k, array_to_string(sig[4*ks.k+1:4*ks.k+4], ',') AS bv, sig
+        |      FROM s, (SELECT unnest([0,1,2,3]) AS k) ks),
+        |p AS MATERIALIZED (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |        CAST(list_sum(list_transform(range(1, 17),
+        |          i -> CASE WHEN x.sig[i] = y.sig[i] THEN 1 ELSE 0 END)) AS BIGINT) AS k16
+        |      FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id),
+        |t AS (SELECT unnest([4, 8, 12]) AS threshold_16ths)
+        |SELECT t.threshold_16ths, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(count(DISTINCT p.doc_b) AS BIGINT) AS n_dropped_docs,
+        |       CAST(sum(p.doc_a + p.doc_b) AS BIGINT) AS id_checksum
+        |FROM p JOIN t ON p.k16 >= t.threshold_16ths
+        |GROUP BY t.threshold_16ths
+        |ORDER BY threshold_16ths""".stripMargin),
+    // theory side: explicit left-associated multiply chains (no libm
+    // pow) — exact dyadics until the final multiply, which rounds
+    // identically under IEEE in both engines
+    "lsh_scurve" -> (minhashCte +
+      """,
+        |b AS MATERIALIZED (SELECT doc_id, ks.k, array_to_string(sig[4*ks.k+1:4*ks.k+4], ',') AS bv, sig
+        |      FROM s, (SELECT unnest([0,1,2,3]) AS k) ks),
+        |p AS MATERIALIZED (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |      FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id),
+        |j AS (SELECT p.doc_a, p.doc_b,
+        |        CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS n_inter,
+        |        CAST(len(ga.grams) AS BIGINT) + CAST(len(gb.grams) AS BIGINT)
+        |          - CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS n_union
+        |      FROM p JOIN g ga ON ga.doc_id = p.doc_a
+        |             JOIN g gb ON gb.doc_id = p.doc_b),
+        |emp AS (SELECT CAST(floor(CAST(n_inter AS DOUBLE) / n_union * 16.0)
+        |                    AS INTEGER) AS s_16th,
+        |               CAST(count(*) AS BIGINT) AS n_candidates
+        |        FROM j GROUP BY 1),
+        |sg AS (SELECT unnest(generate_series(0, 16)) AS s16),
+        |sv AS (SELECT s16, CAST(s16 AS DOUBLE) / 16.0 AS sd FROM sg),
+        |s4 AS (SELECT s16, sd * sd * sd * sd AS s4 FROM sv),
+        |qv AS (SELECT s16, 1.0 - s4 AS q FROM s4),
+        |pv AS (SELECT s16, 1.0 - q * q * q * q AS p FROM qv)
+        |SELECT CAST(pv.s16 AS INTEGER) AS s_16th,
+        |       CAST(floor(pv.p * 1048576.0 + 0.5) AS BIGINT) AS p_candidate_u20,
+        |       COALESCE(emp.n_candidates, 0) AS n_candidates
+        |FROM pv LEFT JOIN emp ON emp.s_16th = pv.s16
+        |ORDER BY s_16th""".stripMargin),
     "pair_graph_pagerank" -> pagerankSql,
     "media_text_pairs" ->
       s"""WITH c AS (SELECT vec_id AS cell_id, embedding AS ce

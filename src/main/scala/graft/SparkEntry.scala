@@ -247,6 +247,8 @@ object SparkEntry {
     "ann_nprobe_frontier"  -> (Similarity.annNprobeFrontier(_, _)),
     "kcore_membership"     -> (GraphOps.kcoreMembership(_, _)),
     "corpus_pipeline_incremental" -> (CorpusOps.corpusPipelineIncremental(_, _)),
+    "dedup_threshold_sweep" -> (DocDedup.dedupThresholdSweep(_, _)),
+    "lsh_scurve"           -> (DocDedup.lshScurve(_, _)),
     "perplexity_buckets"   -> (CorpusOps.perplexityBuckets(_, _)),
     "cusum_changepoint"    -> (Relational.cusumChangepoint(_, _)),
     "label_propagation"    -> (GraphOps.labelPropagation(_, _, 2)),

@@ -255,6 +255,69 @@ object DocDedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** NS: dedup threshold sweep — the knob report a pipeline reads BEFORE
+    * deleting data: for estimated-Jaccard cutoffs {4,8,12}/16, how many
+    * candidate pairs survive and how many docs the min-keeper rule would
+    * drop (distinct larger ids), with an id checksum. est·16 is the
+    * exact integer slot-agreement count (est is k/16, a dyadic —
+    * DuckDB's rounding double→BIGINT cast and Spark's truncating one
+    * agree because the value IS an integer), so every cutoff is
+    * boundary-exact. One memoized pair frame × a 3-row literal
+    * threshold dim — no rescan per cutoff. */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashPairsMemo(spark, dir)
+      .select($"doc_a", $"doc_b",
+        ($"est_jaccard" * NumHashes).cast(LongType).as("k16"))
+    val th = Seq(4, 8, 12).toDF("threshold_16ths")
+    pairs.crossJoin(broadcast(th))
+      .where($"k16" >= $"threshold_16ths")
+      .groupBy($"threshold_16ths")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"doc_b").as("n_dropped_docs"),
+        sum($"doc_a" + $"doc_b").as("id_checksum"))
+      .orderBy($"threshold_16ths")
+  }
+
+  /** NS: the LSH S-curve — theory vs corpus for the b=4, r=4 band
+    * layout: per Jaccard grid point s = k/16, the textbook candidate
+    * probability 1 − (1 − s^r)^b next to the observed candidate-pair
+    * count whose EXACT shingle Jaccard falls in that bucket. The table
+    * that justifies (or retunes) the band configuration before a dedup
+    * deletes data — `ann_nprobe_frontier`'s twin for the LSH side.
+    * Determinism: s^4 and its complement are computed as explicit
+    * left-associated multiply chains (k^4/65536 and its powers are
+    * exact dyadics until the final multiply, which rounds identically
+    * under IEEE in any engine — no libm pow), then 2^-20 quantized;
+    * bucket = floor(exact·16) on the same single-division double both
+    * engines produce. Grid is 17 rows; empirical side reuses the
+    * memoized candidate pairs + per-doc gram sets. */
+  def lshScurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = $"s_16th".cast(DoubleType) / 16.0
+    val s4 = s * s * s * s
+    val q = lit(1.0) - s4
+    val p = lit(1.0) - q * q * q * q
+    val grid = spark.range(0, 17)
+      .select($"id".cast(IntegerType).as("s_16th"))
+      .select($"s_16th",
+        floor(p * 1048576.0 + 0.5).cast(LongType).as("p_candidate_u20"))
+    val gramsDf = Tables.documents(spark, dir)
+      .select($"doc_id", array_distinct(shingles($"text", 3)).as("grams"))
+    val inter = size(array_intersect($"ga", $"gb")).cast(LongType)
+    val union = (size($"ga") + size($"gb")).cast(LongType) - inter
+    val emp = minhashPairsMemo(spark, dir)
+      .join(gramsDf.select($"doc_id".as("doc_a"), $"grams".as("ga")), Seq("doc_a"))
+      .join(gramsDf.select($"doc_id".as("doc_b"), $"grams".as("gb")), Seq("doc_b"))
+      .select(floor(inter.cast(DoubleType) / union * 16.0)
+        .cast(IntegerType).as("s_16th"))
+      .groupBy($"s_16th").agg(count(lit(1)).as("n_candidates"))
+    grid.join(emp, Seq("s_16th"), "left_outer")
+      .select($"s_16th", $"p_candidate_u20",
+        coalesce($"n_candidates", lit(0L)).as("n_candidates"))
+      .orderBy($"s_16th")
+  }
+
   /** NS: train/val/test leakage audit — near-dup pairs that CROSS the
     * `hash_split` boundaries: a test doc with a train near-duplicate is
     * contamination the benchmark-decontamination gate can't see (it only

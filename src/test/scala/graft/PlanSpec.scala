@@ -416,7 +416,8 @@ class PlanSpec extends SparkSpecBase {
       "idle_rich_customers", // 1-row (total, n) broadcast onto customers
       "mixture_temperature", // two 1-row scalar broadcasts onto |sources| rows
       "ann_nprobe_frontier", // 1-row hit/scan/total aggregates joined per nprobe
-      "cusum_changepoint") // 1-row (n_days, total) broadcast onto the day grid
+      "cusum_changepoint", // 1-row (n_days, total) broadcast onto the day grid
+      "dedup_threshold_sweep") // 3-row literal threshold dim onto the pair set
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, Sf0001).queryExecution.executedPlan
       val p = plan.toString
