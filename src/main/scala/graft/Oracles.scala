@@ -474,6 +474,47 @@ object Oracles {
         |           PARTITION BY src ORDER BY c DESC, label) AS rn FROM n2)
         |       WHERE rn = 1)
         |SELECT doc_id, label FROM l2 ORDER BY doc_id""".stripMargin),
+    // LPA labels (2 unrolled rounds, same as label_propagation) + the
+    // per-community modularity contribution as the exact integer
+    // numerator 4·m·e_c − d_c² — division-free
+    "graph_modularity" -> (simhashCte +
+      """,
+        |b AS MATERIALIZED (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
+        |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
+        |pairs AS MATERIALIZED (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
+        |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
+        |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+        |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
+        |      UNION ALL SELECT pb, pa FROM pairs),
+        |l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM e),
+        |n1 AS (SELECT e.src, l.label, CAST(count(*) AS BIGINT) AS c
+        |       FROM e JOIN l0 l ON l.doc_id = e.dst GROUP BY e.src, l.label),
+        |l1 AS MATERIALIZED (SELECT src AS doc_id, label FROM (
+        |         SELECT src, label, row_number() OVER (
+        |           PARTITION BY src ORDER BY c DESC, label) AS rn FROM n1)
+        |       WHERE rn = 1),
+        |n2 AS (SELECT e.src, l.label, CAST(count(*) AS BIGINT) AS c
+        |       FROM e JOIN l1 l ON l.doc_id = e.dst GROUP BY e.src, l.label),
+        |l2 AS MATERIALIZED (SELECT src AS doc_id, label FROM (
+        |         SELECT src, label, row_number() OVER (
+        |           PARTITION BY src ORDER BY c DESC, label) AS rn FROM n2)
+        |       WHERE rn = 1),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+        |wl AS (SELECT p.pa, p.pb, a.label AS la, b2.label AS lb
+        |       FROM pairs p JOIN l2 a ON a.doc_id = p.pa
+        |                    JOIN l2 b2 ON b2.doc_id = p.pb),
+        |ein AS (SELECT la AS label, CAST(count(*) AS BIGINT) AS e_in
+        |        FROM wl WHERE la = lb GROUP BY 1),
+        |deg AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
+        |        FROM e GROUP BY 1),
+        |dc AS (SELECT l2.label, CAST(count(*) AS BIGINT) AS n_nodes,
+        |              CAST(sum(deg) AS BIGINT) AS d_sum
+        |       FROM deg JOIN l2 ON l2.doc_id = deg.doc_id GROUP BY 1)
+        |SELECT dc.label, dc.n_nodes, COALESCE(ein.e_in, 0) AS e_in, dc.d_sum,
+        |       4 * mm.m * COALESCE(ein.e_in, 0) - dc.d_sum * dc.d_sum
+        |         AS contrib_num
+        |FROM dc LEFT JOIN ein ON ein.label = dc.label CROSS JOIN mm
+        |ORDER BY dc.label""".stripMargin),
     "graph_triangles" -> (simhashCte +
       """,
         |b AS MATERIALIZED (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv

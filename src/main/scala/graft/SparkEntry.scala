@@ -249,6 +249,7 @@ object SparkEntry {
     "corpus_pipeline_incremental" -> (CorpusOps.corpusPipelineIncremental(_, _)),
     "dedup_threshold_sweep" -> (DocDedup.dedupThresholdSweep(_, _)),
     "lsh_scurve"           -> (DocDedup.lshScurve(_, _)),
+    "graph_modularity"     -> (GraphOps.graphModularity(_, _)),
     "perplexity_buckets"   -> (CorpusOps.perplexityBuckets(_, _)),
     "cusum_changepoint"    -> (Relational.cusumChangepoint(_, _)),
     "label_propagation"    -> (GraphOps.labelPropagation(_, _, 2)),

@@ -181,6 +181,41 @@ object GraphOps {
       .select($"doc_id", $"deg", $"pr_u20")
   }
 
+  /** NS: Newman modularity of the LPA communities over the near-dup pair
+    * graph — the structure-quality number that says whether
+    * [[labelPropagation]]'s groups are real (intra-community edge mass
+    * above the degree-random baseline) or artifacts. Per community c:
+    * contribution Q_c = e_c/m − (d_c/2m)², emitted as the EXACT integer
+    * numerator `4·m·e_c − d_c²` over the implicit 4m² denominator — no
+    * division anywhere, so the report is bit-identical in any engine
+    * (the one global Q is the caller's single division). Plan: the
+    * memoized pair frame + the 2-round LPA labels, two bounded
+    * label-keyed rollups, a 1-row edge-count broadcast. */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = DocDedup.simhashPairsMemo(spark, dir).select($"doc_a", $"doc_b")
+    val labels = labelPropagation(spark, dir)
+    val withLab = pairs
+      .join(labels.select($"doc_id".as("doc_a"), $"label".as("la")), "doc_a")
+      .join(labels.select($"doc_id".as("doc_b"), $"label".as("lb")), "doc_b")
+    val mm = pairs.agg(count(lit(1)).as("m"))
+    val eIn = withLab.where($"la" === $"lb")
+      .groupBy($"la".as("label")).agg(count(lit(1)).as("e_in"))
+    val deg = pairs.select($"doc_a".as("doc_id"))
+      .union(pairs.select($"doc_b".as("doc_id")))
+      .groupBy($"doc_id").agg(count(lit(1)).as("deg"))
+    val dc = deg.join(labels, "doc_id")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_nodes"), sum($"deg").as("d_sum"))
+    dc.join(eIn, Seq("label"), "left_outer")
+      .crossJoin(broadcast(mm))
+      .select($"label", $"n_nodes",
+        coalesce($"e_in", lit(0L)).as("e_in"), $"d_sum",
+        (lit(4L) * $"m" * coalesce($"e_in", lit(0L)) - $"d_sum" * $"d_sum")
+          .as("contrib_num"))
+      .orderBy($"label")
+  }
+
   /** k-core of an undirected edge set (`doc_a` < `doc_b`, distinct) by
     * iterated peeling: drop every node whose degree WITHIN the surviving
     * subgraph is < k, until a fixpoint. Returns the surviving node set.
