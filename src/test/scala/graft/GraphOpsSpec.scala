@@ -235,6 +235,32 @@ class GraphOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("graph_modularity: invariants hold against a scalar recount") {
+    val rows = GraphOps.graphModularity(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val pairs = graft.operators.DocDedup
+      .simhashNearDupPairs(spark, Sf0001) // same pair set, ordered variant
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = GraphOps.labelPropagation(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val m = pairs.length.toLong
+    // every edge endpoint is labeled and the per-community sums recount
+    val eIn = pairs.filter { case (a, b) => labels(a) == labels(b) }
+      .groupBy { case (a, _) => labels(a) }.view.mapValues(_.length.toLong).toMap
+    val dSum = pairs.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(labels).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(_._1).toSet === labels.values.toSet, "community set")
+    rows.foreach { case (label, nNodes, ein, dsum, num) =>
+      assert(ein === eIn.getOrElse(label, 0L), s"e_in of $label")
+      assert(dsum === dSum(label), s"d_sum of $label")
+      assert(num === 4L * m * ein - dsum * dsum, s"contrib_num of $label")
+      assert(nNodes === labels.count(_._2 == label), s"n_nodes of $label")
+    }
+    // degrees sum to 2m across communities; e_in never exceeds m
+    assert(rows.map(_._4).sum === 2L * m)
+    assert(rows.map(_._3).sum <= m)
+  }
+
   /** Scalar reference: peel to fixpoint, report (in_core, core_deg) per
     * node — the exact contract of [[GraphOps.kcoreMembershipOf]]. */
   private def kcoreRef(pairs: Seq[(Long, Long)], k: Int): Map[Long, (Int, Long)] = {
