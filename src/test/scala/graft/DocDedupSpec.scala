@@ -102,6 +102,42 @@ class DocDedupSpec extends SparkSpecBase {
     assert(newPairs > 0, "fixture has no new-batch pairs; merge untested")
   }
 
+  test("dedup_threshold_sweep: counts decrease monotonically in the cutoff " +
+    "and recount against the calibration pairs") {
+    val rows = DocDedup.dedupThresholdSweep(spark, Sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(4, 8, 12))
+    rows.sliding(2).foreach {
+      case Array((_, pLo, dLo), (_, pHi, dHi)) =>
+        assert(pLo >= pHi, "pair count must fall as the cutoff rises")
+        assert(dLo >= dHi, "dropped-doc count must fall as the cutoff rises")
+      case _ => ()
+    }
+    rows.foreach { case (_, p, d) => assert(d <= p, "dropped docs ≤ pairs") }
+    // exact recount at cutoff 8/16 from the calibration frame's est
+    val est8 = DocDedup.minhashCalibration(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+      .filter { case (_, _, estU20) => estU20 >= (1048576L / 2) }
+    val at8 = rows.find(_._1 == 8).get
+    assert(at8._2 === est8.length.toLong, "pair recount at 8/16")
+    assert(at8._3 === est8.map(_._2).distinct.length.toLong, "drop recount")
+  }
+
+  test("lsh_scurve: the theory curve is a proper S (0 → 1, non-decreasing) " +
+    "and the empirical mass equals the candidate-pair count") {
+    val rows = DocDedup.lshScurve(spark, Sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (0 to 16))
+    assert(rows.head._2 === 0L, "p(0) = 0")
+    assert(rows.last._2 === 1048576L, "p(1) = 1")
+    rows.sliding(2).foreach {
+      case Array((_, a, _), (_, b, _)) => assert(a <= b, "non-decreasing")
+      case _ => ()
+    }
+    val nPairs = DocDedup.minhashDedupPairs(spark, Sf0001).count()
+    assert(rows.map(_._3).sum === nPairs, "empirical mass = candidate pairs")
+  }
+
   test("cluster_stats histogram is consistent with the cluster labeling") {
     val labels = DocDedup.dedupClusters(spark, Sf0001)
       .collect().map(_.getLong(1))
