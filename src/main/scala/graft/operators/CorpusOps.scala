@@ -918,10 +918,17 @@ object CorpusOps {
   def corpusPipelineIncremental(spark: SparkSession, dir: String,
       estThreshold: Double = 0.5): DataFrame = {
     import spark.implicits._
+    // lazy checkpoints: `base` feeds both the gate frame and the index
+    // hash set, and `q` feeds both the batch-keeper aggregate and the
+    // batch rows — the filters differ so no ReusedExchange applies, and
+    // without materialization the corpus scan + md5 + tokenize (and the
+    // three gate joins) would execute twice each (the
+    // minhashIncrementalPairs pattern)
     val base = Tables.documents(spark, dir)
       .select($"doc_id", md5($"text").as("h"),
         size(TextAnalysis.tokens($"text")).cast(LongType).as("n_toks"),
         ($"doc_id" % 10 === 7).as("is_new"))
+      .localCheckpoint(false)
     val rep = TextAnalysis.repetitionFrame(spark, dir)
       .select($"doc_id", $"repetitive")
     val ent = TextAnalysis.entropyFrame(spark, dir)
@@ -934,6 +941,7 @@ object CorpusOps {
       .withColumn("q_keep", $"is_new" &&
         coalesce($"repetitive", lit(0)) === 0 &&
         coalesce($"ent_f", lit(0)) === 0 && coalesce($"lm_f", lit(0)) === 0)
+      .localCheckpoint(false)
     val idxH = base.where(!$"is_new").select($"h").distinct()
       .withColumn("in_index", lit(1))
     val batchKeeper = q.where($"q_keep")

@@ -240,6 +240,22 @@ object DocDedup {
     * in any engine. */
   def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    pairExactJaccard(spark, dir)
+      .select($"doc_a", $"doc_b", $"n_inter", $"n_union",
+        floor($"est_jaccard" * lit(1048576.0) + lit(0.5)).as("est_u20"),
+        floor($"n_inter".cast(DoubleType) / $"n_union" * lit(1048576.0)
+          + lit(0.5)).as("exact_u20"))
+      .withColumn("err_u20", abs($"est_u20" - $"exact_u20"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The memoized candidate pairs scored by EXACT shingle-set Jaccard
+    * (n_inter / n_union alongside the signature estimate) — the shared
+    * measurement frame of [[minhashCalibration]] and [[lshScurve]]: one
+    * place owns the gram/intersection arithmetic, so the two reports can
+    * never silently disagree. */
+  private def pairExactJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val gramsDf = Tables.documents(spark, dir)
       .select($"doc_id", array_distinct(shingles($"text", 3)).as("grams"))
     val inter = size(array_intersect($"ga", $"gb")).cast(LongType)
@@ -247,12 +263,8 @@ object DocDedup {
     minhashPairsMemo(spark, dir)
       .join(gramsDf.select($"doc_id".as("doc_a"), $"grams".as("ga")), Seq("doc_a"))
       .join(gramsDf.select($"doc_id".as("doc_b"), $"grams".as("gb")), Seq("doc_b"))
-      .select($"doc_a", $"doc_b", inter.as("n_inter"), union.as("n_union"),
-        floor($"est_jaccard" * lit(1048576.0) + lit(0.5)).as("est_u20"),
-        floor(inter.cast(DoubleType) / union * lit(1048576.0) + lit(0.5))
-          .as("exact_u20"))
-      .withColumn("err_u20", abs($"est_u20" - $"exact_u20"))
-      .orderBy($"doc_a", $"doc_b")
+      .select($"doc_a", $"doc_b", $"est_jaccard",
+        inter.as("n_inter"), union.as("n_union"))
   }
 
   /** NS: dedup threshold sweep — the knob report a pipeline reads BEFORE
@@ -302,14 +314,8 @@ object DocDedup {
       .select($"id".cast(IntegerType).as("s_16th"))
       .select($"s_16th",
         floor(p * 1048576.0 + 0.5).cast(LongType).as("p_candidate_u20"))
-    val gramsDf = Tables.documents(spark, dir)
-      .select($"doc_id", array_distinct(shingles($"text", 3)).as("grams"))
-    val inter = size(array_intersect($"ga", $"gb")).cast(LongType)
-    val union = (size($"ga") + size($"gb")).cast(LongType) - inter
-    val emp = minhashPairsMemo(spark, dir)
-      .join(gramsDf.select($"doc_id".as("doc_a"), $"grams".as("ga")), Seq("doc_a"))
-      .join(gramsDf.select($"doc_id".as("doc_b"), $"grams".as("gb")), Seq("doc_b"))
-      .select(floor(inter.cast(DoubleType) / union * 16.0)
+    val emp = pairExactJaccard(spark, dir)
+      .select(floor($"n_inter".cast(DoubleType) / $"n_union" * 16.0)
         .cast(IntegerType).as("s_16th"))
       .groupBy($"s_16th").agg(count(lit(1)).as("n_candidates"))
     grid.join(emp, Seq("s_16th"), "left_outer")

@@ -194,7 +194,10 @@ object GraphOps {
   def graphModularity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = DocDedup.simhashPairsMemo(spark, dir).select($"doc_a", $"doc_b")
-    val labels = labelPropagation(spark, dir)
+    // lazy checkpoint: the LPA label frame is referenced THREE times
+    // below (la, lb, the degree rollup) — without materialization each
+    // reference re-runs both LPA rounds (4 shuffles apiece)
+    val labels = labelPropagation(spark, dir).localCheckpoint(false)
     val withLab = pairs
       .join(labels.select($"doc_id".as("doc_a"), $"label".as("la")), "doc_a")
       .join(labels.select($"doc_id".as("doc_b"), $"label".as("lb")), "doc_b")
@@ -232,11 +235,23 @@ object GraphOps {
     * fixture SF; `maxRounds` is a runaway guard, not the convergence
     * contract). */
   def kcore(spark: SparkSession, pairs: DataFrame, k: Int,
+      maxRounds: Int = 64): DataFrame =
+    kcoreOfEdges(spark, undirectedEdges(pairs), k, maxRounds)
+
+  /** Both-direction edge list of an undirected (doc_a < doc_b) pair set,
+    * lazily checkpointed — the symmetrization every graph op here needs,
+    * built (and materialized) once per caller. */
+  private def undirectedEdges(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(false)
+
+  /** [[kcore]] over a prebuilt (already symmetrized, already
+    * materialized) edge list — lets callers that need the edges
+    * themselves share one frame. */
+  private def kcoreOfEdges(spark: SparkSession, edges: DataFrame, k: Int,
       maxRounds: Int = 64): DataFrame = {
     import spark.implicits._
-    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
-      .localCheckpoint(false)
     var surv = edges.select($"src".as("doc_id")).distinct()
       .localCheckpoint(false)
     var nPrev = -1L
@@ -278,9 +293,8 @@ object GraphOps {
   private[graft] def kcoreMembershipOf(spark: SparkSession, pairs: DataFrame,
       k: Int): DataFrame = {
     import spark.implicits._
-    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
-    val core = kcore(spark, pairs, k)
+    val edges = undirectedEdges(pairs) // one symmetrization, shared with the peel
+    val core = kcoreOfEdges(spark, edges, k)
     val coreDeg = edges
       .join(core.select($"doc_id".as("src")), "src", "left_semi")
       .join(core.select($"doc_id".as("dst")), "dst", "left_semi")

@@ -277,11 +277,29 @@ object Scale {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
+    // RECURSIVE listing: partitioned layouts (writePartitionedSorted,
+    // compactSmallFiles output) put their files under key=value
+    // subdirectories — a top-level listStatus would silently return an
+    // empty audit for exactly the clustered layouts this introspects
     val files: Seq[org.apache.hadoop.fs.Path] =
       if (fs.getFileStatus(p).isFile) Seq(p)
-      else fs.listStatus(p).toSeq
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath).sortBy(_.getName)
+      else {
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.hadoop.fs.Path]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+            buf += f.getPath
+        }
+        buf.toSeq.sortBy(_.toString)
+      }
+    // file label = path relative to the audited root (partition
+    // subdirectories keep files with identical base names distinct)
+    def label(f: org.apache.hadoop.fs.Path): String = {
+      val rel = f.toString.stripPrefix(p.toString).stripPrefix("/")
+      if (rel.isEmpty) f.getName else rel
+    }
     val rows = files.flatMap { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -302,7 +320,7 @@ object Scale {
                   (Some(st.genericGetMin.asInstanceOf[Long]),
                     Some(st.genericGetMax.asInstanceOf[Long]))
                 else (None: Option[Long], None: Option[Long])
-              (f.getName, rg, c.getPath.toDotString, c.getValueCount,
+              (label(f), rg, c.getPath.toDotString, c.getValueCount,
                 if (st == null) -1L else st.getNumNulls, mn, mx)
             }
         }

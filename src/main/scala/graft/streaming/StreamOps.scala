@@ -415,7 +415,12 @@ object StreamOps {
     * configuration). State is two longs — (cum drift, strict-prefix min
     * of cum) — on ONE monitor key per watched series; the per-day totals
     * feeding it are an ordinary upstream aggregate, so the single-key
-    * fold touches |days| rows, never raw volume. Days fold in day order
+    * fold touches |days| rows, never raw volume. FEED CONTRACT: the day
+    * grid must be DENSE — the upstream aggregate emits a row for every
+    * closed day, zero on dark days — because a day the monitor never
+    * sees would silently skip its −ref drift, and a dark day IS drift
+    * (the batch detector gap-fills for the same reason; the
+    * StreamingEntry twin gap-fills its feed). Days fold in day order
     * within a batch; on a day-ordered feed the fold is split-invariant
     * (the StreamingEntry parity contract) and equals the scalar
     * recursion exactly — integer arithmetic end to end, asserted in

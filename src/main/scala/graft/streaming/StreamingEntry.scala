@@ -229,12 +229,16 @@ object StreamingEntry {
     // (integer state, append mode: closed alarms never revise)
     "cusum_stream" -> Twin("fold", (spark, dir, splits) => {
       import spark.implicits._
-      val daily = graft.Tables.orders(spark, dir)
+      val perDay = graft.Tables.orders(spark, dir)
         .select(expr("unix_micros(cast(o_orderdate as timestamp)) " +
           "div 86400000000").as("day"),
           floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
         .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
-        .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+        .as[(Long, Long)].collect().toMap
+      // the monitor's feed contract is a DENSE day grid (a dark day IS
+      // drift) — gap-fill missing days with zero, like the batch detector
+      val daily = (perDay.keys.min to perDay.keys.max)
+        .map(d => d -> perDay.getOrElse(d, 0L))
       val ref = daily.map(_._2).sum / daily.size // the configured target
       def run(n: Int): Seq[String] =
         canon(runStream[(Long, Long)](spark, daily, n, "append",

@@ -53,6 +53,17 @@ class ScaleSpec extends SparkSpecBase {
       assert(rows.map(_.getLong(6)).max === ex.getLong(1), s"$column max")
       assert(rows.map(_.getLong(4)).sum === ex.getLong(2), s"$column nulls")
     }
+    // partitioned layouts (key=value subdirectories) audit recursively —
+    // a top-level listing would return an empty audit for exactly the
+    // clustered layouts the function introspects
+    val outP = java.nio.file.Files.createTempDirectory("psa").toString
+    spark.range(100).selectExpr("id", "id % 3 AS part")
+      .write.mode("overwrite").partitionBy("part").parquet(outP)
+    val pa = Scale.parquetStatsAudit(spark, outP).collect()
+    assert(pa.nonEmpty, "partitioned layout audited as empty")
+    assert(pa.map(_.getLong(3)).sum === 100L, "num_values over partitions")
+    assert(pa.map(_.getString(0)).forall(_.contains("part=")),
+      "file labels must carry the partition subpath")
   }
 
   test("salted join returns exactly the unsalted join's rows") {
