@@ -250,6 +250,7 @@ object SparkEntry {
     "dedup_threshold_sweep" -> (DocDedup.dedupThresholdSweep(_, _)),
     "lsh_scurve"           -> (DocDedup.lshScurve(_, _)),
     "graph_modularity"     -> (GraphOps.graphModularity(_, _)),
+    "watermark_advisor"    -> (Relational.watermarkAdvisor(_, _)),
     "perplexity_buckets"   -> (CorpusOps.perplexityBuckets(_, _)),
     "cusum_changepoint"    -> (Relational.cusumChangepoint(_, _)),
     "label_propagation"    -> (GraphOps.labelPropagation(_, _, 2)),
@@ -743,6 +744,31 @@ object SparkEntry {
         |SELECT day AS epoch_day, x AS day_cents, cum AS cum_drift,
         |       greatest(cum - least(pmin, 0), 0) AS cusum
         |FROM p ORDER BY cusum DESC, epoch_day LIMIT 10""".stripMargin,
+    // lateness = strict-prefix running max of event time over ARRIVAL
+    // order minus own event time (NULL prefix = first arrival = never
+    // late); one conditional aggregate serves all five delays
+    "watermark_advisor" ->
+      """WITH e AS (SELECT event_id, epoch_ns(ts)//1000 AS us FROM events),
+        |pm AS (SELECT event_id, us, max(us) OVER (ORDER BY event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmx FROM e),
+        |l AS (SELECT CASE WHEN pmx IS NULL THEN 0
+        |             ELSE greatest(pmx - us, 0) END AS late_us FROM pm),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |        CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d_0,
+        |        CAST(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS d_60,
+        |        CAST(sum(CASE WHEN late_us > 300000000 THEN 1 ELSE 0 END) AS BIGINT) AS d_300,
+        |        CAST(sum(CASE WHEN late_us > 900000000 THEN 1 ELSE 0 END) AS BIGINT) AS d_900,
+        |        CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS d_3600
+        |      FROM l),
+        |d AS (SELECT unnest([0, 60, 300, 900, 3600]) AS delay_s)
+        |SELECT CAST(d.delay_s AS INTEGER) AS delay_s, t.n_events,
+        |       CASE d.delay_s WHEN 0 THEN d_0 WHEN 60 THEN d_60
+        |            WHEN 300 THEN d_300 WHEN 900 THEN d_900 ELSE d_3600 END
+        |         AS n_dropped,
+        |       (CASE d.delay_s WHEN 0 THEN d_0 WHEN 60 THEN d_60
+        |            WHEN 300 THEN d_300 WHEN 900 THEN d_900 ELSE d_3600 END
+        |         * 1000) // n_events AS drop_permille
+        |FROM d CROSS JOIN t ORDER BY delay_s""".stripMargin,
     "revenue_bridge" ->
       """WITH pc AS (
         |  SELECT o_custkey,

@@ -1876,6 +1876,40 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** NS: watermark advisor — the delay→data-loss curve you actually SET
+    * a streaming watermark with, where `late_arrivals` only measures the
+    * out-of-order RATE: an event arriving when the stream has already
+    * seen a later event time by more than the watermark delay is
+    * dropped, so per candidate delay D ∈ {0, 60, 300, 900, 3600}s the
+    * advisor reports how many events satisfy
+    * (max event time seen STRICTLY before it in arrival order) − its
+    * own event time > D. The global running max over arrival order is
+    * [[Scale.withGlobalPrefixMax]] — range-partitioned, never a
+    * single-task window — and all five delays come from ONE conditional
+    * aggregate over that frame, melted by `stack` on the single result
+    * row (no per-delay fan-out of the scan). Integer µs throughout;
+    * permille by truncating div. */
+  def watermarkAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val delaysS = Seq(0L, 60L, 300L, 900L, 3600L)
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", unix_micros($"ts").as("us"))
+    val late = Scale.withGlobalPrefixMax(ev, Seq($"event_id"), "us", "pm")
+      // first arrival has an empty strict prefix (the MinValue identity)
+      // and can never be late
+      .select(when($"pm" === Long.MinValue, 0L)
+        .otherwise(greatest($"pm" - $"us", lit(0L))).as("late_us"))
+    val agg = late.agg(count(lit(1)).as("n_events"),
+      delaysS.map(d => sum(when($"late_us" > d * 1000000L, 1L).otherwise(0L))
+        .as(s"d_$d")): _*)
+    agg.select(expr("stack(" + delaysS.size + ", " +
+        delaysS.map(d => s"$d, d_$d").mkString(", ") +
+        ") AS (delay_s, n_dropped)"), $"n_events")
+      .select($"delay_s".cast(IntegerType).as("delay_s"), $"n_events",
+        $"n_dropped", expr("(n_dropped * 1000) div n_events").as("drop_permille"))
+      .orderBy($"delay_s")
+  }
+
   /** NS: gaps-and-islands — longest consecutive-active-day streak per
     * user (the engagement metric behind every "N-day streak" feature and
     * the classic islands SQL shape no other declared query covers). The
