@@ -385,10 +385,10 @@ object Oracles {
         |          i -> CASE WHEN x.sig[i] = y.sig[i] THEN 1 ELSE 0 END)) AS BIGINT) AS k16
         |      FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id),
         |t AS (SELECT unnest([4, 8, 12]) AS threshold_16ths)
-        |SELECT t.threshold_16ths, CAST(count(*) AS BIGINT) AS n_pairs,
+        |SELECT t.threshold_16ths, CAST(count(p.doc_a) AS BIGINT) AS n_pairs,
         |       CAST(count(DISTINCT p.doc_b) AS BIGINT) AS n_dropped_docs,
-        |       CAST(sum(p.doc_a + p.doc_b) AS BIGINT) AS id_checksum
-        |FROM p JOIN t ON p.k16 >= t.threshold_16ths
+        |       CAST(COALESCE(sum(p.doc_a + p.doc_b), 0) AS BIGINT) AS id_checksum
+        |FROM t LEFT JOIN p ON p.k16 >= t.threshold_16ths
         |GROUP BY t.threshold_16ths
         |ORDER BY threshold_16ths""".stripMargin),
     // theory side: explicit left-associated multiply chains (no libm

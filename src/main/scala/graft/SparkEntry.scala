@@ -765,9 +765,9 @@ object SparkEntry {
         |       CASE d.delay_s WHEN 0 THEN d_0 WHEN 60 THEN d_60
         |            WHEN 300 THEN d_300 WHEN 900 THEN d_900 ELSE d_3600 END
         |         AS n_dropped,
-        |       (CASE d.delay_s WHEN 0 THEN d_0 WHEN 60 THEN d_60
+        |       COALESCE((CASE d.delay_s WHEN 0 THEN d_0 WHEN 60 THEN d_60
         |            WHEN 300 THEN d_300 WHEN 900 THEN d_900 ELSE d_3600 END
-        |         * 1000) // n_events AS drop_permille
+        |         * 1000) // NULLIF(n_events, 0), 0) AS drop_permille
         |FROM d CROSS JOIN t ORDER BY delay_s""".stripMargin,
     "revenue_bridge" ->
       """WITH pc AS (
@@ -1041,10 +1041,18 @@ object SparkEntry {
         |t AS (SELECT CAST(count(*) AS DOUBLE) / 8 AS target_rows FROM lineitem)
         |SELECT bucket, rows, min_key, max_key, rows / target_rows AS balance
         |FROM g CROSS JOIN t ORDER BY bucket""".stripMargin,
+    // cents non-negativity is ENFORCED (error() here, raise_error in the
+    // operator): // floors while Spark div truncates, so negative credits
+    // would silently diverge — both engines fail loudly instead
     "linear_attribution" ->
-      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_ns(ts)//1000 AS p_us,
+      """WITH p0 AS (SELECT event_id AS p_id, user_id, epoch_ns(ts)//1000 AS p_us,
         |             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         |           FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT p_id, user_id, p_us,
+        |        CASE WHEN cents >= 0 THEN cents
+        |             ELSE CAST(error('linear_attribution: negative purchase cents violate the non-negative contract: ' || cents) AS BIGINT)
+        |        END AS cents
+        |      FROM p0),
         |t AS (SELECT user_id, event_type AS touch_type, epoch_ns(ts)//1000 AS t_us
         |      FROM events WHERE event_type IN ('view', 'click')),
         |per AS (SELECT p_id, CAST(count(*) AS BIGINT) AS n_touches,

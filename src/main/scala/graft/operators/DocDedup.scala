@@ -275,19 +275,27 @@ object DocDedup {
     * DuckDB's rounding double→BIGINT cast and Spark's truncating one
     * agree because the value IS an integer), so every cutoff is
     * boundary-exact. One memoized pair frame × a 3-row literal
-    * threshold dim — no rescan per cutoff. */
+    * threshold dim — no rescan per cutoff. Every requested cutoff always
+    * appears: the 3-row dim is left-joined back onto the aggregate so a
+    * threshold that no pair survives reports zeros instead of silently
+    * vanishing from the report. */
   def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = minhashPairsMemo(spark, dir)
       .select($"doc_a", $"doc_b",
         ($"est_jaccard" * NumHashes).cast(LongType).as("k16"))
     val th = Seq(4, 8, 12).toDF("threshold_16ths")
-    pairs.crossJoin(broadcast(th))
+    val agg = pairs.crossJoin(broadcast(th))
       .where($"k16" >= $"threshold_16ths")
       .groupBy($"threshold_16ths")
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct($"doc_b").as("n_dropped_docs"),
         sum($"doc_a" + $"doc_b").as("id_checksum"))
+    th.join(agg, Seq("threshold_16ths"), "left_outer")
+      .select($"threshold_16ths",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_dropped_docs", lit(0L)).as("n_dropped_docs"),
+        coalesce($"id_checksum", lit(0L)).as("id_checksum"))
       .orderBy($"threshold_16ths")
   }
 

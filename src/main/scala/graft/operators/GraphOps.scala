@@ -250,7 +250,7 @@ object GraphOps {
     * materialized) edge list — lets callers that need the edges
     * themselves share one frame. */
   private def kcoreOfEdges(spark: SparkSession, edges: DataFrame, k: Int,
-      maxRounds: Int = 64): DataFrame = {
+      maxRounds: Int = 64, unrollGuard: Option[Int] = None): DataFrame = {
     import spark.implicits._
     var surv = edges.select($"src".as("doc_id")).distinct()
       .localCheckpoint(false)
@@ -268,6 +268,17 @@ object GraphOps {
       n = surv.count() // 1-row driver read: the convergence fingerprint
       round += 1
     }
+    // Guard for finitely-unrolled oracles: the DuckDB twin unrolls a fixed
+    // number of peel applications, so if the graph's true peel depth ever
+    // exceeds that unroll the oracle would silently under-peel. `round`
+    // counts iterations including the final identity one (when converged),
+    // so the number of effective peel applications is round - 1.
+    unrollGuard.foreach { g =>
+      val used = if (n == nPrev) round - 1 else round
+      require(n == nPrev && used <= g,
+        s"kcore peel needed $used rounds (converged=${n == nPrev}); the " +
+          s"unrolled oracle covers only $g — raise the oracle unroll")
+    }
     surv
   }
 
@@ -283,18 +294,21 @@ object GraphOps {
     * unrolls 8 peel rounds (fixpoint is reached by round 5 on every
     * fixture SF; the Spark loop converges by fingerprint, so extra
     * unrolled rounds are identity and the margin absorbs a testdata
-    * regeneration). */
+    * regeneration) — and the `unrollGuard` makes that margin CHECKED: a
+    * regenerated fixture whose peel depth exceeds 8 fails this query
+    * loudly instead of letting the oracle silently under-peel. */
   def kcoreMembership(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
     kcoreMembershipOf(spark,
-      DocDedup.simhashPairsMemo(spark, dir).select(col("doc_a"), col("doc_b")), k)
+      DocDedup.simhashPairsMemo(spark, dir).select(col("doc_a"), col("doc_b")), k,
+      unrollGuard = Some(8))
 
   /** [[kcoreMembership]] over an explicit undirected edge set — exposed
     * for the scalar-reference property test. */
   private[graft] def kcoreMembershipOf(spark: SparkSession, pairs: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, unrollGuard: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val edges = undirectedEdges(pairs) // one symmetrization, shared with the peel
-    val core = kcoreOfEdges(spark, edges, k)
+    val core = kcoreOfEdges(spark, edges, k, unrollGuard = unrollGuard)
     val coreDeg = edges
       .join(core.select($"doc_id".as("src")), "src", "left_semi")
       .join(core.select($"doc_id".as("dst")), "dst", "left_semi")

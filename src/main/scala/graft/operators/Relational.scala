@@ -1076,14 +1076,25 @@ object Relational {
     * rescale is IEEE. Plan: one user-keyed fact–fact join bounded by
     * per-user activity × the 24 h window, purchase-keyed agg riding the
     * same clustering, 3-row stack output — linear at 100 TB. */
-  def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
+  def linearAttribution(spark: SparkSession, dir: String): DataFrame =
+    linearAttributionOfEvents(spark, Tables.events(spark, dir))
+
+  /** [[linearAttribution]] over an explicit events frame — exposed so the
+    * negative-cents contract below is testable against a refunds row. */
+  private[graft] def linearAttributionOfEvents(
+      spark: SparkSession, ev: DataFrame): DataFrame = {
     import spark.implicits._
     val winUs = 86400000000L
-    val ev = Tables.events(spark, dir)
     val p = ev.filter($"event_type" === "purchase")
       .select($"event_id".as("p_id"), $"user_id",
         unix_micros($"ts").as("p_us"),
         ($"value".cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+      // CONTRACT ENFORCEMENT (see comment below): fail loudly on a
+      // refunds-bearing feed instead of silently diverging from the
+      // oracle on truncate-vs-floor division of negative credits.
+      .withColumn("cents", when($"cents" >= 0, $"cents").otherwise(
+        raise_error(concat(lit("linear_attribution: negative purchase " +
+          "cents violate the non-negative contract: "), $"cents"))))
     val t = ev.filter($"event_type".isin("view", "click"))
       .select($"user_id", $"event_type".as("touch_type"),
         unix_micros($"ts").as("t_us"))
@@ -1097,8 +1108,9 @@ object Relational {
     // CONTRACT: purchase values are non-negative (events.value is a
     // price). Spark `div` truncates toward zero while the oracle's
     // DuckDB `//` floors, so the integer-exactness claim holds only for
-    // non-negative cents — a refunds-bearing feed must filter or abs()
-    // BEFORE this credit split on BOTH engines.
+    // non-negative cents. ENFORCED above (raise_error) and in the oracle
+    // (DuckDB error()) — a refunds-bearing feed fails loudly on both
+    // engines instead of silently diverging.
     credited
       .agg(
         sum(when($"n_touches".isNotNull,
@@ -1906,7 +1918,12 @@ object Relational {
         delaysS.map(d => s"$d, d_$d").mkString(", ") +
         ") AS (delay_s, n_dropped)"), $"n_events")
       .select($"delay_s".cast(IntegerType).as("delay_s"), $"n_events",
-        $"n_dropped", expr("(n_dropped * 1000) div n_events").as("drop_permille"))
+        $"n_dropped",
+        // empty-events guard: Spark's `div` yields NULL on /0 while
+        // DuckDB's `//` raises — pin both engines to 0 explicitly
+        when($"n_events" === 0, 0L)
+          .otherwise(expr("(n_dropped * 1000) div n_events"))
+          .as("drop_permille"))
       .orderBy($"delay_s")
   }
 
@@ -2417,9 +2434,16 @@ object Relational {
     * the rank — and therefore the output — total-ordered on any data. */
   def exactMedian(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cents = Tables.lineitem(spark, dir)
+    exactMedianOfCents(spark, Tables.lineitem(spark, dir)
       .select(($"l_extendedprice".cast(DecimalType(18, 2)) * 100)
-        .cast(LongType).as("cents"), $"l_orderkey", $"l_linenumber")
+        .cast(LongType).as("cents"), $"l_orderkey", $"l_linenumber"))
+  }
+
+  /** [[exactMedian]] over an explicit (cents, l_orderkey, l_linenumber)
+    * frame — exposed so the empty-input zero-row shape is testable. */
+  private[graft] def exactMedianOfCents(
+      spark: SparkSession, cents: DataFrame): DataFrame = {
+    import spark.implicits._
     val (ranked, n) = Scale.withGlobalRank(cents, "rk",
       Seq($"cents", $"l_orderkey", $"l_linenumber"))
     val (r25, r50lo, r50hi, r75) =

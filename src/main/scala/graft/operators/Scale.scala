@@ -320,8 +320,15 @@ object Scale {
                   (Some(st.genericGetMin.asInstanceOf[Long]),
                     Some(st.genericGetMax.asInstanceOf[Long]))
                 else (None: Option[Long], None: Option[Long])
+              // null_count is NULL when UNKNOWN — both when the stats
+              // object is absent and when it exists with the null count
+              // unset (getNumNulls returns -1 in that case, which would
+              // be indistinguishable from our old absent marker)
+              val nulls: Option[Long] =
+                if (st == null || !st.isNumNullsSet) None
+                else Some(st.getNumNulls)
               (label(f), rg, c.getPath.toDotString, c.getValueCount,
-                if (st == null) -1L else st.getNumNulls, mn, mx)
+                nulls, mn, mx)
             }
         }
       } finally reader.close()

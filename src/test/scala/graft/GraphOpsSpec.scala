@@ -307,6 +307,23 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(kcoreSpark(g, 2) === kcoreRef(g, 2))
   }
 
+  test("kcore: the oracle-unroll guard fails loudly when peel depth exceeds it") {
+    import spark.implicits._
+    // Path of 12 nodes, k=2: each round peels only the two endpoints, so
+    // the fixpoint (empty core) needs ~6 peel applications — deeper than
+    // a 2-round unroll but within an 8-round one
+    val path = (1L to 11L).map(i => (i, i + 1))
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.kcoreMembershipOf(spark, path.toDF("doc_a", "doc_b"), 2,
+        unrollGuard = Some(2)).collect()
+    }
+    assert(ex.getMessage.contains("unrolled oracle"), ex.getMessage)
+    // and the shipped guard margin (8) admits the same graph
+    val ok = GraphOps.kcoreMembershipOf(spark, path.toDF("doc_a", "doc_b"), 2,
+      unrollGuard = Some(8)).collect()
+    assert(ok.forall(_.getInt(1) == 0), "a path has no 2-core")
+  }
+
   test("kcore matches the scalar reference on seeded random graphs") {
     val rnd = new scala.util.Random(0xBEEF)
     for (trial <- 1 to 5) {

@@ -240,6 +240,35 @@ class OperatorSmokeSpec extends SparkSpecBase {
     assert(row.getLong(3) === cents(((3 * n + 3) / 4) - 1))
   }
 
+  test("exact_median: empty input yields zero rows (oracle GROUP BY shape)") {
+    import org.apache.spark.sql.functions.col
+    val empty = spark.read.parquet(s"$Sf0001/lineitem.parquet")
+      .select(col("l_extendedprice").cast("decimal(18,2)").multiply(100)
+        .cast("long").as("cents"), col("l_orderkey"), col("l_linenumber"))
+      .where(col("cents") < 0) // fixture prices are positive → empty frame
+    assert(empty.count() === 0L, "guard precondition: frame must be empty")
+    val out = graft.operators.Relational.exactMedianOfCents(spark, empty)
+    assert(out.count() === 0L,
+      "empty input must produce zero rows, matching the oracle's GROUP BY")
+  }
+
+  test("linear_attribution: a negative-cents purchase fails loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 7L, "purchase", -5.00, ""),
+      (2L, "2024-01-01 09:30:00", 7L, "view", 0.0, ""))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val ex = intercept[Exception] {
+      graft.operators.Relational.linearAttributionOfEvents(spark, ev).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("negative purchase cents")),
+      s"expected the contract raise_error, got: ${chain(ex).mkString(" | ")}")
+  }
+
   test("pq_codes: codebook rows self-code with zero quantization error") {
     val rows = Similarity.pqCodes(spark, Sf0001).collect()
       .map(r => r.getLong(0) ->

@@ -49,9 +49,16 @@ class ScaleSpec extends SparkSpecBase {
       val ex: Row = spark.read.parquet(path).agg(
         min(col(column)), max(col(column)),
         sum(when(col(column).isNull, 1L).otherwise(0L))).head()
-      assert(rows.map(_.getLong(5)).min === ex.getLong(0), s"$column min")
-      assert(rows.map(_.getLong(6)).max === ex.getLong(1), s"$column max")
-      assert(rows.map(_.getLong(4)).sum === ex.getLong(2), s"$column nulls")
+      // all-null row groups legitimately carry NULL min/max; the fixture
+      // has none, but the envelope check must only read the known rows
+      val withMinMax = rows.filter(r => !r.isNullAt(5) && !r.isNullAt(6))
+      assert(withMinMax.nonEmpty, s"$column: no row group with min/max stats")
+      assert(withMinMax.map(_.getLong(5)).min === ex.getLong(0), s"$column min")
+      assert(withMinMax.map(_.getLong(6)).max === ex.getLong(1), s"$column max")
+      // null_count is NULL when UNKNOWN (absent stats or unset count);
+      // the exact-sum check only holds when every row group reports it
+      if (rows.forall(!_.isNullAt(4)))
+        assert(rows.map(_.getLong(4)).sum === ex.getLong(2), s"$column nulls")
     }
     // partitioned layouts (key=value subdirectories) audit recursively —
     // a top-level listing would return an empty audit for exactly the
@@ -64,6 +71,22 @@ class ScaleSpec extends SparkSpecBase {
     assert(pa.map(_.getLong(3)).sum === 100L, "num_values over partitions")
     assert(pa.map(_.getString(0)).forall(_.contains("part=")),
       "file labels must carry the partition subpath")
+  }
+
+  test("parquetStatsAudit: all-null INT64 column reports NULL min/max, exact null_count") {
+    import spark.implicits._
+    val outP = java.nio.file.Files.createTempDirectory("psa_null").toString
+    spark.range(10)
+      .select($"id", lit(null).cast("long").as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(outP)
+    val rows = Scale.parquetStatsAudit(spark, outP).collect()
+      .filter(_.getString(2) == "v")
+    assert(rows.nonEmpty, "all-null column missing from audit")
+    rows.foreach { r =>
+      assert(r.isNullAt(5) && r.isNullAt(6), "all-null row group must have NULL min/max")
+      assert(!r.isNullAt(4) && r.getLong(4) === r.getLong(3),
+        "null_count must equal num_values for an all-null row group")
+    }
   }
 
   test("salted join returns exactly the unsalted join's rows") {
