@@ -67,7 +67,17 @@ object LogSink {
   private[sources] val registry = TrieMap[String, Committed]()
 
   def get(name: String): Option[Committed] = registry.get(name)
-  def clear(name: String): Unit = registry.remove(name)
+  def clear(name: String): Unit = { registry.remove(name); failOnceAt.remove(name); () }
+
+  /** One-shot failure injection for the restart spec: the FIRST streaming
+    * epoch ≥ `epoch` fails its driver-side commit (after the batch ran,
+    * BEFORE anything becomes visible — the crash window the reference's
+    * commit-after-process loop must survive,
+    * golang/chapter_4/pipelining/pipelining_consumer_client.go:98-108),
+    * then disarms so the checkpoint-recovered retry of the SAME epoch
+    * succeeds. */
+  private[sources] val failOnceAt = TrieMap[String, Long]()
+  def armCommitFailure(name: String, epoch: Long): Unit = failOnceAt(name) = epoch
 
   private[sources] def empty =
     Committed(Vector.empty, 0L, Map.empty, Map.empty, 0L)
@@ -135,6 +145,13 @@ class LogSinkWrite(name: String, schema: StructType, maxRows: Long,
       new LogSinkWriterFactory(schema, maxRows, failCommits)
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
       LogSink.registry.synchronized {
+        // armed crash window (see LogSink.armCommitFailure): fail BEFORE
+        // anything becomes visible, exactly once
+        LogSink.failOnceAt.get(name).filter(epochId >= _).foreach { _ =>
+          LogSink.failOnceAt.remove(name)
+          throw new RuntimeException(
+            s"graft-sink: injected commit failure at epoch $epochId")
+        }
         // epoch replay after recovery: an epoch already in epochRows was
         // delivered — re-committing it is a no-op (exactly-once per epoch)
         val base = LogSink.registry.getOrElse(name, LogSink.empty)

@@ -346,6 +346,61 @@ class SourcesSpec extends SparkSpecBase {
     assert(st.rows.size === 5, "replayed commit must not duplicate rows")
   }
 
+  test("E2/A19 exactly-once: commit crash mid-stream + restart from the " +
+    "same checkpoint delivers every row exactly once (no dupes, no gaps)") {
+    // The reference's whole pipelining chapter is commit-AFTER-process
+    // (golang/chapter_4/pipelining/pipelining_consumer_client.go:98-108);
+    // this is that contract under failure: the full graft-sales →
+    // transform → graft-sink pipeline crashes at epoch 3's driver-side
+    // commit (offsets already written to the WAL, nothing visible in the
+    // sink), restarts from the SAME checkpoint, replays exactly the
+    // crashed epoch's id range, and drains — totals must be EXACT.
+    import org.apache.spark.sql.functions.col
+    val name = "t-exactly-once"
+    graft.sources.LogSink.clear(name)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-eo-ckpt").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-sales")
+        .option("rows", "57").option("rowsPerBatch", "10").load()
+        .select(col("row_id"), col("customer_name"),
+          (col("quantity") * col("price")).as("total")) // the A11 transform
+        .writeStream.format("graft-sink").option("name", name)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.sources.LogSink.armCommitFailure(name, 3L)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(c => Option(c.getMessage)
+      .exists(_.contains("injected commit failure at epoch 3"))), err.toString)
+    val mid = graft.sources.LogSink.get(name).get
+    assert(mid.totalRows === 30L,
+      s"exactly epochs 0-2 (10 rows each) must be visible, got ${mid.epochRows}")
+    assert(mid.epochRows.keySet === Set(0L, 1L, 2L))
+
+    run() // recovery: same checkpoint, crashed epoch replays, drain completes
+    val st = graft.sources.LogSink.get(name).get
+    assert(st.totalRows === 57L, s"epochs after restart: ${st.epochRows}")
+    assert(st.epochRows.values.sum === 57L)
+    val ids = st.rows.map(_.head.asInstanceOf[Long])
+    assert(ids.distinct.size === ids.size, "duplicate deliveries")
+    assert(ids.sorted === (0L until 57L), "gaps in delivery")
+    // and the transformed values are the batch pipeline's, row for row
+    val batch = spark.read.format("graft-sales").option("rows", "57").load()
+      .select(col("row_id"), col("customer_name"),
+        (col("quantity") * col("price")).as("total"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    val sunk = st.rows
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[String],
+        r(2).asInstanceOf[Double])).sortBy(_._1)
+    assert(sunk === batch.toVector, "restart must not perturb row contents")
+  }
+
   test("DSv2 sink: streaming epochs record per-epoch delivery counts") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
