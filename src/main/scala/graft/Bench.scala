@@ -74,7 +74,26 @@ object Bench {
       System.err.println(f"[bench] $name $dt%.2fs")
       name -> dt
     }
+    // Calibration probes — fixed workloads whose cost depends ONLY on the
+    // host's effective compute/scan rate, never on engine code changes:
+    // cross-round comparison divides per-query ratios by the calibration
+    // ratio to cancel the documented ±40% host-throttle band (see
+    // tools/benchdiff.py). Run once before each pass (min-of-2, same
+    // sampling rule as the queries) so the probe sees the same throttle
+    // window the measurements do.
+    def calibrate(): (Double, Double) = {
+      val t0 = System.nanoTime()
+      spark.range(400000000L).selectExpr("sum(id * (id % 7))").collect()
+      val cpu = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("sum(l_quantity)", "count(*)").collect()
+      val scan = (System.nanoTime() - t1) / 1e9
+      System.err.println(f"[bench] calibration cpu=$cpu%.3fs scan=$scan%.3fs")
+      (cpu, scan)
+    }
     val startNs = System.nanoTime()
+    val c1 = calibrate()
     val p1 = onePass()
     // between passes: prompt the ContextCleaner to drop checkpoint blocks
     // the finished queries no longer reference, so pass 2 isn't measured
@@ -86,13 +105,16 @@ object Bench {
     // numbers instead of dying half-way through pass 2.
     val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_DEADLINE", "1500").toInt
     val p1Sec = (System.nanoTime() - startNs) / 1e9
-    val results = if (p1Sec * 2.2 > deadlineSec) {
+    val (results, calib) = if (p1Sec * 2.2 > deadlineSec) {
       System.err.println(f"[bench] pass 1 took $p1Sec%.0fs; skipping pass 2 to fit the ${deadlineSec}s deadline")
-      p1
+      (p1, c1)
     } else {
+      val c2 = calibrate()
       val p2 = onePass()
-      p1.map { case (name, s) => name -> math.min(s, p2(name)) }
+      (p1.map { case (name, s) => name -> math.min(s, p2(name)) },
+        (math.min(c1._1, c2._1), math.min(c1._2, c2._2)))
     }
+    val (calibCpu, calibScan) = calib
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // minimal JSON string escaping: every interpolated key/path goes
     // through this, so a quote/backslash/control char in a query name or
@@ -115,6 +137,7 @@ object Bench {
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (s"""{"sf":"${jesc(sfDir)}","total":${f"$total%.3f"},""" +
+        s""""calibration":{${ent("cpu_sec", calibCpu)},${ent("scan_sec", calibScan)}},""" +
         s""""queries_n":${results.size},"queries":$fullMap}""" + "\n")
         .getBytes("UTF-8"))
     catch { case e: Throwable =>
@@ -134,7 +157,7 @@ object Bench {
       if (len + e.length + 1 <= budget) { kept += e; len += e.length + 1 }
     }
     val qs = kept.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_n":${results.size},"sf":"${jesc(sfDir)}"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_n":${results.size},"calib_cpu":$calibCpu%.3f,"calib_scan":$calibScan%.3f,"sf":"${jesc(sfDir)}"}""")
     spark.stop()
   }
 }
