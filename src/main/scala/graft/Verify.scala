@@ -16,11 +16,18 @@ object Verify {
     // case degrades gracefully instead of thrashing.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(16, Runtime.getRuntime.availableProcessors()).toString)
+    // Partition-count agnosticism knobs (SURVEY §6.1 claims scaling is a
+    // config change, not a code change — the alt-config gate mode PROVES
+    // it): the sweep must hash-match the oracle at shuffle.partitions=8
+    // (default dev loop) AND at a cluster-like 200 + AQE.
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // sf0.01 inputs are tiny; 8 shuffle partitions keeps per-stage task
       // count low so 4 concurrent jobs still fit the task slots
-      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.shuffle.partitions", shufParts)
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
       // FAIR so the concurrent query jobs below share task slots instead of
       // head-of-line blocking behind whichever large job was submitted first
@@ -74,8 +81,35 @@ object Verify {
     }
     threads.foreach(_.start())
     threads.foreach(_.join())
+    // The one rows-only sketch query gets its accuracy BAND recorded in
+    // the artifact (not just "ran"): HLL++ estimates vs the exact counts,
+    // worst relative error against a 5×rsd bound. A violated band counts
+    // as a failed query so the gate goes red, not quietly rows-only.
+    val approxCheck: Option[(Double, Double, Boolean)] =
+      if (only.forall(_.contains("distinct_users_approx"))) {
+        try {
+          val approx = operators.Relational.distinctUsersApprox(spark, sfDir)
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val exact = operators.Relational.distinctUsers(spark, sfDir)
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val worst = exact.map { case (t, n) =>
+            math.abs(approx.getOrElse(t, 0L) - n).toDouble / math.max(1L, n)
+          }.max
+          val bound = 5 * 0.02 // rsd passed to approx_count_distinct
+          val pass = approx.keySet == exact.keySet && worst <= bound
+          if (!pass) failed.add("distinct_users_approx(accuracy_band)")
+          System.err.println(
+            f"[verify] distinct_users_approx band: worst_rel_err=$worst%.4f bound=$bound%.2f pass=$pass")
+          Some((worst, bound, pass))
+        } catch { case e: Throwable =>
+          failed.add("distinct_users_approx(accuracy_band)")
+          System.err.println(s"[verify] approx band check failed: ${e.getMessage}")
+          Some((Double.NaN, 0.1, false))
+        }
+      } else None
     writeGate(sfDir, outDir, ok.size,
-      scala.jdk.CollectionConverters.SetHasAsScala(failed).asScala.toSeq.sorted)
+      scala.jdk.CollectionConverters.SetHasAsScala(failed).asScala.toSeq.sorted,
+      shufParts, aqe, approxCheck)
     spark.stop()
   }
 
@@ -86,16 +120,24 @@ object Verify {
     * per-SF records + the sbt test summary into the repo-root GATE.json.
     */
   private def writeGate(sfDir: String, outDir: String,
-      okN: Int, failed: Seq[String]): Unit = {
+      okN: Int, failed: Seq[String], shufParts: String, aqe: String,
+      approxCheck: Option[(Double, Double, Boolean)]): Unit = {
     val names = SparkEntry.queries.keySet
     val oracled = names.intersect(SparkEntry.oracleSql.keySet)
     val rowsOnly = (names -- oracled).toSeq.sorted
     def q(s: String) = "\"" + s + "\""
+    val approxJson = approxCheck.map { case (worst, bound, pass) =>
+      s""" "approx_band": {"query": ${q("distinct_users_approx")},
+         |   "worst_rel_err": ${if (worst.isNaN) "null" else f"$worst%.5f"},
+         |   "bound": $bound, "pass": $pass},
+         |""".stripMargin
+    }.getOrElse("")
     val json =
       s"""{"registry_n": ${names.size}, "oracled_n": ${oracled.size},
          | "rows_only": ${rowsOnly.map(q).mkString("[", ", ", "]")},
          | "sf": ${q(sfDir)}, "ran_ok": $okN,
-         | "failed": ${failed.map(q).mkString("[", ", ", "]")}}
+         | "shuffle_partitions": $shufParts, "aqe": $aqe,
+         |$approxJson "failed": ${failed.map(q).mkString("[", ", ", "]")}}
          |""".stripMargin
     Files.writeString(Paths.get(s"$outDir/GATE.json"), json)
   }

@@ -243,39 +243,60 @@ object CorpusOps {
   /** Pre-sort gate frame, memoized once per (session, dir) — see
     * [[TextAnalysis.repetitionFrame]]; `quality_ensemble` shares it. */
   private[graft] def lmFrame(spark: SparkSession, dir: String): DataFrame =
-    memo.getOrElseUpdate((spark, dir, "lm_gate"),
-      lmFrameBuild(spark, dir).localCheckpoint(false))
+    memo(spark, dir, "lm_gate")(lmFrameBuild(spark, dir))
 
-  private val memo = scala.collection.concurrent
-    .TrieMap[(SparkSession, String, String), org.apache.spark.sql.DataFrame]()
+  private val memo = new FrameMemo()
 
   private def lmFrameBuild(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    def bgRows = Tables.documents(spark, dir)
-      .withColumn("toks", tokens($"text"))
-      .where(size($"toks") >= 2)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, size(toks)-1), i -> " +
-          "concat(element_at(toks, i), ' ', element_at(toks, i+1)))")).as("bg"))
-      .withColumn("w1", substring_index($"bg", " ", 1))
-    val cntBg = bgRows.groupBy($"bg").agg(count(lit(1)).as("cnt_bg"))
+    val docs = Tables.documents(spark, dir)
+    val (cntBg, cntW1) = lmModel(docs)
+    lmScore(docs, cntBg, cntW1)
+  }
+
+  /** Per-doc bigram rows of a `(doc_id, text)` frame — shared by model
+    * training and scoring. */
+  private def lmBigrams(docs: DataFrame): DataFrame = docs
+    .withColumn("toks", tokens(col("text")))
+    .where(size(col("toks")) >= 2)
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(toks)-1), i -> " +
+        "concat(element_at(toks, i), ' ', element_at(toks, i+1)))")).as("bg"))
+    .withColumn("w1", substring_index(col("bg"), " ", 1))
+
+  /** Train the bigram LM on `docs`: (bigram counts, prefix totals) — the
+    * persisted model artifact the streaming ingest funnel probes. */
+  private[graft] def lmModel(docs: DataFrame): (DataFrame, DataFrame) = {
+    val cntBg = lmBigrams(docs).groupBy(col("bg"))
+      .agg(count(lit(1)).as("cnt_bg"))
     // prefix totals roll up from the (vocabulary-bounded) bigram counts —
     // NOT from a third pass over the exploded corpus
-    val cntW1 = cntBg.select(substring_index($"bg", " ", 1).as("w1"), $"cnt_bg")
-      .groupBy($"w1").agg(sum($"cnt_bg").as("cnt_w1"))
+    val cntW1 = cntBg.select(substring_index(col("bg"), " ", 1).as("w1"),
+        col("cnt_bg"))
+      .groupBy(col("w1")).agg(sum(col("cnt_bg")).as("cnt_w1"))
+    (cntBg, cntW1)
+  }
+
+  /** Score `docs` against a trained bigram model — per-doc-deterministic
+    * given the model, so micro-batch scoring in the streaming funnel
+    * matches the batch gate exactly. Inner joins assume every scored
+    * bigram exists in the model (true whenever the model's training
+    * corpus covers the scored docs; a production OOV floor would
+    * left-join with a smoothing constant). */
+  private[graft] def lmScore(docs: DataFrame, cntBg: DataFrame,
+      cntW1: DataFrame): DataFrame = {
     val u20 = floor(
-      log($"cnt_bg".cast(DoubleType) / $"cnt_w1".cast(DoubleType)) *
+      log(col("cnt_bg").cast(DoubleType) / col("cnt_w1").cast(DoubleType)) *
         1048576.0 + 0.5).cast(LongType)
     val flagAt = -4102053.0 // -ln(50) * 2^20 = -4102053.43: perplexity-50 gate
-    bgRows.join(cntBg, "bg").join(cntW1, "w1")
-      .select($"doc_id", u20.as("u20"))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum($"u20").as("sum_logprob_u20"))
-      .select($"doc_id", $"n_bigrams", $"sum_logprob_u20",
-        ($"sum_logprob_u20".cast(DoubleType) / $"n_bigrams".cast(DoubleType))
-          .as("avg_logprob_u20"))
+    lmBigrams(docs).join(cntBg, "bg").join(cntW1, "w1")
+      .select(col("doc_id"), u20.as("u20"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("u20")).as("sum_logprob_u20"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_logprob_u20"),
+        (col("sum_logprob_u20").cast(DoubleType) /
+          col("n_bigrams").cast(DoubleType)).as("avg_logprob_u20"))
       .withColumn("flagged",
-        when($"avg_logprob_u20" < flagAt, 1).otherwise(0))
+        when(col("avg_logprob_u20") < flagAt, 1).otherwise(0))
   }
 
   /** NS: per-source length quartiles — `ntile` bucketing (the one rank
@@ -965,6 +986,97 @@ object CorpusOps {
         sum(when($"e_keep", $"n_toks").otherwise(0L)).as("tok_exact"),
         sum(when($"c_keep", 1L).otherwise(0L)).as("n_ingest"),
         sum(when($"c_keep", $"n_toks").otherwise(0L)).as("tok_ingest"))
+  }
+
+  /** The persisted artifacts the daily ingest funnel probes, built ONCE
+    * from the corpus and held as lazily-checkpointed frames: the index's
+    * content hashes (exact-dedup probe side), the index's band-exploded
+    * MinHash signatures (near-dup probe side), and the corpus-trained
+    * bigram LM model (the quality-gate artifact — trained on the full
+    * fixture corpus, matching [[lmFrame]]'s training set so stream and
+    * batch gate verdicts agree exactly). At 100 TB each member is a
+    * persisted staging table; nothing here is rebuilt per batch. */
+  final case class CorpusIndex(hashes: DataFrame, bands: DataFrame,
+      lmBg: DataFrame, lmW1: DataFrame)
+
+  /** Build [[CorpusIndex]] for `dir`'s corpus with the
+    * `minhash_incremental` split: index = doc_id ≢ 7 (mod 10). */
+  def corpusIndex(spark: SparkSession, dir: String): CorpusIndex = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val idxDocs = docs.where($"doc_id" % 10 =!= 7)
+    val (bg, w1) = lmModel(docs)
+    CorpusIndex(
+      idxDocs.select(md5($"text").as("h")).distinct().localCheckpoint(false),
+      DocDedup.bandFrameOf(idxDocs).localCheckpoint(false),
+      bg.localCheckpoint(false), w1.localCheckpoint(false))
+  }
+
+  /** One micro-batch of `(doc_id, text)` arrivals through the ingest
+    * funnel against the persisted index — the streaming twin of
+    * [[corpusPipelineIncremental]], shaped for `foreachBatch`:
+    *
+    *  1. quality gates scored FROM THE ARRIVING TEXT (repetition and
+    *     entropy are per-doc pure; the LM gate probes the persisted
+    *     corpus-trained model),
+    *  2. exact dedup against the index hashes AND `seenQ` — the content
+    *     hashes of quality-passing docs from earlier batches, the
+    *     funnel's only cross-batch state. First-keeper-wins over a
+    *     doc_id-ordered feed reproduces the batch min-keeper rule,
+    *  3. near-dup band probe of the batch signatures (broadcast) against
+    *     the index band frame — stateless per batch, exactly the
+    *     batch operator's new-vs-index contract.
+    *
+    * Returns (1-row stage-count frame in [[corpusPipelineIncremental]]'s
+    * column order, this batch's q_keep hashes to fold into `seenQ`). */
+  private[graft] def ingestFunnelBatch(idx: CorpusIndex, seenQ: DataFrame,
+      batch: DataFrame, estThreshold: Double = 0.5): (DataFrame, DataFrame) = {
+    val base = batch.select(col("doc_id"), md5(col("text")).as("h"),
+      size(tokens(col("text"))).cast(LongType).as("n_toks"))
+    val rep = TextAnalysis.repetitionFrameOf(batch)
+      .select(col("doc_id"), col("repetitive"))
+    val ent = TextAnalysis.entropyFrameOf(batch)
+      .select(col("doc_id"), col("flagged").as("ent_f"))
+    val lm = lmScore(batch, idx.lmBg, idx.lmW1)
+      .select(col("doc_id"), col("flagged").as("lm_f"))
+    // lazy checkpoint for the same reason as the batch operator: `q`
+    // feeds the keeper aggregate, the survivor flags, and the q_keep
+    // hash extract — without it the gate joins would run three times
+    val q = base
+      .join(rep, Seq("doc_id"), "left_outer")
+      .join(ent, Seq("doc_id"), "left_outer")
+      .join(lm, Seq("doc_id"), "left_outer")
+      .withColumn("q_keep",
+        coalesce(col("repetitive"), lit(0)) === 0 &&
+          coalesce(col("ent_f"), lit(0)) === 0 &&
+          coalesce(col("lm_f"), lit(0)) === 0)
+      .localCheckpoint(false)
+    val keeper = q.where(col("q_keep"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("b_keeper"))
+    val q2 = q
+      .join(idx.hashes.withColumn("in_index", lit(1)), Seq("h"), "left_outer")
+      .join(broadcast(seenQ.withColumn("seen_q", lit(1))), Seq("h"),
+        "left_outer")
+      .join(keeper, Seq("h"), "left_outer")
+      .withColumn("e_keep", col("q_keep") && col("in_index").isNull &&
+        col("seen_q").isNull && col("doc_id") === col("b_keeper"))
+    val nearHits = DocDedup.probePairs(idx.bands, DocDedup.bandFrameOf(batch))
+      .where(col("est_jaccard") >= estThreshold)
+      .select(col("new_doc").as("doc_id")).distinct()
+      .withColumn("near_hit", lit(1))
+    val counts = q2.join(nearHits, Seq("doc_id"), "left_outer")
+      .withColumn("c_keep", col("e_keep") && col("near_hit").isNull)
+      .agg(
+        count(lit(1)).as("n_batch"), sum(col("n_toks")).as("tok_batch"),
+        sum(when(col("q_keep"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("q_keep"), col("n_toks")).otherwise(0L))
+          .as("tok_quality"),
+        sum(when(col("e_keep"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("e_keep"), col("n_toks")).otherwise(0L)).as("tok_exact"),
+        sum(when(col("c_keep"), 1L).otherwise(0L)).as("n_ingest"),
+        sum(when(col("c_keep"), col("n_toks")).otherwise(0L))
+          .as("tok_ingest"))
+    (counts, q.where(col("q_keep")).select(col("h")))
   }
 
   /** NS (LLM pipeline): temperature-scaled source mixture — the standard

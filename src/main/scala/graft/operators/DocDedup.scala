@@ -26,11 +26,10 @@ object DocDedup {
   // labels, not corpus). Bounded by #sessions × #dirs seen in-process —
   // a handful in tests/bench; on a real cluster this is a persisted
   // staging table instead.
-  private val memo =
-    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+  private val memo = new FrameMemo()
   private def memoized(spark: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((spark, dir, key), build.localCheckpoint(false))
+    memo(spark, dir, key)(build)
 
   // MinHash: 16 permutations h_i(x) = ((2i+1)·x + 7919·i + 1) mod P over
   // the 28-bit md5 base hash; products stay < 2^34, far from int64 overflow
@@ -60,9 +59,16 @@ object DocDedup {
     * each shingle exactly once, gets map-side partial aggregation, and is
     * what you'd run at 100 TB anyway.
     */
-  private def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val hashed = Tables.documents(spark, dir)
+  private def minhashSigs(spark: SparkSession, dir: String): DataFrame =
+    minhashSigsOf(Tables.documents(spark, dir))
+
+  /** [[minhashSigs]] over an arbitrary `(doc_id, text)` frame — the
+    * streaming ingest funnel signs each arriving micro-batch with the
+    * exact index pipeline (docs with <3 tokens have no shingles and drop
+    * out, same as the batch path). */
+  private[graft] def minhashSigsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val hashed = docs
       .select($"doc_id", explode(array_distinct(shingles($"text", 3))).as("g"))
       .select($"doc_id", md5Long28($"g").as("x"))
     val aggs = (0 until NumHashes).map { i =>
@@ -124,6 +130,29 @@ object DocDedup {
     import spark.implicits._
     minhashIncrementalPairs(spark, dir).orderBy($"new_doc", $"index_doc")
   }
+
+  /** Band-exploded signature frame of `docs` — the `(k, bv)`-keyed probe
+    * layout the persisted dedup index is stored in (and the shape a new
+    * micro-batch is signed into before probing it). */
+  private[graft] def bandFrameOf(docs: DataFrame): DataFrame =
+    minhashSigsOf(docs).select(col("doc_id"), col("sig"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("k", "bv")))
+
+  /** New-batch near-dup probe: batch band keys BROADCAST against the
+    * persisted index band frame — [[minhashIncrementalPairs]]' join,
+    * parametrized so the streaming funnel can probe each micro-batch
+    * without rebuilding index signatures. The index side stays a linear
+    * probe scan; nothing reshuffles it. */
+  private[graft] def probePairs(indexBands: DataFrame,
+      batchBands: DataFrame): DataFrame =
+    indexBands.as("y").join(broadcast(batchBands.as("x")),
+        col("x.k") === col("y.k") && col("x.bv") === col("y.bv"))
+      .select(
+        col("x.doc_id").as("new_doc"), col("y.doc_id").as("index_doc"),
+        (size(filter(zip_with(col("x.sig"), col("y.sig"), (u, v) => u === v),
+          b => b)).cast(DoubleType) / NumHashes).as("est_jaccard"))
+      .distinct()
 
   /** The unordered (new_doc, index_doc, est_jaccard) candidate frame of
     * [[minhashIncremental]] — reused by the incremental ingest funnel. */
@@ -647,7 +676,7 @@ object DocDedup {
     // Label frame memoized directly (connectedComponents already returns a
     // checkpointed frame): cluster_stats and dedup_survivorship both
     // consume it, so the star-contraction loop runs once per (session, dir).
-    val labels = memo.getOrElseUpdate((spark, dir, "cc_labels"),
+    val labels = memo.raw(spark, dir, "cc_labels")(
       connectedComponents(
         simhashPairsMemo(spark, dir).select($"doc_a", $"doc_b")))
     Tables.documents(spark, dir).select($"doc_id")

@@ -35,14 +35,16 @@ object TextAnalysis {
   // by design (min-of-2 passes would hit the memo on pass 2 anyway).
   // Long-lived sessions spanning many dirs should call [[clearMemo]]
   // to release the pinned checkpoint blocks.
-  private val memo = scala.collection.concurrent
-    .TrieMap[(SparkSession, String, String), DataFrame]()
+  private val memo = new FrameMemo()
   private def memoized(spark: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((spark, dir, key), build.localCheckpoint(false))
+    memo(spark, dir, key)(build)
 
   /** Drop every memoized frame so the ContextCleaner can reclaim its
-    * checkpoint blocks (see memo note above). */
+    * checkpoint blocks (see memo note above). Since round 8 the memo is
+    * ALSO self-bounding: [[FrameMemo]] keeps only the 2 most-recently-used
+    * (session, dir) groups, so a multi-dir session no longer pins blocks
+    * indefinitely even without this call. */
   def clearMemo(): Unit = memo.clear()
 
   /** The shared tokenized corpus — `(doc_id, source, toks)` with `toks`
@@ -387,22 +389,28 @@ object TextAnalysis {
     * corpus scans into checkpoint reads (the `DocDedup` memo pattern;
     * cluster: a persisted staging table). */
   private[graft] def repetitionFrame(spark: SparkSession, dir: String): DataFrame =
-    memoized(spark, dir, "rep_gate") {
-      import spark.implicits._
-      val ratio = $"top_count".cast(DoubleType) / $"n_bigrams"
-      Tables.documents(spark, dir)
-        .withColumn("toks", tokens($"text"))
-        .where(size($"toks") >= 2)
-        .select($"doc_id", explode(expr(
-          "transform(sequence(1, size(toks)-1), " +
-            "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))")).as("bg"))
-        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("n"))
-        .groupBy($"doc_id")
-        .agg(max($"n").as("top_count"), sum($"n").as("n_bigrams"))
-        .select($"doc_id", $"n_bigrams", $"top_count",
-          ratio.as("top_ratio"),
-          when(ratio > 0.05, 1).otherwise(0).as("repetitive"))
-    }
+    memoized(spark, dir, "rep_gate")(
+      repetitionFrameOf(Tables.documents(spark, dir)))
+
+  /** Un-memoized per-doc builder over an arbitrary `(doc_id, text)` frame
+    * — the gate is per-doc pure, so the streaming ingest funnel scores
+    * each arriving micro-batch with EXACTLY the batch gate's expressions
+    * (stream/batch verdicts agree bit-for-bit). */
+  private[graft] def repetitionFrameOf(docs: DataFrame): DataFrame = {
+    val ratio = col("top_count").cast(DoubleType) / col("n_bigrams")
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks)-1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("top_count"), sum(col("n")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_count"),
+        ratio.as("top_ratio"),
+        when(ratio > 0.05, 1).otherwise(0).as("repetitive"))
+  }
 
   /** NS: Count-Min frequency sketch of the corpus vocabulary — the
     * bounded-memory alternative to `vocab_topk`'s exact path: the
@@ -449,25 +457,30 @@ object TextAnalysis {
 
   /** Un-memoized builder — PlanSpec budgets ITS exchanges (the memoized
     * frame reads back as a checkpoint scan and would hide the shape). */
-  private[graft] def entropyFrameBuild(spark: SparkSession, dir: String): DataFrame = {
-      import spark.implicits._
-      val cnt = Tables.documents(spark, dir)
-        .repartition($"doc_id")
-        .select($"doc_id", explode(tokens($"text")).as("tok"))
-        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
-      val tot = cnt.groupBy($"doc_id")
-        .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_types"))
-      val p = $"c".cast(DoubleType) / $"n_tokens"
+  private[graft] def entropyFrameBuild(spark: SparkSession, dir: String): DataFrame =
+    entropyFrameOf(Tables.documents(spark, dir))
+
+  /** Per-doc-pure builder over an arbitrary `(doc_id, text)` frame — see
+    * [[repetitionFrameOf]] (the streaming funnel's micro-batch gate). */
+  private[graft] def entropyFrameOf(docs: DataFrame): DataFrame = {
+      val cnt = docs
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"))
+      val p = col("c").cast(DoubleType) / col("n_tokens")
       cnt.join(tot, "doc_id")
-        .select($"doc_id", $"n_tokens", $"n_types",
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
           floor(-p * log(p) * lit(1048576.0) + lit(0.5)).as("term_u20"))
-        .groupBy($"doc_id")
-        .agg(min($"n_tokens").as("n_tokens"), min($"n_types").as("n_types"),
-          sum($"term_u20").as("entropy_u20"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("n_tokens")).as("n_tokens"),
+          min(col("n_types")).as("n_types"),
+          sum(col("term_u20")).as("entropy_u20"))
         // gate at 1.5 nats (≈ e^1.5 ≈ 4.5 effective vocab): flags the
         // single-token and heavily-repeated docs
         .withColumn("flagged",
-          when($"entropy_u20" < 1572864L, 1).otherwise(0))
+          when(col("entropy_u20") < 1572864L, 1).otherwise(0))
     }
 
   /** NS: language-ID confusion matrix — [[langId]] scored against the

@@ -280,6 +280,48 @@ object StreamingEntry {
           ($"doc_id" =!= $"keeper_doc_id").as("is_duplicate")))
       Parity(got, want)
     }),
+    // the daily-ingest funnel as a REAL foreachBatch stream: today's
+    // crawl (doc_id ≡ 7 mod 10, the minhash_incremental split) arrives
+    // in N micro-batches and flows through quality gates scored from the
+    // arriving TEXT (repetition/entropy per-doc pure; LM probing the
+    // persisted corpus-trained model), exact dedup against the persisted
+    // index hashes + the cross-batch seen-hash state (first-keeper-wins
+    // over the doc_id-ordered feed ≡ the batch min-keeper rule), and a
+    // broadcast band probe of the persisted MinHash index. STRONG
+    // parity: the N-batch accumulated stage counts must equal
+    // corpus_pipeline_incremental's one-shot report — not just split
+    // invariance.
+    "corpus_funnel_stream" -> Twin("fold", (spark, dir, splits) => {
+      import spark.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val idx = graft.operators.CorpusOps.corpusIndex(spark, dir)
+      val rows = docs(spark, dir).filter(_.doc_id % 10 == 7)
+      val ms = MemoryStream[Doc]
+      val acc = new java.util.concurrent.atomic.AtomicLongArray(8)
+      val seenQ = new java.util.concurrent.atomic.AtomicReference[DataFrame](
+        Seq.empty[String].toDF("h"))
+      val applyBatch: (DataFrame, Long) => Unit = (b, _) => {
+        val (counts, qh) = graft.operators.CorpusOps
+          .ingestFunnelBatch(idx, seenQ.get(), b)
+        val r = counts.collect()(0)
+        (0 until 8).foreach(i =>
+          acc.addAndGet(i, if (r.isNullAt(i)) 0L else r.getLong(i)))
+        // EAGER checkpoint: the micro-batch frame is only valid inside
+        // this call; the folded hash state must outlive it
+        seenQ.set(seenQ.get().union(qh).distinct().localCheckpoint(true))
+      }
+      val q = ms.toDF().writeStream.foreachBatch(applyBatch).start()
+      try splitInto(rows, splits).foreach { b =>
+        ms.addData(b); q.processAllAvailable()
+      } finally q.stop()
+      val got = canon(Seq((acc.get(0), acc.get(1), acc.get(2), acc.get(3),
+        acc.get(4), acc.get(5), acc.get(6), acc.get(7)))
+        .toDF("n_batch", "tok_batch", "n_quality", "tok_quality",
+          "n_exact", "tok_exact", "n_ingest", "tok_ingest"))
+      val want = canon(graft.operators.CorpusOps
+        .corpusPipelineIncremental(spark, dir))
+      Parity(got, want)
+    }),
     // foreachBatch CDC/SCD2 folds: sequential per-batch apply over a
     // seq-ordered feed == one-shot apply
     "cdc_apply" -> batchFold(

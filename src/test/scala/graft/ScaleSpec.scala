@@ -536,6 +536,65 @@ class ScaleSpec extends SparkSpecBase {
       s"sketch aggregation lost its map-side combine:\n$p")
   }
 
+  test("clustered layouts PRUNE: range predicates on either key read fewer " +
+    "row groups than the unsorted layout (scan-metric proof)") {
+    import spark.implicits._
+    // rows actually READ by the parquet scan = rows in surviving row
+    // groups: record-level parquet filtering is off by default, so every
+    // row of every row group the footer stats could NOT skip is emitted
+    // by the scan node and counted by its numOutputRows metric — the
+    // direct measurement of row-group skipping that parquetStatsAudit's
+    // footer check only implies.
+    def rowsRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }
+      assert(scans.nonEmpty, "no parquet scan node found")
+      scans.sum
+    }
+    val n = 65536L // 256×256 uniform grid
+    val grid = spark.range(n)
+      .select(($"id" % 256).as("x"), ($"id" / 256).cast("long").as("y"))
+    // deterministic scramble so the baseline layout is genuinely unclustered
+    val scrambled = grid.orderBy(md5(concat_ws(",", $"x", $"y")))
+    val base = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    // small parquet blocks → MANY row groups per file, so the assertion
+    // exercises row-group granularity, not just whole-file pruning
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 32 * 1024)
+    try {
+      scrambled.repartition(4).write.mode("overwrite")
+        .parquet(s"$base/unsorted")
+      Scale.writeZOrdered(grid, s"$base/zorder", "x", "y", numFiles = 4)
+      Scale.writeHilbertOrdered(grid, s"$base/hilbert", "x", "y", numFiles = 4)
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prevBlock)
+    }
+    for (key <- Seq("x", "y"); layout <- Seq("zorder", "hilbert")) {
+      val pred = col(key) >= 16L && col(key) <= 31L // 1/16 of the domain
+      val flat = spark.read.parquet(s"$base/unsorted").where(pred)
+      val clus = spark.read.parquet(s"$base/$layout").where(pred)
+      // same answer first (pruning must be lossless) ...
+      assert(clus.count() === flat.count(),
+        s"$layout/$key: pruned scan changed the result")
+      val (flatRead, clusRead) = (rowsRead(flat), rowsRead(clus))
+      // ... the unclustered layout can skip (almost) nothing: every row
+      // group spans the full key range
+      assert(flatRead > n * 9 / 10,
+        s"unsorted baseline unexpectedly pruned: read $flatRead of $n")
+      // ... and the clustered layout must skip most row groups on BOTH
+      // axes (the 1/16-domain predicate selects 4096 rows; ≤40% read
+      // allows curve-boundary + row-group-boundary slop)
+      assert(clusRead * 5 <= flatRead * 2,
+        s"$layout/$key read $clusRead rows vs unsorted $flatRead — " +
+          "row-group skipping is not engaging on the clustered layout")
+    }
+  }
+
   test("partition_advisor: verdicts follow the thresholds; row totals agree") {
     val rows = Scale.partitionAdvisor(spark, Sf0001).collect()
     assert(rows.length === 3)

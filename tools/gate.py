@@ -22,9 +22,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TESTDATA = "/root/testdata"
 
 
-def run(cmd, **kw):
-    print(f"[gate] $ {' '.join(cmd)}", flush=True)
-    return subprocess.run(cmd, cwd=REPO, capture_output=True, text=True, **kw)
+def run(cmd, extra_env=None, **kw):
+    print(f"[gate] $ {' '.join(cmd)}"
+          + (f"  (env {extra_env})" if extra_env else ""), flush=True)
+    env = dict(os.environ, **extra_env) if extra_env else None
+    return subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
+                          env=env, **kw)
 
 
 def sbt_tests():
@@ -38,10 +41,11 @@ def sbt_tests():
             "tests_n": int(m.group(1)), "tests_failed": int(m.group(2))}
 
 
-def verify_sf(sf):
-    out_dir = f"/tmp/gate_{sf}"
+def verify_sf(sf, extra_env=None, tag=""):
+    out_dir = f"/tmp/gate_{sf}{tag}"
     r = run(["sbt", "-batch",
-             f"runMain graft.Verify {TESTDATA}/{sf} {out_dir}"])
+             f"runMain graft.Verify {TESTDATA}/{sf} {out_dir}"],
+            extra_env=extra_env)
     if r.returncode != 0:
         return {"sf": sf, "error": f"verify rc={r.returncode}"}
     with open(f"{out_dir}/GATE.json") as f:
@@ -62,17 +66,31 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sfs", default="sf0.001,sf0.01,sf0.1")
     ap.add_argument("--skip-tests", action="store_true")
+    ap.add_argument("--skip-alt-config", action="store_true",
+                    help="skip the shuffle.partitions=200 + AQE sf0.1 sweep")
+    ap.add_argument("--alt-sf", default="sf0.1")
     args = ap.parse_args()
 
     gate = {} if args.skip_tests else sbt_tests()
     gate["per_sf"] = [verify_sf(sf) for sf in args.sfs.split(",")]
+    if not args.skip_alt_config:
+        # Partition-count agnosticism proof: the same sweep must hash-match
+        # at a cluster-like shuffle.partitions=200 with AQE on (exercises
+        # withGlobalRank/withGlobalCumsum/AsOfJoinExec partitioning).
+        gate["alt_config"] = verify_sf(
+            args.alt_sf,
+            extra_env={"SPARK_GRAFT_SHUFFLE_PARTITIONS": "200",
+                       "SPARK_GRAFT_AQE": "true"},
+            tag="_alt200aqe")
     first = next((r for r in gate["per_sf"] if "registry_n" in r), {})
     gate["registry_n"] = first.get("registry_n")
     gate["oracled_n"] = first.get("oracled_n")
     gate["rows_only"] = first.get("rows_only")
     gate["all_green"] = (gate.get("tests_green", True)
                          and all(r.get("oracle_fail") == 0
-                                 for r in gate["per_sf"]))
+                                 for r in gate["per_sf"])
+                         and (args.skip_alt_config
+                              or gate["alt_config"].get("oracle_fail") == 0))
     path = os.path.join(REPO, "GATE.json")
     with open(path, "w") as f:
         json.dump(gate, f, indent=1, sort_keys=True)
