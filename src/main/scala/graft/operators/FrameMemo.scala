@@ -3,7 +3,7 @@ package graft.operators
 import scala.collection.concurrent.TrieMap
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftShims, SparkSession}
 
 /** Bounded (session, dir)-scoped memo of lazily `localCheckpoint`'ed
   * frames — the shared-gate pattern used by TextAnalysis / DocDedup /
@@ -11,17 +11,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Lifecycle contract (the round-7 hardening): the map keeps at most
   * `maxDirs` most-recently-used (session, dir) groups. Admitting a NEW
-  * dir beyond that evicts the least-recently-used dir's entries, dropping
-  * every strong reference this memo holds to its checkpointed frames, so
-  * the ContextCleaner reclaims their pinned blocks at the next GC instead
-  * of accumulating them for the life of the process. Eviction is safe
-  * mid-query: a caller still holding the evicted DataFrame keeps its RDD
-  * alive (GC-reachability IS the cleaner's liveness rule); eviction only
-  * forgets the memo's own handle, exactly like [[clear]] always did.
+  * dir beyond that evicts the least-recently-used dir's entries and
+  * EXPLICITLY unpersists their checkpointed RDDs, so a multi-dir session
+  * releases pinned checkpoint blocks on schedule instead of accumulating
+  * them for the life of the process. [[clear]] releases the same way.
   *
-  * `maxDirs = 2` covers every in-process multi-dir pattern we ship (bench
-  * warms on sf0.001 then measures sfDir; specs pin one dir) while keeping
-  * a 3-dir session bounded — the scenario that used to pin blocks forever.
+  * Why explicit release instead of dropping references and letting the
+  * ContextCleaner reclaim on GC: measured on Spark 4.1, a dropped
+  * locally-checkpointed RDD is NOT reclaimed once any later
+  * shuffle-bearing query has executed while another checkpointed frame
+  * stays live — it survives 30+ s of System.gc() polling (dropping every
+  * frame reclaims all of them, so some shuffle-execution-side structure
+  * transitively retains earlier checkpoints; FrameMemoSpec pins the
+  * explicit-release behavior instead of that unreliable path).
+  *
+  * Consequence: an evicted frame must NOT be used again — its blocks are
+  * gone and a localCheckpoint cannot recompute (lineage is truncated by
+  * design). That is safe for every shipped pattern: callers consume a
+  * memoized frame within the query that requested it, and eviction only
+  * triggers when a THIRD dir enters the process (bench warms sf0.001
+  * then measures sfDir; specs and Verify pin one dir), never while
+  * another dir's query is mid-flight.
+  *
+  * `maxDirs = 2` covers every in-process multi-dir pattern we ship while
+  * keeping a 3-dir session bounded — the scenario that used to pin
+  * blocks forever.
   */
 private[graft] final class FrameMemo(maxDirs: Int = 2) {
   private val frames = TrieMap[(SparkSession, String, String), DataFrame]()
@@ -37,31 +51,44 @@ private[graft] final class FrameMemo(maxDirs: Int = 2) {
     * (e.g. connectedComponents) — memoizes without re-checkpointing. */
   def raw(spark: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame = {
-    synchronized {
-      val g = (spark, dir)
-      lru.remove(g); lru.add(g)
-      while (lru.size > maxDirs) {
-        val oldest = lru.head
-        lru.remove(oldest)
-        frames.keys.filter(k => (k._1, k._2) == oldest).foreach(frames.remove)
-      }
-    }
+    synchronized(admit(spark, dir))
     // build OUTSIDE the lock: checkpoint materialization can take seconds
     // and concurrent workers (Verify's pool) must not serialize on it;
     // TrieMap.getOrElseUpdate keeps per-key build-once semantics.
     val df = frames.getOrElseUpdate((spark, dir, key), build)
-    // close the touch→insert race: if another thread evicted this dir
-    // while we were building, forget the orphan entry (the caller keeps
-    // the returned frame alive; the memo must not)
+    // close the admit→build race: if another thread evicted this dir
+    // while we were building, RE-ADMIT it (build completion counts as a
+    // use) so the frame we are about to hand out is never released out
+    // from under the caller.
     synchronized {
-      if (!lru.contains((spark, dir))) frames.remove((spark, dir, key))
+      if (!lru.contains((spark, dir))) admit(spark, dir)
     }
     df
   }
 
-  /** Drop every memoized frame so the ContextCleaner can reclaim all
-    * checkpoint blocks immediately (tests / explicit session teardown). */
+  /** Touch `dir`; evict-and-release LRU dirs beyond `maxDirs`.
+    * Caller must hold the monitor. */
+  private def admit(spark: SparkSession, dir: String): Unit = {
+    val g = (spark, dir)
+    lru.remove(g); lru.add(g)
+    while (lru.size > maxDirs) {
+      val oldest = lru.head
+      lru.remove(oldest)
+      frames.keys.filter(k => (k._1, k._2) == oldest)
+        .foreach(k => frames.remove(k).foreach(release))
+    }
+  }
+
+  /** Unpersist the frame's checkpointed RDDs NOW (blocks freed without
+    * waiting for a GC the cleaner may never act on — see class doc). */
+  private def release(df: DataFrame): Unit =
+    try GraftShims.unpersistCheckpoint(df)
+    catch { case _: Throwable => () } // a dead session is already free
+
+  /** Drop AND release every memoized frame (tests / explicit session
+    * teardown). */
   def clear(): Unit = synchronized {
+    frames.values.foreach(release)
     frames.clear(); lru.clear()
   }
 

@@ -40,11 +40,13 @@ object TextAnalysis {
       build: => DataFrame): DataFrame =
     memo(spark, dir, key)(build)
 
-  /** Drop every memoized frame so the ContextCleaner can reclaim its
-    * checkpoint blocks (see memo note above). Since round 8 the memo is
-    * ALSO self-bounding: [[FrameMemo]] keeps only the 2 most-recently-used
-    * (session, dir) groups, so a multi-dir session no longer pins blocks
-    * indefinitely even without this call. */
+  /** Drop AND release every memoized frame (explicit unpersist of the
+    * underlying checkpoint RDDs — see [[FrameMemo]] for why GC-driven
+    * reclamation can't be relied on). Since round 8 the memo is ALSO
+    * self-bounding: [[FrameMemo]] keeps only the 2 most-recently-used
+    * (session, dir) groups and releases evicted dirs' blocks on the
+    * spot, so a multi-dir session no longer pins blocks indefinitely
+    * even without this call. */
   def clearMemo(): Unit = memo.clear()
 
   /** The shared tokenized corpus — `(doc_id, source, toks)` with `toks`

@@ -24,6 +24,24 @@ object GraftShims {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Unpersist every `LogicalRDD` leaf of `df`'s analyzed plan — the
+    * underlying RDD of a `localCheckpoint`ed frame. Non-blocking; returns
+    * how many RDDs were unpersisted. Needed because GC-driven
+    * ContextCleaner reclamation of dropped locally-checkpointed RDDs is
+    * unreliable (measured on Spark 4.1: once any LATER shuffle-bearing
+    * query has run and its checkpointed frame is still live, a dropped
+    * earlier checkpoint survives arbitrarily many System.gc() rounds;
+    * dropping everything reclaims all — some shuffle-execution-side
+    * structure transitively retains it). Explicit release is
+    * deterministic regardless. */
+  def unpersistCheckpoint(df: Dataset[_]): Int = {
+    val rdds = df.queryExecution.analyzed.collect {
+      case lr: execution.LogicalRDD => lr.rdd
+    }
+    rdds.foreach(_.unpersist(blocking = false))
+    rdds.size
+  }
+
   /** Idempotently add a planner strategy to this session (the public
     * `experimental.extraStrategies` hook; prepended to the planner). */
   def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {

@@ -3,11 +3,14 @@ package graft
 import graft.operators.FrameMemo
 
 /** Lifecycle contract of the shared (session, dir) frame memo: bounded
-  * LRU over dirs, so a multi-dir session can no longer pin checkpoint
-  * blocks indefinitely (round-7 advice item). Block reclamation itself is
-  * the ContextCleaner's GC-driven job; what the memo must guarantee — and
-  * what these tests pin — is that eviction drops the memo's strong
-  * references on schedule. */
+  * LRU over dirs with EXPLICIT release on eviction, so a multi-dir
+  * session can no longer pin checkpoint blocks indefinitely (round-7
+  * advice item). Release is explicit (unpersist of the underlying
+  * checkpointed RDDs) because GC-driven ContextCleaner reclamation is
+  * measurably unreliable here — on Spark 4.1 a dropped locally-
+  * checkpointed RDD survives arbitrarily many System.gc() rounds once a
+  * later shuffle-bearing query has run while another checkpointed frame
+  * stays live (see the FrameMemo class doc). */
 class FrameMemoSpec extends SparkSpecBase {
   import spark.implicits._
 
@@ -28,7 +31,6 @@ class FrameMemoSpec extends SparkSpecBase {
     assert(m.size === 2, s"evicted dir's frames must be dropped, size=${m.size}")
     get("dirA")
     assert(builds === 3, "A survived the eviction (recently used)")
-    assert(builds === 3)
     get("dirB") // B was evicted: must rebuild
     assert(builds === 4, "B must rebuild after eviction")
   }
@@ -44,12 +46,50 @@ class FrameMemoSpec extends SparkSpecBase {
     assert(m.size === 0 && m.dirCount === 0)
   }
 
-  test("evicted frames stay usable by callers that hold them") {
+  test("3-dir session WITHOUT clearMemo: the evicted dir's checkpoint " +
+    "RDDs are unpersisted on eviction (no pinned blocks left behind)") {
+    val sc = spark.sparkContext
+    val m = new FrameMemo(maxDirs = 2)
+    // build inside a function so the test holds NO reference to the
+    // returned frame; returns the persisted-RDD ids the build added
+    def buildIds(dir: String, mult: Long): Set[Int] = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val df = m(spark, dir, "k")(
+        spark.range(5000).select(($"id" * mult).as("v")).toDF())
+      assert(df.count() === 5000L) // materialize the lazy checkpoint
+      (sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    val idsA = buildIds("dirA", 3)
+    val idsB = buildIds("dirB", 5)
+    assert(idsA.nonEmpty && idsB.nonEmpty,
+      "localCheckpoint should register persisted RDDs")
+    val idsC = buildIds("dirC", 7) // LRU-evicts dirA → releases its RDDs
+    // release is explicit unpersist: the persistentRdds entry is removed
+    // synchronously (block deletion itself may lag; the ENTRY may not)
+    assert(idsA.forall(id => !sc.getPersistentRDDs.contains(id)),
+      s"dirA checkpoint RDDs still pinned after eviction: " +
+        idsA.filter(sc.getPersistentRDDs.contains))
+    // ...while the dirs the memo still holds stay pinned and usable
+    assert(idsB.forall(sc.getPersistentRDDs.contains),
+      "dirB (recently used) lost its checkpoint")
+    assert(idsC.forall(sc.getPersistentRDDs.contains),
+      "dirC (just admitted) lost its checkpoint")
+    m.clear() // ...and clear releases those too
+    assert((idsB ++ idsC).forall(id => !sc.getPersistentRDDs.contains(id)),
+      "clear() must unpersist everything it held")
+  }
+
+  test("an evicted dir is rebuilt (not resurrected) on re-request") {
     val m = new FrameMemo(maxDirs = 1)
-    val held = m(spark, "dx", "k")(frame("held"))
-    m(spark, "dy", "k")(frame("other")) // evicts dx
-    // the caller's handle still computes — eviction only forgets the
-    // memo's reference, it never invalidates in-flight frames
-    assert(held.count() === 1L)
+    var builds = 0
+    def get(dir: String): Long = {
+      val df = m(spark, dir, "k") { builds += 1; frame(dir) }
+      df.count()
+    }
+    assert(get("dx") === 1L && builds === 1)
+    assert(get("dy") === 1L && builds === 2) // evicts + releases dx
+    // dx's frame was released with its blocks; the memo must hand back a
+    // FRESH build, never the dead evicted frame
+    assert(get("dx") === 1L && builds === 3)
   }
 }
