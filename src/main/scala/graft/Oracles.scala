@@ -1150,6 +1150,24 @@ object Oracles {
          |       CAST(label AS INTEGER) AS majority_label,
          |       n AS majority_n, CAST(n AS DOUBLE) / n_vectors AS purity
          |FROM mj WHERE rk = 1 ORDER BY cell_id""".stripMargin,
+    "semantic_cell_profile" ->
+      s"""WITH c AS (SELECT vec_id AS cell_id, embedding AS ce
+         |           FROM embeddings WHERE vec_id < 16),
+         |s AS (SELECT e.vec_id, c.cell_id,
+         |        ${cosSql("e.embedding", "c.ce")} AS score FROM embeddings e, c),
+         |r AS (SELECT vec_id, cell_id, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY score DESC, cell_id) AS rnk FROM s),
+         |a AS (SELECT vec_id, cell_id FROM r WHERE rnk = 1),
+         |per AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n_vectors,
+         |          CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs
+         |        FROM a GROUP BY cell_id),
+         |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS total_pairs,
+         |        CAST(sum(n_vectors) AS BIGINT) AS n_total FROM per)
+         |SELECT per.cell_id, per.n_vectors, per.n_pairs, t.total_pairs,
+         |       CAST(t.n_total * (t.n_total - 1) // 2 AS BIGINT) AS brute_pairs,
+         |       CAST(floor(CAST(per.n_pairs AS DOUBLE) * 1048576.0
+         |            / t.total_pairs + 0.5) AS BIGINT) AS share_u20
+         |FROM per, t ORDER BY per.cell_id""".stripMargin,
     "semantic_dedup" ->
       s"""WITH c AS (SELECT vec_id AS cell_id, embedding AS ce
          |           FROM embeddings WHERE vec_id < 16),

@@ -235,6 +235,7 @@ object SparkEntry {
     "embedding_centroids"  -> (Similarity.embeddingCentroids(_, _)),
     "embedding_pca"        -> (Similarity.embeddingPca(_, _)),
     "embedding_neardup"    -> (Similarity.embeddingNearDupPairs(_, _)),
+    "semantic_cell_profile" -> (Similarity.semanticCellProfile(_, _)),
     "semantic_dedup"       -> (Similarity.semanticDedup(_, _, 0.40)),
     "pair_graph_pagerank"  -> (GraphOps.pairGraphPagerank(_, _)),
     "graph_triangles"      -> (GraphOps.graphTriangles(_, _)),

@@ -792,6 +792,37 @@ object Similarity {
         sqrt(norm2($"embedding")).as("nrm"))
   }
 
+  /** NS (LLM pipeline): the Σ|cell|² knob report read BEFORE running
+    * [[semanticDedup]] — per cell, the population and the EXACT
+    * within-cell candidate-pair count |c|·(|c|−1)/2 the dedup self-join
+    * will materialize, each cell's share of the total pair mass in
+    * 2^-20 fixed point, plus the corpus-wide totals next to the
+    * brute-force N·(N−1)/2 for the reduction factor. SemDeDup's whole
+    * scale argument is that clustering keeps the quadratic LOCAL
+    * (Σ|cell|² ≪ N²); a skewed codebook shows up here as one cell
+    * owning most of the pair mass — BEFORE the join is paid for, which
+    * at 100 TB is the difference between resizing k and discovering the
+    * skew in a dead executor. Plan: one |cells|-row aggregate over the
+    * cell assignment + a 1-row total broadcast — linear, shardable. */
+  def semanticCellProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = cellIndex(spark, dir)
+      .groupBy($"cell_id").agg(count(lit(1)).as("n_vectors"))
+      // n·(n−1) is even, so DIV 2 is exact — integer arithmetic only
+      .withColumn("n_pairs", expr("n_vectors * (n_vectors - 1) DIV 2"))
+    val tot = per.agg(sum($"n_pairs").as("total_pairs"),
+      sum($"n_vectors").as("n_total"))
+    per.crossJoin(broadcast(tot))
+      .select($"cell_id", $"n_vectors", $"n_pairs", $"total_pairs",
+        expr("n_total * (n_total - 1) DIV 2").as("brute_pairs"),
+        // share of the pair mass, quantized on an exact-bigint ratio
+        // (the mixture_temperature discipline)
+        floor($"n_pairs".cast(DoubleType) * 1048576.0 /
+          $"total_pairs".cast(DoubleType) + 0.5).cast(LongType)
+          .as("share_u20"))
+      .orderBy($"cell_id")
+  }
+
   def semanticDedup(spark: SparkSession, dir: String,
       tau: Double = 0.40): DataFrame = {
     import spark.implicits._

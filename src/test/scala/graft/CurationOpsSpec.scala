@@ -49,6 +49,33 @@ class CurationOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("semantic_cell_profile: pair counts equal the ACTUAL within-cell " +
+    "candidate pairs; totals and shares are conserved") {
+    val prof = Similarity.semanticCellProfile(spark, Sf0001).collect()
+    // ground truth: brute-count the x>y pairs per cell from the same
+    // assignment the dedup join consumes
+    val actual = Similarity.cellIndex(spark, Sf0001)
+      .groupBy(col("cell_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = actual.values.sum
+    assert(prof.map(_.getAs[Long]("n_vectors")).sum === n)
+    prof.foreach { r =>
+      val c = actual(r.getAs[Long]("cell_id"))
+      assert(r.getAs[Long]("n_pairs") === c * (c - 1) / 2,
+        s"cell ${r.getAs[Long]("cell_id")}: profile pair count wrong")
+      assert(r.getAs[Long]("brute_pairs") === n * (n - 1) / 2)
+    }
+    val total = prof.head.getAs[Long]("total_pairs")
+    assert(prof.map(_.getAs[Long]("n_pairs")).sum === total)
+    // shares are a partition of the pair mass (u20 rounding: ±1 per cell)
+    val shareSum = prof.map(_.getAs[Long]("share_u20")).sum
+    assert(math.abs(shareSum - (1L << 20)) <= prof.length,
+      s"shares don't partition the mass: $shareSum")
+    // the knob's point: clustering must beat brute force by a lot
+    assert(total * 5 <= n * (n - 1) / 2,
+      s"Sum|cell|^2 ($total) is not << brute (${n * (n - 1) / 2})")
+  }
+
   test("semantic_dedup: within-cell pairs join on the cell key, no cartesian") {
     val p = Similarity.semanticDedup(spark, Sf0001, 0.40)
       .queryExecution.executedPlan.toString

@@ -418,7 +418,8 @@ class PlanSpec extends SparkSpecBase {
       "ann_nprobe_frontier", // 1-row hit/scan/total aggregates joined per nprobe
       "cusum_changepoint", // 1-row (n_days, total) broadcast onto the day grid
       "dedup_threshold_sweep", // 3-row literal threshold dim onto the pair set
-      "graph_modularity") // 1-row edge-count broadcast onto |communities| rows
+      "graph_modularity", // 1-row edge-count broadcast onto |communities| rows
+      "semantic_cell_profile") // 1-row pair-total broadcast onto |cells| rows
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, Sf0001).queryExecution.executedPlan
       val p = plan.toString
