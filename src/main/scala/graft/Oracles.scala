@@ -1165,8 +1165,9 @@ object Oracles {
          |        CAST(sum(n_vectors) AS BIGINT) AS n_total FROM per)
          |SELECT per.cell_id, per.n_vectors, per.n_pairs, t.total_pairs,
          |       CAST(t.n_total * (t.n_total - 1) // 2 AS BIGINT) AS brute_pairs,
-         |       CAST(floor(CAST(per.n_pairs AS DOUBLE) * 1048576.0
-         |            / t.total_pairs + 0.5) AS BIGINT) AS share_u20
+         |       CAST(CASE WHEN t.total_pairs = 0 THEN 0
+         |            ELSE floor(CAST(per.n_pairs AS DOUBLE) * 1048576.0
+         |                 / t.total_pairs + 0.5) END AS BIGINT) AS share_u20
          |FROM per, t ORDER BY per.cell_id""".stripMargin,
     "semantic_dedup" ->
       s"""WITH c AS (SELECT vec_id AS cell_id, embedding AS ce
@@ -1905,7 +1906,43 @@ object Oracles {
         |SELECT token, CAST(count(*) AS BIGINT) AS df,
         |       array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings_head
         |FROM e GROUP BY token ORDER BY token""".stripMargin,
-    // media_decode_stub: typed mapPartitions pipeline — rows-only check.
+    // media_decode: replay the PPM construction (header + printable-ASCII
+    // raster from doc_id + the document text as ignored trailing bytes),
+    // then DECODE it the way PpmDecoder does — parse width/height/maxval
+    // from the header, then sum exactly width·height RGB samples from the
+    // raster region (ascii() = the byte value on this ASCII payload).
+    "media_decode" ->
+      """WITH raw AS (SELECT doc_id,
+        |    'P6' || chr(10) ||
+        |    CAST(2 + doc_id % 3 AS VARCHAR) || ' ' ||
+        |    CAST(1 + doc_id % 2 AS VARCHAR) || chr(10) || '255' || chr(10) ||
+        |    array_to_string(list_transform(
+        |      range(0, 3 * (2 + doc_id % 3) * (1 + doc_id % 2)),
+        |      j -> chr(CAST(32 + (doc_id * 31 + j * 7) % 64 AS INTEGER))), '')
+        |    || text AS s
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |    CAST(regexp_extract(s, '^P6\n([0-9]+) ([0-9]+)\n([0-9]+)\n', 1)
+        |         AS INTEGER) AS width,
+        |    CAST(regexp_extract(s, '^P6\n([0-9]+) ([0-9]+)\n([0-9]+)\n', 2)
+        |         AS INTEGER) AS height,
+        |    CAST(regexp_extract(s, '^P6\n([0-9]+) ([0-9]+)\n([0-9]+)\n', 3)
+        |         AS INTEGER) AS maxval,
+        |    substr(s, length(regexp_extract(
+        |      s, '^P6\n([0-9]+) ([0-9]+)\n([0-9]+)\n', 0)) + 1) AS px
+        |  FROM raw)
+        |SELECT doc_id, TRUE AS ok, width, height, maxval,
+        |  width * height AS n_pixels,
+        |  CAST(list_sum(list_transform(range(0, CAST(width * height AS BIGINT)),
+        |    k -> ascii(substr(px, CAST(k * 3 + 1 AS INTEGER), 1)))) AS BIGINT)
+        |    AS sum_r,
+        |  CAST(list_sum(list_transform(range(0, CAST(width * height AS BIGINT)),
+        |    k -> ascii(substr(px, CAST(k * 3 + 2 AS INTEGER), 1)))) AS BIGINT)
+        |    AS sum_g,
+        |  CAST(list_sum(list_transform(range(0, CAST(width * height AS BIGINT)),
+        |    k -> ascii(substr(px, CAST(k * 3 + 3 AS INTEGER), 1)))) AS BIGINT)
+        |    AS sum_b
+        |FROM d ORDER BY doc_id""".stripMargin,
     "media_frame_sample" ->
       """WITH d AS (SELECT doc_id, text,
         |             CAST((length(text) + 99) // 100 AS INTEGER) AS n_frames

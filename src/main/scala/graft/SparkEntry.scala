@@ -260,15 +260,14 @@ object SparkEntry {
     "multimodal_cols"      -> (Multimodal.multimodalCols(_, _)),
     "media_text_pairs"     -> (Multimodal.mediaTextPairs(_, _)),
     "media_shard_pack"     -> (Multimodal.mediaShardPack(_, _, 4096L)),
-    "media_decode_stub"    -> (Multimodal.mediaDecodeStub(_, _)),
+    "media_decode"         -> (Multimodal.mediaDecode(_, _)),
     "media_frame_sample"   -> (Multimodal.mediaFrameSample(_, _)),
   )
 
   /** DuckDB oracle twins (driver runs these on the same parquet dirs).
     * LLM-operator oracles (incl. generated simhash/LSH SQL) live in
-    * [[Oracles.llm]]; `distinct_users_approx` (HLL++) and
-    * `media_decode_stub` (typed mapPartitions) are intentionally
-    * oracle-less → rows-only check. */
+    * [[Oracles.llm]]; `distinct_users_approx` (HLL++) is intentionally
+    * oracle-less → rows-only check (accuracy band pinned in GATE.json). */
   def oracleSql: Map[String, String] = Oracles.llm ++ Map(
     "sales_totals" ->
       """SELECT user_id,

@@ -1076,7 +1076,17 @@ object CorpusOps {
         sum(when(col("c_keep"), 1L).otherwise(0L)).as("n_ingest"),
         sum(when(col("c_keep"), col("n_toks")).otherwise(0L))
           .as("tok_ingest"))
-    (counts, q.where(col("q_keep")).select(col("h")))
+    // Materialize both outputs EAGERLY (1 row / a handful of hashes) so
+    // the per-batch gate frame `q` can be released NOW — a long-running
+    // funnel stream must not accumulate one pinned checkpoint per
+    // micro-batch (`q` bypasses FrameMemo; GC reclamation is unreliable,
+    // see GraftShims.unpersistCheckpoint). The returned frames are
+    // themselves checkpoints the CALLER must release once folded —
+    // counts after collecting it, qh after the seenQ union checkpoint.
+    val countsE = counts.localCheckpoint(true)
+    val qhE = q.where(col("q_keep")).select(col("h")).localCheckpoint(true)
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(q)
+    (countsE, qhE)
   }
 
   /** NS (LLM pipeline): temperature-scaled source mixture — the standard

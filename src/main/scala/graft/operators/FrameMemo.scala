@@ -51,19 +51,39 @@ private[graft] final class FrameMemo(maxDirs: Int = 2) {
     * (e.g. connectedComponents) — memoizes without re-checkpointing. */
   def raw(spark: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame = {
-    synchronized(admit(spark, dir))
-    // build OUTSIDE the lock: checkpoint materialization can take seconds
-    // and concurrent workers (Verify's pool) must not serialize on it;
-    // TrieMap.getOrElseUpdate keeps per-key build-once semantics.
-    val df = frames.getOrElseUpdate((spark, dir, key), build)
-    // close the admit→build race: if another thread evicted this dir
-    // while we were building, RE-ADMIT it (build completion counts as a
-    // use) so the frame we are about to hand out is never released out
-    // from under the caller.
-    synchronized {
-      if (!lru.contains((spark, dir))) admit(spark, dir)
+    val k = (spark, dir, key)
+    // Build OUTSIDE the lock: checkpoint materialization can take seconds
+    // and concurrent workers (Verify's pool) must not serialize on it.
+    // Two races are closed below:
+    //  (a) concurrent same-key builds — putIfAbsent picks one winner and
+    //      the loser's frame is RELEASED (an eagerly-materialized loser
+    //      would otherwise pin checkpoint blocks with no release path);
+    //  (b) admit→build eviction — if another thread's admit() evicted
+    //      this dir mid-build, release() already unpersisted the frame's
+    //      blocks and no re-admission can resurrect them, so the only
+    //      safe move is to REBUILD. The validity check is membership in
+    //      `frames` (did release run on OUR instance?), not LRU
+    //      membership.
+    while (true) {
+      synchronized(admit(spark, dir))
+      val df = frames.get(k) match {
+        case Some(existing) => existing
+        case None =>
+          val built = build
+          frames.putIfAbsent(k, built) match {
+            case Some(winner) => release(built); winner
+            case None         => built
+          }
+      }
+      synchronized {
+        if (frames.get(k).exists(_ eq df)) {
+          admit(spark, dir) // handing out counts as a use
+          return df
+        }
+      }
+      // evicted (and released) mid-build — loop and rebuild
     }
-    df
+    throw new IllegalStateException("unreachable")
   }
 
   /** Touch `dir`; evict-and-release LRU dirs beyond `maxDirs`.

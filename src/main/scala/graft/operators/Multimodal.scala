@@ -9,38 +9,82 @@ import graft.Tables
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
   * with typed metadata, batch-shaped decode via `mapPartitions`.
   *
-  * The actual image/audio decode is STUBBED (no codec libraries in this
-  * environment) behind [[MediaDecoder]]; everything Spark-side — schema,
-  * binary columns, struct/map shaping, partition-wise batch decode, the
-  * operator's position in the plan — is real and tested. At 100 TB the
-  * binary payloads stay columnar in parquet (never materialized as strings)
-  * and decode runs once per partition with amortized codec setup.
+  * The image decode is REAL: [[PpmDecoder]] parses binary PPM (P6) —
+  * magic, comment-tolerant whitespace-delimited header, then raw
+  * interleaved RGB bytes — in pure byte arithmetic (PPM needs no codec
+  * library; spec: netpbm P6). The fixture payloads are deterministic
+  * synthetic PPMs spliced from `doc_id` (the `pii_scrub` injection
+  * pattern) with the document text as TRAILING bytes, so a correct
+  * decoder must size the raster from the parsed header, not the payload
+  * length. Everything Spark-side — schema, binary columns, struct/map
+  * shaping, partition-wise batch decode — is the shape a codec-backed
+  * deployment would keep: at 100 TB the binary payloads stay columnar in
+  * parquet (never materialized as strings) and decode runs once per
+  * partition with amortized decoder setup.
   */
 object Multimodal {
 
   case class MediaRecord(doc_id: Long, payload: Array[Byte], meta: Map[String, String])
-  case class MediaFeatures(doc_id: Long, n_bytes: Int, head_hash: String, n_frames: Int)
+  case class ImageFeatures(doc_id: Long, ok: Boolean, width: Int, height: Int,
+      maxval: Int, n_pixels: Int, sum_r: Long, sum_g: Long, sum_b: Long)
 
-  /** Decoder contract a real deployment would back with image/audio codecs.
+  /** Decoder contract a real deployment would back with further codecs.
     * `decodeBatch` is partition-scoped so implementations can amortize
     * codec/model initialization across a whole batch of payloads. */
   trait MediaDecoder extends Serializable {
-    def decodeBatch(records: Iterator[MediaRecord]): Iterator[MediaFeatures]
+    def decodeBatch(records: Iterator[MediaRecord]): Iterator[ImageFeatures]
   }
 
-  /** STUB decoder: deterministic fake features (payload length, md5-head
-    * of the bytes, a fake frame count). A real one would go:
-    * bytes → BufferedImage/av frames → resize/sample → feature vector. */
-  object StubDecoder extends MediaDecoder {
-    def decodeBatch(records: Iterator[MediaRecord]): Iterator[MediaFeatures] =
-      records.map { r =>
-        val md = java.security.MessageDigest.getInstance("MD5").digest(r.payload)
-        MediaFeatures(
-          doc_id = r.doc_id,
-          n_bytes = r.payload.length,
-          head_hash = md.take(8).map(b => f"$b%02x").mkString,
-          n_frames = r.payload.length / 100 + 1)
+  /** REAL binary PPM (P6) decoder: `P6`, then three whitespace-delimited
+    * decimal header fields (width, height, maxval; `#` comments allowed,
+    * per the netpbm spec), then a single whitespace byte, then
+    * width·height interleaved RGB samples (1 byte each for maxval<256).
+    * Pure byte arithmetic — malformed/truncated payloads yield an
+    * `ok=false` row (zeros) instead of failing the partition, the
+    * poison-pill discipline a 100 TB crawl decode needs. */
+  object PpmDecoder extends MediaDecoder {
+    def decodeBatch(records: Iterator[MediaRecord]): Iterator[ImageFeatures] =
+      records.map { r => decode(r.doc_id, r.payload) }
+
+    private[graft] def decode(docId: Long, b: Array[Byte]): ImageFeatures = {
+      val bad = ImageFeatures(docId, ok = false, 0, 0, 0, 0, 0L, 0L, 0L)
+      var pos = 2
+      if (b.length < 2 || b(0) != 'P' || b(1) != '6') return bad
+
+      def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
+      // whitespace-delimited decimal token, skipping '#'-to-newline comments
+      def nextInt(): Int = {
+        var skipping = true
+        while (skipping && pos < b.length) {
+          if (isWs(b(pos))) pos += 1
+          else if (b(pos) == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+          else skipping = false
+        }
+        if (pos >= b.length || b(pos) < '0' || b(pos) > '9') return -1
+        var v = 0
+        while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+          v = v * 10 + (b(pos) - '0'); pos += 1
+        }
+        v
       }
+
+      val w = nextInt(); val h = nextInt(); val mx = nextInt()
+      // exactly ONE whitespace byte separates maxval from the raster
+      if (w <= 0 || h <= 0 || mx <= 0 || mx > 255 ||
+          pos >= b.length || !isWs(b(pos))) return bad
+      pos += 1
+      val n = w * h
+      if (b.length - pos < 3 * n) return bad
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var k = 0
+      while (k < n) {
+        sr += b(pos + 3 * k) & 0xff
+        sg += b(pos + 3 * k + 1) & 0xff
+        sb += b(pos + 3 * k + 2) & 0xff
+        k += 1
+      }
+      ImageFeatures(docId, ok = true, w, h, mx, n, sr, sg, sb)
+    }
   }
 
   /** `documents` rows shaped as media records: text bytes standing in for
@@ -55,10 +99,37 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** Partition-wise batch decode through the (stub) decoder — the
-    * mapPartitions seam where a Pandas-UDF/codec batch would run. */
+  /** Synthetic PPM payloads spliced from `doc_id` (the `pii_scrub`
+    * injection pattern — the corpus carries no real images, the splice
+    * makes the decode verifiable): a P6 header with
+    * width = 2 + doc_id%3, height = 1 + doc_id%2, maxval 255, raster
+    * bytes `32 + (doc_id·31 + j·7) mod 64` (printable ASCII, so the
+    * DuckDB oracle can replay the construction and the decode in string
+    * arithmetic), then the document TEXT as trailing bytes the decoder
+    * must ignore. Built as pure column expressions; cast to binary at
+    * the end — the payload column IS opaque bytes to everything
+    * downstream. */
+  def ppmRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val w = lit(2) + ($"doc_id" % 3).cast(IntegerType)
+    val h = lit(1) + ($"doc_id" % 2).cast(IntegerType)
+    val px = concat_ws("", transform(
+      sequence(lit(0), lit(3) * w * h - 1),
+      j => chr(lit(32) + pmod($"doc_id" * 31 + j.cast(LongType) * 7, lit(64)))))
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        concat(lit("P6\n"), w.cast(StringType), lit(" "), h.cast(StringType),
+          lit("\n255\n"), px, $"text").cast(BinaryType).as("payload"),
+        map(lit("lang"), $"lang", lit("source"), $"source").as("meta"))
+      .as[MediaRecord]
+  }
+
+  /** Partition-wise batch decode through the decoder — the mapPartitions
+    * seam where a codec batch runs (PPM here; JPEG/PNG/audio decoders
+    * drop into the same contract). */
   def decodeFeatures(records: Dataset[MediaRecord],
-      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
+      decoder: MediaDecoder = PpmDecoder): Dataset[ImageFeatures] = {
     import records.sparkSession.implicits._
     records.mapPartitions(decoder.decodeBatch(_))
   }
@@ -128,11 +199,14 @@ object Multimodal {
       .orderBy($"source", $"shard_id")
   }
 
-  /** Rows-only-checked decode query via the mapPartitions stub pipeline
-    * (not SQL-expressible — it exercises the typed Dataset seam). */
-  def mediaDecodeStub(spark: SparkSession, dir: String): DataFrame = {
+  /** Oracled decode query: synthetic PPM payloads through the REAL
+    * [[PpmDecoder]] in the typed mapPartitions seam; the DuckDB twin
+    * replays construction + header-parse + channel sums in string
+    * arithmetic over the identical bytes. Channel SUMS (exact bigints)
+    * rather than float means keep the compare bit-exact. */
+  def mediaDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    decodeFeatures(mediaRecords(spark, dir)).toDF().orderBy($"doc_id")
+    decodeFeatures(ppmRecords(spark, dir)).toDF().orderBy($"doc_id")
   }
 
   /** Frame sampling as REAL (non-stub) plumbing: the payload is windowed

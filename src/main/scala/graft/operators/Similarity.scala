@@ -816,9 +816,12 @@ object Similarity {
       .select($"cell_id", $"n_vectors", $"n_pairs", $"total_pairs",
         expr("n_total * (n_total - 1) DIV 2").as("brute_pairs"),
         // share of the pair mass, quantized on an exact-bigint ratio
-        // (the mixture_temperature discipline)
-        floor($"n_pairs".cast(DoubleType) * 1048576.0 /
-          $"total_pairs".cast(DoubleType) + 0.5).cast(LongType)
+        // (the mixture_temperature discipline). total_pairs = 0 (every
+        // cell holds ≤1 vector) must yield 0, not the engine-dependent
+        // 0/0 (Spark NaN→cast-garbage vs DuckDB NULL).
+        when($"total_pairs" === 0, lit(0L)).otherwise(
+          floor($"n_pairs".cast(DoubleType) * 1048576.0 /
+            $"total_pairs".cast(DoubleType) + 0.5).cast(LongType))
           .as("share_u20"))
       .orderBy($"cell_id")
   }

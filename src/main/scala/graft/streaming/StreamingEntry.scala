@@ -307,8 +307,15 @@ object StreamingEntry {
         (0 until 8).foreach(i =>
           acc.addAndGet(i, if (r.isNullAt(i)) 0L else r.getLong(i)))
         // EAGER checkpoint: the micro-batch frame is only valid inside
-        // this call; the folded hash state must outlive it
-        seenQ.set(seenQ.get().union(qh).distinct().localCheckpoint(true))
+        // this call; the folded hash state must outlive it. Release the
+        // now-superseded checkpoints (counts, qh, the PREVIOUS seenQ) —
+        // a per-batch checkpoint left pinned is a leak over a
+        // long-running stream (GC reclamation is unreliable; see
+        // GraftShims.unpersistCheckpoint).
+        val prev = seenQ.get()
+        seenQ.set(prev.union(qh).distinct().localCheckpoint(true))
+        Seq(counts, qh, prev).foreach(
+          org.apache.spark.sql.GraftShims.unpersistCheckpoint(_))
       }
       val q = ms.toDF().writeStream.foreachBatch(applyBatch).start()
       try splitInto(rows, splits).foreach { b =>

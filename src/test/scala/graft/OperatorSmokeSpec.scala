@@ -341,7 +341,7 @@ class OperatorSmokeSpec extends SparkSpecBase {
   }
 
   test("every query has an oracle or a documented exemption") {
-    val exempt = Set("distinct_users_approx", "media_decode_stub")
+    val exempt = Set("distinct_users_approx")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -360,11 +360,27 @@ class OperatorSmokeSpec extends SparkSpecBase {
     assert(m.values.forall(p => p >= 0 && p < 8))
   }
 
-  test("media decode stub produces deterministic fake features") {
-    val feats = Multimodal.decodeFeatures(Multimodal.mediaRecords(spark, Sf0001))
-    val twice = Multimodal.decodeFeatures(Multimodal.mediaRecords(spark, Sf0001))
-    assert(feats.collect().toSeq === twice.collect().toSeq)
-    val f0 = feats.filter(_.doc_id == 0L).head()
-    assert(f0.n_bytes > 0 && f0.head_hash.length === 16)
+  test("PPM decoder: real byte-level parse, header-sized raster, poison pills") {
+    import Multimodal.{ImageFeatures, PpmDecoder}
+    // hand-built 2x1 P6 with a header comment, arbitrary (non-ASCII) bytes,
+    // and trailing garbage the decoder must ignore
+    val img = "P6\n# c\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](0, 127, -1, 10, 20, 30) ++ "trailing!".getBytes("US-ASCII")
+    assert(PpmDecoder.decode(7L, img) ===
+      ImageFeatures(7L, ok = true, 2, 1, 255, 2, 0L + 10L, 127L + 20L, 255L + 30L))
+    // poison pills: wrong magic, truncated raster, 16-bit maxval
+    assert(!PpmDecoder.decode(1L, "P5\n2 1\n255\nxxxxxx".getBytes).ok)
+    assert(!PpmDecoder.decode(2L, "P6\n2 1\n255\nxxx".getBytes).ok)
+    assert(!PpmDecoder.decode(3L, ("P6\n1 1\n65535\n" + "x" * 6).getBytes).ok)
+  }
+
+  test("media decode: synthetic PPM payloads decode ok through mapPartitions") {
+    val feats = Multimodal.decodeFeatures(Multimodal.ppmRecords(spark, Sf0001))
+      .collect()
+    assert(feats.nonEmpty && feats.forall(_.ok))
+    feats.foreach { f =>
+      assert(f.n_pixels === f.width * f.height && f.maxval === 255)
+      assert(f.sum_r <= 95L * f.n_pixels && f.sum_r >= 32L * f.n_pixels)
+    }
   }
 }

@@ -32,17 +32,19 @@ def load(path):
     return qs, cal
 
 
-def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    flag = 1.35
-    for i, a in enumerate(sys.argv):
-        if a == "--flag":
-            flag = float(sys.argv[i + 1])
-    old_q, old_c = load(args[0])
-    new_q, new_c = load(args[1])
+def compare(old_qc, new_qc, flag=1.35):
+    """Calibration-normalized per-query comparison.
+
+    `old_qc`/`new_qc` are (queries, calibration) pairs as returned by
+    [[load]]. Returns (norm, how, flagged) where flagged is
+    {query: {"old": s, "new": s, "ratio_norm": r}} for every query whose
+    normalized ratio exceeds `flag`. Importable by tools/gate.py — the
+    gate's bench_regressions record runs THIS logic, not a copy."""
+    old_q, old_c = old_qc
+    new_q, new_c = new_qc
     common = sorted(set(old_q) & set(new_q))
     if not common:
-        print("no common queries"); sys.exit(2)
+        return None, "no common queries", {}
     ratios = {q: new_q[q] / old_q[q] for q in common if old_q[q] > 0}
     if old_c and new_c and old_c.get("cpu_sec") and new_c.get("cpu_sec"):
         # calibration-normalized: scan probe covers I/O-bound queries, cpu
@@ -56,16 +58,30 @@ def main():
         how = f"calibration (host drift {norm:.3f}x)"
     else:
         norm = statistics.median(ratios.values())
-        how = f"median-of-ratios fallback (drift {norm:.3f}x) — no calibration on one side"
+        how = (f"median-of-ratios fallback (drift {norm:.3f}x)"
+               " — no calibration on one side")
+    flagged = {q: {"old": old_q[q], "new": new_q[q], "ratio_norm": r / norm}
+               for q, r in ratios.items() if r / norm > flag}
+    return norm, how, flagged
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flag = 1.35
+    for i, a in enumerate(sys.argv):
+        if a == "--flag":
+            flag = float(sys.argv[i + 1])
+    old_qc = load(args[0])
+    new_qc = load(args[1])
+    norm, how, flagged_d = compare(old_qc, new_qc, flag)
+    if norm is None:
+        print("no common queries"); sys.exit(2)
+    old_q, new_q = old_qc[0], new_qc[0]
+    common = sorted(set(old_q) & set(new_q))
+    ratios = {q: new_q[q] / old_q[q] for q in common if old_q[q] > 0}
     print(f"normalizing by {how}; {len(common)} common queries; flag > {flag}x")
-    flagged = []
-    for q in common:
-        r = ratios.get(q)
-        if r is None:
-            continue
-        adj = r / norm
-        if adj > flag:
-            flagged.append((adj, q, old_q[q], new_q[q]))
+    flagged = [(v["ratio_norm"], q, v["old"], v["new"])
+               for q, v in flagged_d.items()]
     for adj, q, o, n in sorted(flagged, reverse=True):
         print(f"REGRESSION {q}: {o:.3f}s -> {n:.3f}s ({adj:.2f}x normalized)")
     improved = sorted((r / norm, q) for q, r in ratios.items() if r / norm < 1 / flag)

@@ -7,7 +7,11 @@ that SURVEY.md cites (so tallies can never drift from the code):
   1. `sbt test`                         -> test count + green/red
   2. `sbt runMain graft.Verify` per SF  -> per-SF GATE.json + parquet dumps
   3. tools/localverify.py per SF        -> per-query oracle pass/fail
-  4. merge                              -> <repo>/GATE.json
+  4. fresh bench vs committed BENCH_FULL.json (calibration-normalized
+     via benchdiff.compare)             -> bench_regressions record;
+     a query flagged in 2+ consecutive gate records FAILS the gate
+     unless waived in tools/bench_waivers.json
+  5. merge                              -> <repo>/GATE.json
 
 Usage: python3 tools/gate.py [--sfs sf0.001,sf0.01,sf0.1] [--skip-tests]
 """
@@ -62,12 +66,66 @@ def verify_sf(sf, extra_env=None, tag=""):
     return rec
 
 
+def bench_regressions(flag=1.35):
+    """Run the bench fresh, diff it calibration-normalized against the last
+    COMMITTED BENCH_FULL.json (benchdiff.compare — the same logic the
+    by-hand tool uses), and carry a repeated-window counter forward from
+    the previous GATE.json. A query flagged in 2+ consecutive gate records
+    FAILS the gate unless tools/bench_waivers.json explains it."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import benchdiff
+
+    prior_windows = {}
+    try:
+        with open(os.path.join(REPO, "GATE.json")) as f:
+            prior = json.load(f).get("bench_regressions", {})
+        prior_windows = {q: v.get("windows", 1)
+                         for q, v in prior.get("flagged", {}).items()}
+    except (OSError, json.JSONDecodeError):
+        pass
+
+    base = subprocess.run(["git", "show", "HEAD:BENCH_FULL.json"],
+                          cwd=REPO, capture_output=True, text=True)
+    if base.returncode != 0:
+        return {"error": "no committed BENCH_FULL.json baseline"}
+    baseline = json.loads(base.stdout)
+    old_qc = (baseline.get("queries") or {}, baseline.get("calibration"))
+
+    r = run(["sbt", "-batch", "runMain graft.Bench"],
+            extra_env={"SPARK_GRAFT_SF_DIR": f"{TESTDATA}/sf0.1",
+                       "SPARK_GRAFT_CPUS": "32"})
+    if r.returncode != 0:
+        return {"error": f"bench rc={r.returncode}"}
+    new_qc = benchdiff.load(os.path.join(REPO, "BENCH_FULL.json"))
+
+    norm, how, flagged = benchdiff.compare(old_qc, new_qc, flag)
+    waivers = {}
+    try:
+        with open(os.path.join(REPO, "tools", "bench_waivers.json")) as f:
+            waivers = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        pass
+    for q, v in flagged.items():
+        v["windows"] = prior_windows.get(q, 0) + 1
+        if q in waivers:
+            v["waived"] = waivers[q]
+    failing = sorted(q for q, v in flagged.items()
+                     if v["windows"] >= 2 and q not in waivers)
+    return {"baseline": "HEAD:BENCH_FULL.json", "drift": norm,
+            "normalized_by": how, "flag_threshold": flag,
+            "flagged": flagged, "failing": failing,
+            "green": not failing}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sfs", default="sf0.001,sf0.01,sf0.1")
     ap.add_argument("--skip-tests", action="store_true")
     ap.add_argument("--skip-alt-config", action="store_true",
                     help="skip the shuffle.partitions=200 + AQE sf0.1 sweep")
+    ap.add_argument("--skip-bench", action="store_true",
+                    help="skip the fresh bench + regression diff vs the "
+                         "last committed BENCH_FULL.json")
     ap.add_argument("--alt-sf", default="sf0.1")
     args = ap.parse_args()
 
@@ -82,6 +140,11 @@ def main():
             extra_env={"SPARK_GRAFT_SHUFFLE_PARTITIONS": "200",
                        "SPARK_GRAFT_AQE": "true"},
             tag="_alt200aqe")
+    if not args.skip_bench:
+        # Run the bench LAST (never concurrent with another Spark JVM —
+        # contention inflates times 2-5x) and diff it against the last
+        # committed BENCH_FULL.json, calibration-normalized.
+        gate["bench_regressions"] = bench_regressions()
     first = next((r for r in gate["per_sf"] if "registry_n" in r), {})
     gate["registry_n"] = first.get("registry_n")
     gate["oracled_n"] = first.get("oracled_n")
@@ -90,7 +153,10 @@ def main():
                          and all(r.get("oracle_fail") == 0
                                  for r in gate["per_sf"])
                          and (args.skip_alt_config
-                              or gate["alt_config"].get("oracle_fail") == 0))
+                              or gate["alt_config"].get("oracle_fail") == 0)
+                         and (args.skip_bench
+                              or gate["bench_regressions"].get("green",
+                                                               False)))
     path = os.path.join(REPO, "GATE.json")
     with open(path, "w") as f:
         json.dump(gate, f, indent=1, sort_keys=True)
