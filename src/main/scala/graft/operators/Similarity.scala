@@ -166,7 +166,7 @@ object Similarity {
 
   /** The (cell_id, centroid) codebook: bounded (k rows), read through a
     * pushdown-pruned scan at plan time. */
-  private[operators] def codebook(spark: SparkSession, dir: String,
+  private[graft] def codebook(spark: SparkSession, dir: String,
       k: Int = IvfCells): Array[(Long, Array[Float])] = {
     import spark.implicits._
     Tables.embeddings(spark, dir)
@@ -181,7 +181,7 @@ object Similarity {
     * computed as a single map-side argmax over the literal codebook:
     * `array_max` over (score, -cell_id) structs implements
     * max-score-then-lowest-cell without any shuffle or fan-out. */
-  private[operators] def ivfAssigned(spark: SparkSession, dir: String,
+  private[graft] def ivfAssigned(spark: SparkSession, dir: String,
       cents: Array[(Long, Array[Float])]): DataFrame = {
     import spark.implicits._
     val selfNorm = sqrt(norm2($"embedding"))
@@ -787,9 +787,105 @@ object Similarity {
     * batch probes exactly this index by cell key. */
   def cellIndex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    ivfAssigned(spark, dir, codebook(spark, dir))
+    ivfAssigned(spark, dir,
+        rebalancedCodebook(spark, dir, codebook(spark, dir)))
       .select($"vec_id", $"cell_id", $"embedding",
         sqrt(norm2($"embedding")).as("nrm"))
+  }
+
+  /** Default within-cell pair-mass budget for [[rebalancedCodebook]]:
+    * 2^20 pairs (~1M dot products) per cell before a split is forced. A
+    * deliberate NO-OP at fixture scale (sf0.1's fattest cell carries
+    * ~8k pairs; even a 10× sf1 tier stays under ~1M) so the oracled
+    * `semantic_dedup` answer is unchanged — the knob exists for the
+    * 100 TB shape, where one skewed cell otherwise owns a dead
+    * executor's worth of quadratic work. */
+  private[graft] val CellPairBudget = 1L << 20
+
+  /** ACT on the [[semanticCellProfile]] pre-flight: any cell whose
+    * within-cell candidate-pair count n·(n−1)/2 exceeds `pairBudget` is
+    * SPLIT — the standard IVF rebalance — by one deterministic 2-means
+    * step over its own members (seeds: the cell's min- and max-`vec_id`
+    * members; assignment by the same cosine argmax the queries use; new
+    * centroids = per-side component means). Repeats up to `maxRounds`
+    * or until every cell fits the budget. All driver-side state is
+    * bounded: a k-row count profile and two d-dim means per split —
+    * the same "collected plan-time literal" class as the codebook
+    * itself. Split cells keep the original id for side 0 and take
+    * `max(cell_id)+1...` for side 1, so unaffected cells keep their
+    * ids and a no-op rebalance returns the input codebook UNCHANGED. */
+  private[graft] def rebalancedCodebook(spark: SparkSession, dir: String,
+      cents: Array[(Long, Array[Float])],
+      pairBudget: Long = CellPairBudget,
+      maxRounds: Int = 3): Array[(Long, Array[Float])] = {
+    import spark.implicits._
+    var book = cents
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      val profile = ivfAssigned(spark, dir, book)
+        .groupBy($"cell_id").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      val over = book.map(_._1)
+        .filter(cid => { val n = profile.getOrElse(cid, 0L); n * (n - 1) / 2 > pairBudget })
+      if (over.isEmpty) done = true
+      else {
+        var nextId = book.map(_._1).max + 1
+        val assigned = ivfAssigned(spark, dir, book)
+        val dims = book.head._2.length
+        val splits = over.flatMap { cid =>
+          val members = assigned.where($"cell_id" === cid)
+            .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+          // deterministic seeds: the cell's extreme members by vec_id
+          val seedIds = members.agg(min($"vec_id"), max($"vec_id"))
+            .as[(Long, Long)].collect().head
+          val seeds = members
+            .where($"vec_id".isin(seedIds._1, seedIds._2)).collect()
+            .sortBy(_._1).map(_._2)
+          if (seeds.length < 2) Nil
+          else {
+            // one Lloyd step restricted to the cell: cosine-nearest seed
+            // (ties to side 0), then per-side component means
+            def cos(v: Array[Float], c: Array[Float]) =
+              dotD(v, c) / (math.sqrt(dotD(v, v)) * math.sqrt(dotD(c, c)))
+            val side = members.map { case (_, v) =>
+              val s = if (cos(v, seeds(0)) >= cos(v, seeds(1))) 0 else 1
+              (s, v)
+            }
+            val means = side.groupByKey(_._1)
+              .mapValues(_._2)
+              .mapGroups { (s, vs) =>
+                val acc = new Array[Double](dims)
+                var n = 0L
+                vs.foreach { v =>
+                  var d = 0
+                  while (d < dims) { acc(d) += v(d); d += 1 }
+                  n += 1
+                }
+                (s, acc.map(x => (x / n).toFloat))
+              }
+              .collect().toMap
+            // a side can be empty (all members tie to one seed): keep the
+            // original centroid for side 0 and skip the split
+            if (means.size < 2) Nil
+            else {
+              val id1 = nextId; nextId += 1
+              Seq((cid, (cid, means(0))), (cid, (id1, means(1))))
+            }
+          }
+        }
+        if (splits.isEmpty) done = true
+        else {
+          val byOld: Map[Long, Seq[(Long, Array[Float])]] =
+            splits.groupBy(_._1).map { case (k, v) => (k, v.map(_._2).toSeq) }
+          book = book.flatMap { case (cid, ce) =>
+            byOld.getOrElse(cid, Seq((cid, ce)))
+          }.sortBy(_._1)
+        }
+      }
+      round += 1
+    }
+    book
   }
 
   /** NS (LLM pipeline): the Σ|cell|² knob report read BEFORE running

@@ -565,4 +565,49 @@ object StreamOps {
       .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  // ---- exactly-once foreachBatch folds ------------------------------
+
+  /** Latest COMPLETE state version ≤ `atMost` under `stateDir`
+    * (completeness marker: parquet's _SUCCESS file). */
+  private[graft] def latestVersionAtMost(stateDir: String, atMost: Long): Option[Long] = {
+    val d = new java.io.File(stateDir)
+    val vs = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .map(_.getName.stripPrefix("v=").toLong)
+      .filter(_ <= atMost)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Exactly-once guard for foreachBatch CDC/SCD2 folds ([[applyCdc]],
+    * [[applyScd2]]): Structured Streaming writes a batch's offsets to the
+    * WAL BEFORE processing and its commit marker AFTER, so a crash
+    * between the sink write and the commit re-delivers the SAME batchId
+    * on restart — an unguarded fold would double-apply it. This sink
+    * makes the fold idempotent the standard way (versioned state keyed
+    * by batchId): batch `id` is always applied onto version `id−1` (the
+    * latest COMPLETE version ≤ id−1, never "latest overall" — on replay,
+    * latest-overall would be the crashed batch's own output and the fold
+    * would double-apply) and written to `stateDir/v=<id>` with overwrite,
+    * so a replay regenerates byte-identical state instead of applying
+    * twice. In a lakehouse deployment the same contract is a transactional
+    * table's (txnAppId, txnVersion=batchId) dedup; the versioned-directory
+    * form here needs only parquet. Returns the foreachBatch function. */
+  def versionedFoldSink(spark: SparkSession, stateDir: String,
+      init: DataFrame, apply: (DataFrame, DataFrame) => DataFrame)
+      : (DataFrame, Long) => Unit = { (batch, id) =>
+    val prev = latestVersionAtMost(stateDir, id - 1) match {
+      case Some(v) => spark.read.parquet(s"$stateDir/v=$v")
+      case None    => init
+    }
+    apply(prev, batch).write.mode("overwrite").parquet(s"$stateDir/v=$id")
+  }
+
+  /** Current state table under a [[versionedFoldSink]] dir (the newest
+    * complete version), or `init` when no batch has committed yet. */
+  def versionedFoldState(spark: SparkSession, stateDir: String,
+      init: DataFrame): DataFrame =
+    latestVersionAtMost(stateDir, Long.MaxValue)
+      .map(v => spark.read.parquet(s"$stateDir/v=$v")).getOrElse(init)
 }

@@ -79,6 +79,39 @@ class FrameMemoSpec extends SparkSpecBase {
       "clear() must unpersist everything it held")
   }
 
+  test("stress: 8 concurrent builders × 4 dirs through constant eviction — " +
+    "no evicted-frame use, no leaked checkpoint RDDs") {
+    val sc = spark.sparkContext
+    val baseline = sc.getPersistentRDDs.keySet.toSet
+    val m = new FrameMemo(maxDirs = 2)
+    val dirs = Vector("cA", "cB", "cC", "cD")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 8).map { t =>
+      new Thread(() => {
+        try {
+          val rnd = new scala.util.Random(t) // deterministic per thread
+          for (_ <- 0 until 20) {
+            val dir = dirs(rnd.nextInt(dirs.length))
+            // EAGER checkpoint in the build — the dangerous class: a
+            // losing double-build or an unpinned eviction would leak or
+            // kill blocks mid-count
+            val n = m.withFrame(spark, dir, "k") {
+              spark.range(2000).select(($"id" + dir.length).as("v"))
+                .toDF().localCheckpoint(true)
+            } { df => df.count() }
+            if (n != 2000L) throw new AssertionError(s"$dir count=$n")
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent use failed: ${errs.peek()}")
+    m.clear()
+    val leaked = sc.getPersistentRDDs.keySet.toSet -- baseline
+    assert(leaked.isEmpty,
+      s"checkpoint RDDs leaked after clear(): ${leaked.toSeq.sorted}")
+  }
+
   test("an evicted dir is rebuilt (not resurrected) on re-request") {
     val m = new FrameMemo(maxDirs = 1)
     var builds = 0

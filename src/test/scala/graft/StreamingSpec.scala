@@ -835,6 +835,64 @@ class StreamingSpec extends SparkSpecBase {
     assert(batchT.exceptAll(folded).isEmpty, "batch rows missing from fold")
   }
 
+  test("foreachBatch SCD2 exactly-once: crash BETWEEN state write and " +
+    "checkpoint commit + restart does not double-apply the batch") {
+    // The DSv2 graft-sink path proved exactly-once in round 8
+    // (SourcesSpec); foreachBatch sinks need their OWN idempotency —
+    // Structured Streaming re-delivers the same batchId after a crash
+    // between the sink write and the commit marker. versionedFoldSink
+    // applies batch id onto version id−1 and overwrites v=<id>, so the
+    // replay regenerates identical state instead of applying twice.
+    import java.util.concurrent.atomic.AtomicBoolean
+    val base = java.nio.file.Files.createTempDirectory("graft-eo-fb").toString
+    def changes(sdf: org.apache.spark.sql.DataFrame) = sdf.select(
+      (col("row_id") % 7).as("user_id"),
+      concat(lit("s"), col("row_id") % 3).as("event_type"),
+      timestamp_micros(lit(1704067200000000L) + col("row_id") * 1000000L)
+        .as("ts"),
+      col("row_id").as("event_id"))
+    val init = Seq.empty[(Long, Int, String, Long, Long, Boolean, Long)]
+      .toDF("user_id", "version", "state", "valid_from_us",
+        "valid_to_us", "is_current", "event_id")
+    def run(tag: String, wrap: ((org.apache.spark.sql.DataFrame, Long) => Unit)
+        => (org.apache.spark.sql.DataFrame, Long) => Unit): Unit = {
+      val sink = wrap(StreamOps.versionedFoldSink(
+        spark, s"$base/$tag/state", init, StreamOps.applyScd2))
+      val q = spark.readStream.format("graft-sales")
+        .option("rows", "35").option("rowsPerBatch", "10").load()
+        .transform(changes)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", s"$base/$tag/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // crashing run: state for batch 2 is WRITTEN, then the query dies
+    // before Spark can write batch 2's commit marker
+    val armed = new AtomicBoolean(true)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run("crash", sink => (b, id) => {
+        sink(b, id)
+        if (id == 2L && armed.getAndSet(false))
+          throw new RuntimeException("injected crash after state write (batch 2)")
+      })
+    }
+    assert(err.toString.contains("injected crash after state write"))
+    // the crashed batch's state version IS on disk — the dangerous state
+    assert(StreamOps.latestVersionAtMost(s"$base/crash/state", Long.MaxValue)
+      === Some(2L))
+    // restart from the same checkpoint: batch 2 replays, then 3 drains
+    run("crash", identity)
+    // clean reference run, same feed, no crash
+    run("clean", identity)
+    val crashed = StreamOps.versionedFoldState(spark, s"$base/crash/state", init)
+    val clean = StreamOps.versionedFoldState(spark, s"$base/clean/state", init)
+    // every event becomes exactly ONE version row; a double-applied batch
+    // 2 would mint extra versions for its keys
+    assert(crashed.count() === 35L, "double-applied batch after restart")
+    assert(crashed.exceptAll(clean).isEmpty && clean.exceptAll(crashed).isEmpty,
+      "crash+restart state differs from the clean run")
+  }
+
   test("toKafkaRecords shapes key/value binary columns") {
     val rec = StreamOps.toKafkaRecords(batchDf, "user_id")
     assert(rec.schema.map(f => (f.name, f.dataType.typeName)) ===
