@@ -519,9 +519,15 @@ object Oracles {
       """,
         |b AS MATERIALIZED (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
         |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
-        |pairs AS MATERIALIZED (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
+        |pairs0 AS MATERIALIZED (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
         |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
         |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+        |dg AS MATERIALIZED (SELECT v, count(*) AS deg FROM (
+        |        SELECT pa AS v FROM pairs0 UNION ALL SELECT pb AS v FROM pairs0)
+        |      GROUP BY v),
+        |pairs AS MATERIALIZED (SELECT pa, pb FROM pairs0
+        |          JOIN dg da ON da.v = pairs0.pa JOIN dg db ON db.v = pairs0.pb
+        |          WHERE da.deg <= 256 AND db.deg <= 256),
         |t AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
         |      FROM pairs e1 JOIN pairs e2 ON e1.pb = e2.pa
         |      JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
@@ -1150,9 +1156,16 @@ object Oracles {
          |       CAST(label AS INTEGER) AS majority_label,
          |       n AS majority_n, CAST(n AS DOUBLE) / n_vectors AS purity
          |FROM mj WHERE rk = 1 ORDER BY cell_id""".stripMargin,
+    // adaptive cell count k = 16·2^ceil(log2(ceil(N/2000))): integer-exact
+    // twin of Similarity.adaptiveCells — k=16 at every shipped tier, grows
+    // with the corpus so Σ|cell|² (and the dedup join) stays linear in N
     "semantic_cell_profile" ->
-      s"""WITH c AS (SELECT vec_id AS cell_id, embedding AS ce
-         |           FROM embeddings WHERE vec_id < 16),
+      s"""WITH kk AS (SELECT CAST(16 * CASE WHEN m <= 1 THEN 1
+         |              ELSE power(2, length(bin(m - 1))) END AS BIGINT) AS k
+         |            FROM (SELECT (count(*) + 1999) // 2000 AS m
+         |                  FROM embeddings)),
+         |c AS (SELECT vec_id AS cell_id, embedding AS ce
+         |      FROM embeddings WHERE vec_id < (SELECT k FROM kk)),
          |s AS (SELECT e.vec_id, c.cell_id,
          |        ${cosSql("e.embedding", "c.ce")} AS score FROM embeddings e, c),
          |r AS (SELECT vec_id, cell_id, row_number() OVER (
@@ -1170,8 +1183,12 @@ object Oracles {
          |                 / t.total_pairs + 0.5) END AS BIGINT) AS share_u20
          |FROM per, t ORDER BY per.cell_id""".stripMargin,
     "semantic_dedup" ->
-      s"""WITH c AS (SELECT vec_id AS cell_id, embedding AS ce
-         |           FROM embeddings WHERE vec_id < 16),
+      s"""WITH kk AS (SELECT CAST(16 * CASE WHEN m <= 1 THEN 1
+         |              ELSE power(2, length(bin(m - 1))) END AS BIGINT) AS k
+         |            FROM (SELECT (count(*) + 1999) // 2000 AS m
+         |                  FROM embeddings)),
+         |c AS (SELECT vec_id AS cell_id, embedding AS ce
+         |      FROM embeddings WHERE vec_id < (SELECT k FROM kk)),
          |s AS (SELECT e.vec_id, c.cell_id,
          |        ${cosSql("e.embedding", "c.ce")} AS score FROM embeddings e, c),
          |r AS (SELECT vec_id, cell_id, row_number() OVER (

@@ -110,7 +110,7 @@ object GraphOps {
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = DocDedup.simhashPairsMemo(spark, dir).select($"doc_a", $"doc_b")
-    trianglesPerNode(e)
+    trianglesPerNode(e, degCap = 256)
       .orderBy($"n_triangles".desc, $"doc_id")
       .limit(20)
   }
@@ -118,14 +118,28 @@ object GraphOps {
   /** Per-node triangle participation counts over an undirected edge set
     * (`doc_a` < `doc_b`, distinct) via the degree-oriented wedge join —
     * see [[graphTriangles]]. Exposed for the orientation-invariance
-    * property test. */
-  private[graft] def trianglesPerNode(e0: DataFrame): DataFrame = {
+    * property test.
+    *
+    * `degCap` is the HUB EXCLUSION bound (round-9 sf1 finding): a
+    * homogeneous corpus makes the simhash pair graph a near-clique —
+    * measured on the 10× tier, |E| grew 95× (129k → 12.3M) and the wedge
+    * count Σdeg² grew 900× (4.4e7 → 3.9e10), a wall no enumeration
+    * algorithm crosses because a k-clique simply CONTAINS Θ(k³)
+    * triangles. The standard truncated-triangle-count answer: vertices
+    * with full-graph degree > degCap are boilerplate hubs (near-identical
+    * doc blobs — exact/near dedup handles them; their triangle counts
+    * carry no ranking signal) and are excluded BEFORE the wedge join,
+    * which restores scale-stable work (sf1 wedges at cap 256 ≈ sf0.1
+    * wedges uncapped). The DuckDB twin applies the identical cap. */
+  private[graft] def trianglesPerNode(e0: DataFrame,
+      degCap: Int = Int.MaxValue): DataFrame = {
     val deg = e0.select(col("doc_a").as("v"))
       .union(e0.select(col("doc_b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     val withDeg = e0
       .join(deg.select(col("v").as("doc_a"), col("deg").as("da")), "doc_a")
       .join(deg.select(col("v").as("doc_b"), col("deg").as("db")), "doc_b")
+      .where(col("da") <= degCap && col("db") <= degCap)
     // a ≺ b  ⇔  (deg(a), a) < (deg(b), b): a strict total order, so each
     // triangle keeps exactly one wedge — at its minimum vertex.
     val aFirst = col("da") < col("db") ||

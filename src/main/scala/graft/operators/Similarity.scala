@@ -785,10 +785,30 @@ object Similarity {
     * work drops to one dot product). Shared by [[semanticDedup]] and the
     * stream-static ingest twin (StreamingSpec): at ingest time a new
     * batch probes exactly this index by cell key. */
+  /** Cell count for the SemDeDup index, adaptive in corpus size N:
+    * k = 16·2^ceil(log2(ceil(N/2000))) (k=16 up to N=2000). Pure INTEGER
+    * arithmetic — the DuckDB twin computes the identical k as
+    * 16·2^length(bin(m−1)) with m = (N+1999)//2000 — so the codebook
+    * boundary is bit-exact cross-engine at every N. Why adaptive: with
+    * FIXED k the within-cell pair mass Σ|cell|² grows ∝ N²/k — measured
+    * on the 10× sf1 tier, semantic_dedup's join paid 100× the pairs for
+    * 10× the vectors (12.5M vs 125k). Doubling k per corpus doubling
+    * keeps E[pairs/cell] — and with it the whole dedup join — LINEAR in
+    * N, the FAISS sizing rule (k grows with N) expressed deterministically
+    * enough to oracle. Shipped tiers (N ≤ 2000) keep k=16: every
+    * existing answer is unchanged. */
+  private[graft] def adaptiveCells(n: Long): Int = {
+    val m = (n + 1999) / 2000
+    val bits =
+      if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    16 << bits
+  }
+
   def cellIndex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val n = Tables.embeddings(spark, dir).count()
     ivfAssigned(spark, dir,
-        rebalancedCodebook(spark, dir, codebook(spark, dir)))
+        rebalancedCodebook(spark, dir, codebook(spark, dir, adaptiveCells(n))))
       .select($"vec_id", $"cell_id", $"embedding",
         sqrt(norm2($"embedding")).as("nrm"))
   }
@@ -845,24 +865,24 @@ object Similarity {
           if (seeds.length < 2) Nil
           else {
             // one Lloyd step restricted to the cell: cosine-nearest seed
-            // (ties to side 0), then per-side component means
+            // (ties to side 0), then per-side component means summed in
+            // vec_id order — FP addition is order-sensitive, so the fold
+            // order must be pinned for the split to be deterministic
             def cos(v: Array[Float], c: Array[Float]) =
               dotD(v, c) / (math.sqrt(dotD(v, v)) * math.sqrt(dotD(c, c)))
-            val side = members.map { case (_, v) =>
+            val side = members.map { case (id, v) =>
               val s = if (cos(v, seeds(0)) >= cos(v, seeds(1))) 0 else 1
-              (s, v)
+              (s, id, v)
             }
             val means = side.groupByKey(_._1)
-              .mapValues(_._2)
               .mapGroups { (s, vs) =>
+                val sorted = vs.toArray.sortBy(_._2)
                 val acc = new Array[Double](dims)
-                var n = 0L
-                vs.foreach { v =>
+                sorted.foreach { case (_, _, v) =>
                   var d = 0
                   while (d < dims) { acc(d) += v(d); d += 1 }
-                  n += 1
                 }
-                (s, acc.map(x => (x / n).toFloat))
+                (s, acc.map(x => (x / sorted.length).toFloat))
               }
               .collect().toMap
             // a side can be empty (all members tie to one seed): keep the

@@ -76,6 +76,21 @@ class CurationOpsSpec extends SparkSpecBase {
       s"Sum|cell|^2 ($total) is not << brute (${n * (n - 1) / 2})")
   }
 
+  test("adaptiveCells: k=16 at every shipped tier, doubles per corpus doubling") {
+    import Similarity.adaptiveCells
+    assert(adaptiveCells(1L) === 16 && adaptiveCells(500L) === 16)
+    assert(adaptiveCells(2000L) === 16, "shipped tiers must keep k=16")
+    assert(adaptiveCells(2001L) === 32 && adaptiveCells(4000L) === 32)
+    assert(adaptiveCells(8000L) === 64)
+    assert(adaptiveCells(20000L) === 256, "the sf1 tier gets 256 cells")
+    // the linearity invariant: pairs/cell ~ (N/k)^2 * k = N^2/k stays
+    // within 2x of N (k at least halves the density per doubling)
+    (1 to 20).foreach { i =>
+      val n = 2000L << i
+      assert(adaptiveCells(n) === 16 << i)
+    }
+  }
+
   test("IVF rebalance: a deliberately skewed codebook splits until the " +
     "pair mass drops; shipped codebook is untouched (no-op under budget)") {
     import Similarity.{codebook, rebalancedCodebook}
