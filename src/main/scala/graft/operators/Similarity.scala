@@ -178,19 +178,50 @@ object Similarity {
   }
 
   /** (vec_id, label, embedding, cell_id, score) with the cell assignment
-    * computed as a single map-side argmax over the literal codebook:
-    * `array_max` over (score, -cell_id) structs implements
-    * max-score-then-lowest-cell without any shuffle or fan-out. */
+    * computed as a single map-side argmax over the literal codebook —
+    * no shuffle, no fan-out, either way. Two forms by codebook size:
+    *
+    *  - k ≤ 64: `array_max` over k unrolled (score, −cell_id) structs —
+    *    fully whole-stage-codegen'd (the shipped-tier k=16 plan,
+    *    unchanged);
+    *  - k > 64 (the adaptive-k tiers): the SAME max as an `aggregate`
+    *    fold over ONE `typedlit` codebook array — the unrolled form
+    *    generates an O(k) Java method that breaks janino's 64 KB limit
+    *    at k=256 (measured at sf1: codegen compile failure → interpreted
+    *    fallback), while the fold form stays a loop. Max over a TOTAL
+    *    order ((score, −cid) lexicographic, ties impossible to conflate)
+    *    is fold-order-independent, so both forms pick the identical cell
+    *    with the identical score bits. */
   private[graft] def ivfAssigned(spark: SparkSession, dir: String,
       cents: Array[(Long, Array[Float])]): DataFrame = {
     import spark.implicits._
     val selfNorm = sqrt(norm2($"embedding"))
-    val scored = cents.map { case (cid, ce) =>
-      val ceNorm = math.sqrt(dotD(ce, ce))
-      struct((dot($"embedding", lit(ce)) / (selfNorm * lit(ceNorm))).as("score"),
-        lit(-cid).as("neg_cell"))
+    val best = if (cents.length <= 64) {
+      val scored = cents.map { case (cid, ce) =>
+        val ceNorm = math.sqrt(dotD(ce, ce))
+        struct((dot($"embedding", lit(ce)) / (selfNorm * lit(ceNorm))).as("score"),
+          lit(-cid).as("neg_cell"))
+      }
+      array_max(array(scored.toIndexedSeq: _*))
+    } else {
+      val catalog = typedlit(cents.map { case (cid, ce) =>
+        (cid, ce.toSeq, math.sqrt(dotD(ce, ce)))
+      }.toSeq)
+      aggregate(
+        catalog,
+        struct(lit(Double.NegativeInfinity).as("score"),
+          lit(Long.MinValue).as("neg_cell")),
+        (acc, c) => {
+          val score = dot($"embedding", c.getField("_2")) /
+            (selfNorm * c.getField("_3"))
+          val negCell = -c.getField("_1")
+          when(score > acc.getField("score") ||
+              (score === acc.getField("score") &&
+                negCell > acc.getField("neg_cell")),
+            struct(score.as("score"), negCell.as("neg_cell")))
+            .otherwise(acc)
+        })
     }
-    val best = array_max(array(scored.toIndexedSeq: _*))
     Tables.embeddings(spark, dir)
       .select($"vec_id", $"label", $"embedding",
         (-best.getField("neg_cell")).as("cell_id"),
@@ -804,14 +835,20 @@ object Similarity {
     16 << bits
   }
 
-  def cellIndex(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val n = Tables.embeddings(spark, dir).count()
-    ivfAssigned(spark, dir,
-        rebalancedCodebook(spark, dir, codebook(spark, dir, adaptiveCells(n))))
-      .select($"vec_id", $"cell_id", $"embedding",
-        sqrt(norm2($"embedding")).as("nrm"))
-  }
+  private val memo = new FrameMemo()
+
+  /** Memoized (FrameMemo): the dedup self-join consumes this frame on
+    * BOTH sides and the ingest twin probes it per batch — without the
+    * memo each consumer re-runs the k·N assignment fold. */
+  def cellIndex(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "cellIndex") {
+      import spark.implicits._
+      val n = Tables.embeddings(spark, dir).count()
+      ivfAssigned(spark, dir,
+          rebalancedCodebook(spark, dir, codebook(spark, dir, adaptiveCells(n))))
+        .select($"vec_id", $"cell_id", $"embedding",
+          sqrt(norm2($"embedding")).as("nrm"))
+    }
 
   /** Default within-cell pair-mass budget for [[rebalancedCodebook]]:
     * 2^20 pairs (~1M dot products) per cell before a split is forced. A
