@@ -46,16 +46,20 @@ def sbt_tests():
 
 
 def verify_sf(sf, extra_env=None, tag=""):
-    out_dir = f"/tmp/gate_{sf}{tag}"
+    # `sf` is either a tier name under /root/testdata (sf0.01) or a
+    # path to a generated tier (testdata-sf1 / absolute dir)
+    sf_dir = sf if "/" in sf or sf.startswith("testdata-") else f"{TESTDATA}/{sf}"
+    if not os.path.isabs(sf_dir):
+        sf_dir = os.path.join(REPO, sf_dir)
+    out_dir = f"/tmp/gate_{os.path.basename(sf.rstrip('/'))}{tag}"
     r = run(["sbt", "-batch",
-             f"runMain graft.Verify {TESTDATA}/{sf} {out_dir}"],
+             f"runMain graft.Verify {sf_dir} {out_dir}"],
             extra_env=extra_env)
     if r.returncode != 0:
         return {"sf": sf, "error": f"verify rc={r.returncode}"}
     with open(f"{out_dir}/GATE.json") as f:
         rec = json.load(f)
-    lv = run([sys.executable, "tools/localverify.py",
-              f"{TESTDATA}/{sf}", out_dir])
+    lv = run([sys.executable, "tools/localverify.py", sf_dir, out_dir])
     tail = (lv.stdout.strip().splitlines() or [""])[-1]
     m = re.search(r"== (\d+) pass / (\d+) fail ==", tail)
     rec["oracle_pass"] = int(m.group(1)) if m else None
