@@ -88,22 +88,44 @@ object Oracles {
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
   /** Connected components over the simhash near-dup pair graph (no final
-    * ORDER BY — shared by `dedup_clusters` and `cluster_stats`). */
-  private lazy val clustersSql: String =
-    simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+    * ORDER BY — shared by `dedup_clusters` and `cluster_stats`).
+    *
+    * Round 9: the naive RECURSIVE transitive closure this replaces
+    * materializes Θ(Σ|component|²) (v, label) rows — measured 50+
+    * CPU-minutes (killed) on the sf1 tier, whose simhash graph carries a
+    * ~40k-node near-clique. Rewritten as UNROLLED min-label rounds with
+    * POINTER JUMPING: each round takes min{self, L(L(v)), min over
+    * neighbors} — lookback distance at least doubles per round, so 18
+    * rounds converge for any component ≤ 2^18 nodes at Θ(rounds·(|V|+|E|))
+    * total. Labels are always node ids (mins of node ids), so the L(L(v))
+    * self-join always matches. Converged min-label CC is exact integer
+    * arithmetic — same fixpoint as any correct CC, engine-independent.
+    * Every round is MATERIALIZED (the DuckDB-1.0 CTE-inlining gotcha:
+    * each round is referenced three times). */
+  private lazy val clustersSql: String = {
+    def round(i: Int): String =
+      s""",
+         |l$i AS MATERIALIZED (
+         |  SELECT p.v, LEAST(p.l, q.l, COALESCE(nb.ml, p.l)) AS l
+         |  FROM l${i - 1} p
+         |  JOIN l${i - 1} q ON q.v = p.l
+         |  LEFT JOIN (SELECT e.dst AS v, min(x.l) AS ml
+         |             FROM l${i - 1} x JOIN edges e ON e.src = x.v
+         |             GROUP BY e.dst) nb ON nb.v = p.v)""".stripMargin
+    simhashCte +
       """,
         |b AS MATERIALIZED (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
         |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
         |pairs AS MATERIALIZED (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
         |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
         |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
-        |edges AS (SELECT pa AS src, pb AS dst FROM pairs
+        |edges AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
         |          UNION SELECT pb, pa FROM pairs),
-        |reach AS (SELECT doc_id AS v, doc_id AS l FROM m
-        |          UNION
-        |          SELECT e.dst AS v, r.l FROM reach r JOIN edges e ON e.src = r.v)
-        |SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
-        |FROM reach GROUP BY v""".stripMargin
+        |l0 AS MATERIALIZED (SELECT doc_id AS v, doc_id AS l FROM m)""".stripMargin +
+      (1 to 18).map(round).mkString +
+      """
+        |SELECT v AS doc_id, CAST(l AS BIGINT) AS cluster_id FROM l18""".stripMargin
+  }
 
   /** 3-round fixed-point PageRank over the simhash near-dup pair graph —
     * the same b/pairs CTEs as `clustersSql`, then the iteration unrolled:
