@@ -1192,11 +1192,36 @@ object SparkEntry {
         |FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
         |  ON c_custkey = o_custkey
         |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin,
+    // fuzzy_join: candidate generation via the FastSS deletion
+    // neighborhood (public result: d(a,b) <= 1 iff a = b, or one is the
+    // other's single-char deletion, or both share a deletion at the same
+    // position), then VERIFIED with DuckDB's own levenshtein — the
+    // metric stays the independent ground truth, only the enumeration is
+    // blocked. The previous brute-force O(n²) levenshtein oracle was
+    // 1.1e10 pairs at the sf1 tier (killed after 10+ min; this form runs
+    // in seconds at every tier).
     "fuzzy_join" ->
-      """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
-        |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
-        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      """WITH c AS (SELECT c_custkey, c_name FROM customer),
+        |del AS MATERIALIZED (
+        |  SELECT c_custkey, c_name, i,
+        |         substr(c_name, 1, i - 1) || substr(c_name, i + 1) AS d
+        |  FROM (SELECT c_custkey, c_name,
+        |          unnest(generate_series(1, length(c_name))) AS i FROM c)),
+        |cand AS (
+        |  SELECT x.c_custkey AS a_key, y.c_custkey AS b_key,
+        |         x.c_name AS na, y.c_name AS nb
+        |  FROM del x JOIN del y ON x.i = y.i AND x.d = y.d
+        |       AND x.c_custkey < y.c_custkey
+        |  UNION
+        |  SELECT LEAST(x.c_custkey, z.c_custkey),
+        |         GREATEST(x.c_custkey, z.c_custkey),
+        |         CASE WHEN x.c_custkey < z.c_custkey
+        |              THEN x.c_name ELSE z.c_name END,
+        |         CASE WHEN x.c_custkey < z.c_custkey
+        |              THEN z.c_name ELSE x.c_name END
+        |  FROM del x JOIN c z ON x.d = z.c_name AND x.c_custkey <> z.c_custkey)
+        |SELECT a_key, b_key, CAST(levenshtein(na, nb) AS INTEGER) AS dist
+        |FROM cand WHERE levenshtein(na, nb) <= 1
         |ORDER BY a_key, b_key""".stripMargin,
     "bloom_prune_join" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
