@@ -208,8 +208,12 @@ object Oracles {
       val s = 1L << k
       val (px, py, pd) = (s"x$i", s"y$i", s"d$i")
       val j = i + 1
+      // the quadrant constant must be BIGINT: at the top round s² = 2^30
+      // and DuckDB folds `1073741824 * 3` in INT32 → overflow the moment
+      // any partkey sets the top coordinate bit (first seen at the sf1
+      // tier, where partkeys reach 200k)
       s"""h$j AS (SELECT l_orderkey, l_linenumber,
-         |  $pd + ${s * s} * (CASE
+         |  $pd + CAST(${s * s} AS BIGINT) * (CASE
          |      WHEN ($px & $s) != 0 AND ($py & $s) != 0 THEN 2
          |      WHEN ($px & $s) != 0 THEN 3
          |      WHEN ($py & $s) != 0 THEN 1 ELSE 0 END) AS d$j,

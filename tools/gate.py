@@ -133,8 +133,22 @@ def main():
     ap.add_argument("--alt-sf", default="sf0.1")
     args = ap.parse_args()
 
+    # Checkpoint the record after every phase: a gate killed at the
+    # round's wall-clock budget leaves GATE.json.partial instead of
+    # nothing (the round-3 "contentless artifact" lesson).
+    partial = os.path.join(REPO, "GATE.json.partial")
+
+    def checkpoint(g):
+        with open(partial, "w") as f:
+            json.dump(g, f, indent=1, sort_keys=True)
+            f.write("\n")
+
     gate = {} if args.skip_tests else sbt_tests()
-    gate["per_sf"] = [verify_sf(sf) for sf in args.sfs.split(",")]
+    checkpoint(gate)
+    gate["per_sf"] = []
+    for sf in args.sfs.split(","):
+        gate["per_sf"].append(verify_sf(sf))
+        checkpoint(gate)
     if not args.skip_alt_config:
         # Partition-count agnosticism proof: the same sweep must hash-match
         # at a cluster-like shuffle.partitions=200 with AQE on (exercises
@@ -144,11 +158,13 @@ def main():
             extra_env={"SPARK_GRAFT_SHUFFLE_PARTITIONS": "200",
                        "SPARK_GRAFT_AQE": "true"},
             tag="_alt200aqe")
+        checkpoint(gate)
     if not args.skip_bench:
         # Run the bench LAST (never concurrent with another Spark JVM —
         # contention inflates times 2-5x) and diff it against the last
         # committed BENCH_FULL.json, calibration-normalized.
         gate["bench_regressions"] = bench_regressions()
+        checkpoint(gate)
     first = next((r for r in gate["per_sf"] if "registry_n" in r), {})
     gate["registry_n"] = first.get("registry_n")
     gate["oracled_n"] = first.get("oracled_n")
