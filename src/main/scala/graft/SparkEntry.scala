@@ -393,8 +393,13 @@ object SparkEntry {
         |       CAST(sum(qty) AS DOUBLE) AS sum_qty,
         |       CAST(sum(price) AS DOUBLE) AS sum_base_price,
         |       CAST(sum(disc_price) AS DOUBLE) AS sum_disc_price,
-        |       CAST(sum(disc_price * (CAST(1 AS DECIMAL(18,2)) + tax)) AS DOUBLE)
-        |         AS sum_charge,
+        |       -- VARCHAR bridge (the corr_report discipline): the charge
+        |       -- sum is DECIMAL(38,6) and exceeds 2^53 scaled units at
+        |       -- sf1+, where DuckDB's int128->double-then-divide cast
+        |       -- double-rounds 1 ulp off Spark's correctly-rounded cast;
+        |       -- string->double is correctly rounded in both engines
+        |       CAST(CAST(sum(disc_price * (CAST(1 AS DECIMAL(18,2)) + tax))
+        |                 AS VARCHAR) AS DOUBLE) AS sum_charge,
         |       CAST(sum(qty) AS DOUBLE) / count(*) AS avg_qty,
         |       CAST(sum(price) AS DOUBLE) / count(*) AS avg_price,
         |       CAST(sum(disc) AS DOUBLE) / count(*) AS avg_disc,
