@@ -2126,5 +2126,65 @@ object Oracles {
         |WHERE a.i <= b.i
         |GROUP BY a.i, b.i, n.n_vecs
         |ORDER BY i, j""".stripMargin,
+    // Gopher-style hard rule gates: all-integer comparisons (length gates
+    // multiplied through by n_tokens), so the twin is trivially bit-exact
+    "gopher_rules" ->
+      """WITH t AS (SELECT doc_id, length(text) AS nc,
+        |             string_split(text, ' ') AS toks FROM documents),
+        |q AS (SELECT doc_id,
+        |        CAST(len(toks) AS INTEGER) AS n_tokens,
+        |        CAST(nc - (len(toks) - 1) AS INTEGER) AS n_letters,
+        |        CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a'))
+        |             AS INTEGER) AS n_stop,
+        |        CAST(list_max(list_transform(list_distinct(toks),
+        |               t -> len(list_filter(toks, x -> x = t))))
+        |             AS INTEGER) AS max_tok_n
+        |      FROM t),
+        |g AS (SELECT doc_id, n_tokens, n_stop, max_tok_n,
+        |        CAST(n_letters AS DOUBLE) / n_tokens AS mean_word_len,
+        |        CASE WHEN n_tokens >= 30 AND n_tokens <= 500
+        |             THEN 1 ELSE 0 END AS g_len,
+        |        CASE WHEN n_letters >= n_tokens * 3
+        |              AND n_letters <= n_tokens * 10
+        |             THEN 1 ELSE 0 END AS g_wordlen,
+        |        CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS g_stop,
+        |        CASE WHEN max_tok_n * 8 <= n_tokens THEN 1 ELSE 0 END
+        |          AS g_maxshare
+        |      FROM q)
+        |SELECT doc_id, n_tokens, n_stop, max_tok_n, mean_word_len,
+        |       g_len, g_wordlen, g_stop, g_maxshare,
+        |       CASE WHEN g_len = 1 AND g_wordlen = 1 AND g_stop = 1
+        |             AND g_maxshare = 1 THEN 1 ELSE 0 END AS pass
+        |FROM g ORDER BY doc_id""".stripMargin,
+    // multi-source BFS over the simhash pair graph: 4 unrolled
+    // frontier-expansion + min-dist rounds (same pair CTE as
+    // label_propagation; seeds = every 50th doc, dist 0)
+    "graph_bfs_distance" -> (simhashCte +
+      """,
+        |b AS MATERIALIZED (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
+        |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
+        |pairs AS MATERIALIZED (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
+        |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
+        |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+        |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
+        |      UNION ALL SELECT pb, pa FROM pairs),
+        |d0 AS (SELECT doc_id, 0 AS dist FROM documents WHERE doc_id % 50 = 0),
+        |r1 AS (SELECT e.src AS doc_id, d0.dist + 1 AS dist
+        |       FROM e JOIN d0 ON d0.doc_id = e.dst),
+        |d1 AS (SELECT doc_id, CAST(min(dist) AS INTEGER) AS dist FROM
+        |        (SELECT * FROM d0 UNION ALL SELECT * FROM r1) GROUP BY doc_id),
+        |r2 AS (SELECT e.src AS doc_id, d1.dist + 1 AS dist
+        |       FROM e JOIN d1 ON d1.doc_id = e.dst),
+        |d2 AS (SELECT doc_id, CAST(min(dist) AS INTEGER) AS dist FROM
+        |        (SELECT * FROM d1 UNION ALL SELECT * FROM r2) GROUP BY doc_id),
+        |r3 AS (SELECT e.src AS doc_id, d2.dist + 1 AS dist
+        |       FROM e JOIN d2 ON d2.doc_id = e.dst),
+        |d3 AS (SELECT doc_id, CAST(min(dist) AS INTEGER) AS dist FROM
+        |        (SELECT * FROM d2 UNION ALL SELECT * FROM r3) GROUP BY doc_id),
+        |r4 AS (SELECT e.src AS doc_id, d3.dist + 1 AS dist
+        |       FROM e JOIN d3 ON d3.doc_id = e.dst),
+        |d4 AS (SELECT doc_id, CAST(min(dist) AS INTEGER) AS dist FROM
+        |        (SELECT * FROM d3 UNION ALL SELECT * FROM r4) GROUP BY doc_id)
+        |SELECT doc_id, dist FROM d4 ORDER BY doc_id""".stripMargin),
   )
 }

@@ -262,6 +262,14 @@ object SparkEntry {
     "media_shard_pack"     -> (Multimodal.mediaShardPack(_, _, 4096L)),
     "media_decode"         -> (Multimodal.mediaDecode(_, _)),
     "media_frame_sample"   -> (Multimodal.mediaFrameSample(_, _)),
+    "kmv_set_ops"          -> (Relational.kmvSetOps(_, _)),
+    "autocorr_daily"       -> (Relational.autocorrDaily(_, _)),
+    "markov_transitions"   -> (Relational.markovTransitions(_, _)),
+    "gopher_rules"         -> (TextAnalysis.gopherRules(_, _)),
+    "graph_bfs_distance"   -> (GraphOps.bfsDistance(_, _)),
+    "format_roundtrip"     -> (ReferenceOps.formatRoundtrip(_, _)),
+    "bracket_revenue"      -> (Relational.bracketRevenue(_, _)),
+    "cohort_ltv"           -> (Relational.cohortLtv(_, _)),
   )
 
   /** DuckDB oracle twins (driver runs these on the same parquet dirs).
@@ -2025,5 +2033,143 @@ object SparkEntry {
         |                            ORDER BY epoch_ns(ts) // 1000, event_id) AS rn
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    // KMV set algebra: the k=64 sketches replayed bit-exactly (same md5
+    // 60-bit hash as kmv_distinct), combined with the standard union/
+    // Jaccard/intersection estimators, next to the exact answers
+    "kmv_set_ops" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) AS h
+        |  FROM events),
+        |s AS (SELECT event_type, list_sort(list(DISTINCT h))[1:64] AS kmv
+        |      FROM h GROUP BY event_type),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |             a.kmv AS ka, b.kmv AS kb
+        |      FROM s a JOIN s b ON a.event_type < b.event_type),
+        |u AS (SELECT type_a, type_b, ka, kb,
+        |        list_sort(list_distinct(list_concat(ka, kb)))[1:64] AS un FROM p),
+        |m AS (SELECT type_a, type_b, len(un) AS ul,
+        |        len(list_filter(un,
+        |          x -> list_contains(ka, x) AND list_contains(kb, x))) AS ov,
+        |        CASE WHEN len(un) < 64 THEN CAST(len(un) AS DOUBLE)
+        |             ELSE 72634054790231359488.0 / CAST(un[64] AS DOUBLE)
+        |        END AS union_est
+        |      FROM u),
+        |ue AS (SELECT DISTINCT event_type, user_id FROM events),
+        |cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |        FROM ue GROUP BY event_type),
+        |ex AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |         CAST(count(*) AS BIGINT) AS exact_inter
+        |       FROM ue x JOIN ue y
+        |         ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |       GROUP BY 1, 2)
+        |SELECT m.type_a, m.type_b,
+        |  ca.n + cb.n - COALESCE(ex.exact_inter, 0) AS exact_union,
+        |  COALESCE(ex.exact_inter, 0) AS exact_inter,
+        |  m.union_est,
+        |  CAST(m.ov AS DOUBLE) / m.ul AS jaccard_est,
+        |  (CAST(m.ov AS DOUBLE) / m.ul) * m.union_est AS inter_est
+        |FROM m JOIN cnt ca ON ca.event_type = m.type_a
+        |       JOIN cnt cb ON cb.event_type = m.type_b
+        |       LEFT JOIN ex ON ex.type_a = m.type_a AND ex.type_b = m.type_b
+        |ORDER BY m.type_a, m.type_b""".stripMargin,
+    // ACF of daily revenue: whole-dollar series centered on the integer
+    // floor-mean, exact DECIMAL moment sums, one double division per lag
+    "autocorr_daily" ->
+      """WITH o AS (SELECT epoch_ns(o_orderdate)//1000 // 86400000000 AS day,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM orders),
+        |pd AS (SELECT day, CAST(sum(cents) AS BIGINT) // 100 AS x
+        |       FROM o GROUP BY day),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(x) AS BIGINT) AS s FROM pd),
+        |cen AS (SELECT day, n, CAST(x - (s // n) AS DECIMAL(18,0)) AS d
+        |        FROM pd, tot),
+        |ld AS (SELECT n, d,
+        |         lead(d, 1) OVER (ORDER BY day) AS d1,
+        |         lead(d, 2) OVER (ORDER BY day) AS d2,
+        |         lead(d, 3) OVER (ORDER BY day) AS d3,
+        |         lead(d, 4) OVER (ORDER BY day) AS d4,
+        |         lead(d, 5) OVER (ORDER BY day) AS d5,
+        |         lead(d, 6) OVER (ORDER BY day) AS d6,
+        |         lead(d, 7) OVER (ORDER BY day) AS d7
+        |       FROM cen),
+        |st AS (SELECT max(n) AS n, sum(d*d) AS den,
+        |         sum(d*d1) AS num1, sum(d*d2) AS num2, sum(d*d3) AS num3,
+        |         sum(d*d4) AS num4, sum(d*d5) AS num5, sum(d*d6) AS num6,
+        |         sum(d*d7) AS num7
+        |       FROM ld),
+        |l AS (SELECT unnest([1,2,3,4,5,6,7]) AS lag)
+        |SELECT l.lag, st.n - l.lag AS n_pairs,
+        |  CASE WHEN st.den = 0 THEN 0.0
+        |       ELSE CAST(CASE l.lag WHEN 1 THEN num1 WHEN 2 THEN num2
+        |                 WHEN 3 THEN num3 WHEN 4 THEN num4 WHEN 5 THEN num5
+        |                 WHEN 6 THEN num6 ELSE num7 END AS DOUBLE)
+        |            / CAST(st.den AS DOUBLE)
+        |  END AS acf
+        |FROM l, st ORDER BY lag""".stripMargin,
+    // first-order Markov chain over per-user event sequences; probability
+    // is an exact integer ratio cast to double
+    "markov_transitions" ->
+      """WITH seq AS (SELECT event_type AS from_type,
+        |        lead(event_type, 1) OVER (PARTITION BY user_id
+        |          ORDER BY epoch_ns(ts) // 1000, event_id) AS to_type
+        |      FROM events),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_type, to_type, n,
+        |        CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from
+        |      FROM c)
+        |SELECT from_type, to_type, n, n_from,
+        |       CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS prob
+        |FROM f ORDER BY from_type, to_type""".stripMargin,
+    // format_roundtrip: the engine writes+reads JSONL/CSV copies and
+    // reconciles; the oracle states the reconciliation target (parquet
+    // truth, both format checks expected green)
+    "format_roundtrip" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       true AS json_ok, true AS csv_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // TPC-H Q19 shape: disjunctive (brand, size, quantity) brackets;
+    // brand-disjoint so the CASE order is immaterial
+    "bracket_revenue" ->
+      """WITH j AS (SELECT
+        |    CASE WHEN p_brand IN ('Brand#1','Brand#2','Brand#3')
+        |           AND p_size <= 10 AND l_quantity <= 15 THEN 'small'
+        |         WHEN p_brand IN ('Brand#11','Brand#12','Brand#13')
+        |           AND p_size BETWEEN 11 AND 30
+        |           AND l_quantity BETWEEN 10 AND 30 THEN 'medium'
+        |         WHEN p_brand IN ('Brand#21','Brand#22','Brand#23')
+        |           AND p_size BETWEEN 25 AND 50
+        |           AND l_quantity BETWEEN 25 AND 50 THEN 'large'
+        |    END AS bracket,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT bracket, CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(rev) AS DOUBLE) AS revenue
+        |FROM j WHERE bracket IS NOT NULL
+        |GROUP BY bracket ORDER BY bracket""".stripMargin,
+    // yearly acquisition cohorts x age with the cumulative LTV curve;
+    // exact integer cents, one double division at the edge
+    "cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+        |             CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM orders),
+        |f AS (SELECT o_custkey, min(yr) AS cohort_year FROM o GROUP BY o_custkey),
+        |g AS (SELECT cohort_year, yr - cohort_year AS age,
+        |        CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+        |        CAST(sum(cents) AS BIGINT) AS cents
+        |      FROM o JOIN f ON o.o_custkey = f.o_custkey
+        |      GROUP BY cohort_year, yr - cohort_year)
+        |SELECT cohort_year, age, n_active,
+        |       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |       CAST(CAST(sum(cents) OVER (PARTITION BY cohort_year ORDER BY age
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS DOUBLE) / 100.0 AS cum_revenue
+        |FROM g ORDER BY cohort_year, age""".stripMargin,
   )
 }

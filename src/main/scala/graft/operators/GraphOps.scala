@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.Tables
+
 /** Iterative graph computation over document-similarity graphs.
   *
   * [[DocDedup.connectedComponents]] answers "which docs are the same";
@@ -333,5 +335,37 @@ object GraphOps {
         when($"core_deg".isNotNull, 1).otherwise(0).as("in_core"),
         coalesce($"core_deg", lit(0L)).as("core_deg"))
       .orderBy($"doc_id")
+  }
+
+  /** NS: multi-source BFS distance over the near-dup pair graph — hop
+    * count from a SEED SET (every 50th doc: a spot-audited sample) to
+    * every reachable doc, capped at `rounds` hops. "How many near-dup
+    * hops from an audited doc" is the contamination-radius question a
+    * curation audit asks: dist 1 = direct near-dups of audited docs,
+    * dist 2 = their neighborhood, unreachable = outside the audited
+    * components. Classic frontier iteration, fully distributed: each
+    * round is ONE shuffle (neighbor expansion joined on the edge key,
+    * then a min-dist re-group); plan depth stays constant via the
+    * CC-loop lazy localCheckpoint. The cap bounds work on high-diameter
+    * graphs — beyond it, [[DocDedup.dedupClusters]]' pointer-doubling
+    * answers reachability in O(log d) rounds instead. The DuckDB twin
+    * unrolls the same `rounds` expansions. */
+  def bfsDistance(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
+    import spark.implicits._
+    val pairs = DocDedup.simhashPairsMemo(spark, dir).select($"doc_a", $"doc_b")
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+    var dist = Tables.documents(spark, dir)
+      .select($"doc_id").where($"doc_id" % 50 === 0)
+      .withColumn("dist", lit(0))
+    for (_ <- 1 to rounds) {
+      val next = edges.join(dist, edges("dst") === dist("doc_id"))
+        .select(edges("src").as("doc_id"), (dist("dist") + 1).as("dist"))
+      dist = dist.union(next)
+        .groupBy($"doc_id").agg(min($"dist").as("dist"))
+        // lazy lineage cut per round (the pagerank/CC pattern)
+        .localCheckpoint(false)
+    }
+    dist.orderBy($"doc_id")
   }
 }

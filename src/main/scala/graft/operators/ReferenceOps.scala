@@ -314,4 +314,45 @@ object ReferenceOps {
         $"l_shipdate".cast(DateType).as("ship_date"))
       .orderBy($"l_orderkey", $"l_linenumber")
   }
+
+  /** A21-adjacent: SOURCE-FORMAT roundtrip proof — the same event slice
+    * written to JSONL and headered CSV, read back through `spark.read`
+    * with an EXPLICIT schema (schema inference re-scans the data and is
+    * banned at 100 TB), and reconciled group-by-group against the parquet
+    * original (count + exact DECIMAL(18,2) revenue per type; Java's
+    * shortest-roundtrip double formatting makes both text encodings
+    * lossless). This is the ingestion-boundary check a lakehouse runs
+    * when a feed lands as JSONL/CSV before compaction to parquet: every
+    * reader path (parquet / json / csv) must agree row-for-row. The
+    * roundtrip files land under java.io.tmpdir keyed by the input dir,
+    * overwritten per run — deterministic content, deterministic result. */
+  def formatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.events(spark, dir)
+      .select($"event_id", $"event_type", $"user_id", $"value")
+    val tmp = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_fmt_${dir.hashCode & 0x7fffffff}").getAbsolutePath
+    base.write.mode("overwrite").json(s"$tmp/json")
+    base.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    val sch = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    def profile(df: DataFrame, tag: String): DataFrame =
+      df.groupBy($"event_type")
+        .agg(count(lit(1)).as(s"n_$tag"), moneySum($"value").as(s"rev_$tag"))
+    profile(base, "events")
+      .join(profile(spark.read.schema(sch).json(s"$tmp/json"), "json"),
+        Seq("event_type"))
+      .join(profile(spark.read.schema(sch).option("header", "true")
+        .csv(s"$tmp/csv"), "csv"), Seq("event_type"))
+      .select($"event_type", $"n_events", $"rev_events".as("revenue"),
+        ($"n_json" === $"n_events" && $"rev_json" === $"rev_events")
+          .as("json_ok"),
+        ($"n_csv" === $"n_events" && $"rev_csv" === $"rev_events")
+          .as("csv_ok"))
+      .orderBy($"event_type")
+  }
 }

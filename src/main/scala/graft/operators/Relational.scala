@@ -525,6 +525,191 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** NS: KMV sketch SET ALGEBRA — union / intersection cardinality and
+    * Jaccard between every pair of event-type user populations from the
+    * k=64 [[graft.functions.KmvSketch]] sketches alone, next to the exact
+    * answers (the same estimator-calibration shape as `cms_calibration`
+    * and `minhash_calibration`). The standard KMV combinators: the union
+    * sketch is the k smallest of the two sketches' union (a KMV sketch of
+    * A∪B by construction), Jaccard ≈ |{h ∈ union sketch : h ∈ both}| / |union
+    * sketch|, |A∩B| ≈ Jaccard · |A∪B|-est. At 100 TB the sketches are the
+    * point: 5 groups × 64 longs travel to one pair join instead of the
+    * user sets themselves; the exact side here is the bounded calibration
+    * twin (one distinct shuffle + a user-keyed self-join whose fan-out is
+    * capped by |types|² per user). Everything is deterministic md5 hashing,
+    * so the DuckDB twin replays the sketches bit-exactly. */
+  def kmvSetOps(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import spark.implicits._
+    val sk = Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(graft.functions.kmv_sketch($"user_id".cast("string"), k).as("kmv"))
+    val a = sk.select($"event_type".as("type_a"), $"kmv".as("kmv_a"))
+    val b = sk.select($"event_type".as("type_b"), $"kmv".as("kmv_b"))
+    // |types|²-row pair frame: non-equi join over a broadcast AGGREGATE —
+    // the PlanSpec BNLJ allowlist shape (never an unreduced scan)
+    val pairs = a.join(broadcast(b), $"type_a" < $"type_b")
+      .withColumn("un",
+        slice(array_sort(array_distinct(concat($"kmv_a", $"kmv_b"))), 1, k))
+      .withColumn("ul", size($"un"))
+      .withColumn("ov", size(filter($"un",
+        x => array_contains($"kmv_a", x) && array_contains($"kmv_b", x))))
+    val est = pairs.select($"type_a", $"type_b",
+      when($"ul" < k, $"ul".cast(DoubleType))
+        .otherwise(lit((k - 1).toDouble * math.pow(2, 60)) /
+          element_at($"un", k).cast(DoubleType)).as("union_est"),
+      ($"ov".cast(DoubleType) / $"ul").as("jaccard_est"))
+      .withColumn("inter_est", $"jaccard_est" * $"union_est")
+    // exact calibration side: one distinct shuffle, then a user-keyed
+    // self-join (fan-out ≤ |types|² per user — bounded, never quadratic)
+    val ue = Tables.events(spark, dir)
+      .select($"event_type", $"user_id").distinct()
+    val cnt = ue.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val ex = ue.as("x").join(ue.as("y"),
+        $"x.user_id" === $"y.user_id" && $"x.event_type" < $"y.event_type")
+      .groupBy($"x.event_type".as("type_a"), $"y.event_type".as("type_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    est
+      .join(ex, Seq("type_a", "type_b"), "left_outer")
+      .join(broadcast(cnt.select($"event_type".as("type_a"), $"n".as("na"))),
+        Seq("type_a"))
+      .join(broadcast(cnt.select($"event_type".as("type_b"), $"n".as("nb"))),
+        Seq("type_b"))
+      .select($"type_a", $"type_b",
+        ($"na" + $"nb" - coalesce($"exact_inter", lit(0L))).as("exact_union"),
+        coalesce($"exact_inter", lit(0L)).as("exact_inter"),
+        $"union_est", $"jaccard_est", $"inter_est")
+      .orderBy($"type_a", $"type_b")
+  }
+
+  /** NS: autocorrelation function of the daily-revenue series at lags
+    * 1..7 — the seasonality diagnostic that decides whether `seasonality_
+    * dow` / `daily_revenue_ma7` models are even applicable. Division-free
+    * until the final ratio (the `graph_modularity` discipline): daily
+    * revenue is exact whole dollars (cents DIV 100), centered on the
+    * FLOOR mean (mu = S div n — integer, so both engines center
+    * identically), products and sums run in DECIMAL(18,0)→(38,0) exact
+    * arithmetic, and acf_l = num_l/den is one IEEE double division of two
+    * exact integers — bit-identical cross-engine. One scan → |days|-row
+    * aggregate; the lead window orders the BOUNDED day series (PlanSpec
+    * allowlists it above the aggregate), 7 lag products fold into ONE
+    * 1-row aggregate, and the lag table explodes from that row — the
+    * whole post-scan pipeline is O(|days|) regardless of order count. */
+  def autocorrDaily(spark: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    import spark.implicits._
+    val perDay = Tables.orders(spark, dir)
+      .select(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("day"),
+        floor($"o_totalprice" * 100 + 0.5).cast(LongType).as("cents"))
+      .groupBy($"day").agg(expr("sum(cents) div 100").as("x"))
+    val totals = perDay.agg(count(lit(1)).as("n"), sum($"x").as("s"))
+    val centered = perDay.crossJoin(broadcast(totals))
+      .select($"day", $"n", ($"x" - expr("s div n")).cast(DecimalType(18, 0)).as("d"))
+    val w = Window.orderBy($"day")
+    val withLeads = centered.select(
+      Seq($"day", $"n", $"d") ++
+        (1 to maxLag).map(l => lead($"d", l).over(w).as(s"d$l")): _*)
+    val statCols = Seq(max($"n").as("n"), sum($"d" * $"d").as("den")) ++
+      (1 to maxLag).map(l => sum($"d" * col(s"d$l")).as(s"num$l"))
+    val stats = withLeads.agg(statCols.head, statCols.tail: _*)
+    stats
+      .select($"n", $"den", explode(array((1 to maxLag).map(l =>
+        struct(lit(l).as("lag"), col(s"num$l").as("num"))): _*)).as("e"))
+      .select($"e.lag".as("lag"), ($"n" - $"e.lag").as("n_pairs"),
+        when($"den" === 0, lit(0.0))
+          .otherwise($"e.num".cast(DoubleType) / $"den".cast(DoubleType))
+          .as("acf"))
+      .orderBy($"lag")
+  }
+
+  /** NS: first-order Markov transition matrix over per-user event-type
+    * sequences — the session-model summary (what follows what, and how
+    * often) behind funnel and journey analytics. One shuffle on user_id
+    * for the lead window (per-user time order), then a |types|²-row
+    * aggregate; transition probability is an exact-integer ratio cast to
+    * double, so it is bit-identical cross-engine. The `user_journey` /
+    * `status_transitions` relatives track specific paths; this emits the
+    * full conditional matrix. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val tr = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("from_type"))
+      .withColumn("to_type", lead($"from_type", 1).over(w))
+      .where($"to_type".isNotNull)
+    tr.groupBy($"from_type", $"to_type").agg(count(lit(1)).as("n"))
+      .withColumn("n_from",
+        sum($"n").over(Window.partitionBy($"from_type")))
+      .select($"from_type", $"to_type", $"n", $"n_from",
+        ($"n".cast(DoubleType) / $"n_from".cast(DoubleType)).as("prob"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  /** NS: disjunctive bracket revenue — the TPC-H Q19 shape: revenue
+    * grouped by which of three (brand-set, size-range, quantity-range)
+    * conjunctions a lineitem satisfies. The brackets are brand-disjoint,
+    * so the `when` chain is order-independent; non-matching rows drop
+    * before the aggregate. The part side is a broadcast dim here; at
+    * TPC-H-scale part counts the same plan degrades to a partkey-keyed
+    * shuffle join with the bracket predicate evaluated join-side — no
+    * re-plan needed. The OR-of-ANDs is the point: Catalyst splits the
+    * disjunction's common `p_partkey` equi-key out of the filter, so the
+    * join stays a hash join (never a nested loop over the predicate). */
+  def bracketRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // decimal-first revenue (the promo_revenue discipline): cast the
+    // FACTORS to DECIMAL(18,2) before multiplying, so the product is
+    // exact and both engines sum identical values
+    val dec = (c: Column) => c.cast(DecimalType(18, 2))
+    val joined = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_quantity",
+        (dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) -
+          dec($"l_discount"))).as("rev"))
+      .join(broadcast(Tables.part(spark, dir)
+        .select($"p_partkey", $"p_brand", $"p_size")),
+        $"l_partkey" === $"p_partkey")
+    joined
+      .withColumn("bracket",
+        when($"p_brand".isin("Brand#1", "Brand#2", "Brand#3") &&
+          $"p_size" <= 10 && $"l_quantity" <= 15, "small")
+        .when($"p_brand".isin("Brand#11", "Brand#12", "Brand#13") &&
+          $"p_size".between(11, 30) && $"l_quantity".between(10, 30), "medium")
+        .when($"p_brand".isin("Brand#21", "Brand#22", "Brand#23") &&
+          $"p_size".between(25, 50) && $"l_quantity".between(25, 50), "large"))
+      .where($"bracket".isNotNull)
+      .groupBy($"bracket")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"rev").cast(DoubleType).as("revenue"))
+      .orderBy($"bracket")
+  }
+
+  /** NS: cohort lifetime-value curve — yearly acquisition cohorts (first
+    * order year per customer) × account age, with active-customer counts,
+    * period revenue, and the CUMULATIVE revenue each cohort has produced
+    * by that age (the LTV curve finance reads). Where `retention_cohorts`
+    * counts weekly activity, this accumulates value. Exact integer cents
+    * end-to-end; the cumulative window runs over the bounded cohort×age
+    * grid (≤ years², never order rows), partitioned by cohort. Two
+    * shuffles total at any scale: the per-customer first-order agg and
+    * the grid agg (the join back rides the customer exchange). */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).select(
+      $"o_custkey", year($"o_orderdate").cast(IntegerType).as("yr"),
+      floor($"o_totalprice" * 100 + 0.5).cast(LongType).as("cents"))
+    val firstYr = o.groupBy($"o_custkey").agg(min($"yr").as("cohort_year"))
+    val grid = o.join(firstYr, Seq("o_custkey"))
+      .groupBy($"cohort_year", ($"yr" - $"cohort_year").as("age"))
+      .agg(countDistinct($"o_custkey").as("n_active"),
+        sum($"cents").as("cents"))
+    val w = Window.partitionBy($"cohort_year").orderBy($"age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .select($"cohort_year", $"age", $"n_active",
+        ($"cents".cast(DoubleType) / 100.0).as("revenue"),
+        (sum($"cents").over(w).cast(DoubleType) / 100.0).as("cum_revenue"))
+      .orderBy($"cohort_year", $"age")
+  }
+
   /** NS: HLL++ approximate distinct — the 100 TB path (no per-key exact
     * shuffle; fixed-size sketch per group). Not DuckDB-oracle-able (engine-
     * specific estimator) → registered without oracleSql, rows-only check.

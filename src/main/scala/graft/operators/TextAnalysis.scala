@@ -688,4 +688,41 @@ object TextAnalysis {
       .where($"n_shared_fps" >= 2)
       .orderBy($"doc_a", $"doc_b")
   }
+
+  /** NS: Gopher-style document RULE GATES (Rae et al. 2112.11446 §A1.1 —
+    * the repetition half already lives in `repetition_score`): word-count
+    * bounds, mean-word-length bounds, minimum stop-word evidence, and a
+    * max single-token share cap, each as an independent 0/1 gate plus the
+    * conjunction. Where `quality_score` blends a weighted composite, this
+    * is the hard-filter rulebook form curation pipelines actually deploy
+    * (a doc must pass ALL gates). All gates are INTEGER comparisons —
+    * the length gates multiply through by n_tokens instead of dividing
+    * (3·n ≤ chars ≤ 10·n; 8·max_tok ≤ n) — so there is no float anywhere
+    * and the DuckDB twin is trivially bit-exact. Per-row expressions
+    * only: zero shuffle, linear at 100 TB; the per-row distinct×n token
+    * frequency fold is bounded by the vocabulary, not the corpus. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val isStop: Column => Column = t => t.isin(StopWords: _*)
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens($"text"))
+      .withColumn("n_tokens", size($"toks"))
+      // letters in the doc = chars minus the single-space separators
+      .withColumn("n_letters", length($"text") - ($"n_tokens" - 1))
+      .withColumn("n_stop", size(filter($"toks", isStop)))
+      .withColumn("max_tok_n",
+        array_max(transform(array_distinct($"toks"),
+          t => size(filter($"toks", x => x === t)))))
+      .select($"doc_id", $"n_tokens", $"n_stop", $"max_tok_n",
+        ($"n_letters".cast(DoubleType) / $"n_tokens").as("mean_word_len"),
+        ($"n_tokens" >= 30 && $"n_tokens" <= 500).cast(IntegerType).as("g_len"),
+        ($"n_letters" >= $"n_tokens" * 3 && $"n_letters" <= $"n_tokens" * 10)
+          .cast(IntegerType).as("g_wordlen"),
+        ($"n_stop" >= 2).cast(IntegerType).as("g_stop"),
+        ($"max_tok_n" * 8 <= $"n_tokens").cast(IntegerType).as("g_maxshare"))
+      .withColumn("pass",
+        ($"g_len" === 1 && $"g_wordlen" === 1 && $"g_stop" === 1 &&
+          $"g_maxshare" === 1).cast(IntegerType))
+      .orderBy($"doc_id")
+  }
 }

@@ -338,4 +338,29 @@ class GraphOpsSpec extends SparkSpecBase {
           assert(kcoreSpark(pairs, k) === kcoreRef(pairs, k), s"trial $trial k=$k")
     }
   }
+
+  test("bfs_distance: seeds at 0, every frontier node has a one-hop-closer " +
+      "neighbor, dist capped by rounds") {
+    import spark.implicits._
+    val dist = GraphOps.bfsDistance(spark, Sf0001, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every 50th doc is a seed at distance exactly 0
+    dist.foreach { case (id, d) =>
+      if (id % 50 == 0) assert(d == 0, s"seed $id has dist $d")
+      else assert(d >= 1 && d <= 4, s"non-seed $id has dist $d")
+    }
+    assert(dist.nonEmpty && dist.valuesIterator.min == 0)
+    // BFS certificate: a node at dist d>0 must have a neighbor at d-1
+    val pairs = graft.operators.DocDedup.simhashNearDupPairs(spark, Sf0001)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(_.swap)).groupMap(_._1)(_._2)
+    dist.foreach { case (id, d) =>
+      if (d > 0) {
+        val closer = adj.getOrElse(id, Array.empty[Long])
+          .exists(n => dist.get(n).exists(_ == d - 1))
+        assert(closer, s"node $id at dist $d has no dist-${d - 1} neighbor")
+      }
+    }
+  }
 }

@@ -419,7 +419,9 @@ class PlanSpec extends SparkSpecBase {
       "cusum_changepoint", // 1-row (n_days, total) broadcast onto the day grid
       "dedup_threshold_sweep", // 3-row literal threshold dim onto the pair set
       "graph_modularity", // 1-row edge-count broadcast onto |communities| rows
-      "semantic_cell_profile") // 1-row pair-total broadcast onto |cells| rows
+      "semantic_cell_profile", // 1-row pair-total broadcast onto |cells| rows
+      "kmv_set_ops",   // |types|-row sketch aggregate broadcast, non-equi pair join
+      "autocorr_daily") // 1-row (n, s) totals broadcast onto the |days| frame
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, Sf0001).queryExecution.executedPlan
       val p = plan.toString
@@ -480,7 +482,8 @@ class PlanSpec extends SparkSpecBase {
       "pq_recall_eval",   // 8 probes × top-5
       "ann_recall_eval",  // 8 probes × top-5
       "ann_ndcg",         // 8 probes × top-5
-      "zipf_slope")       // top-1024 vocabulary head (orderBy.limit)
+      "zipf_slope",       // top-1024 vocabulary head (orderBy.limit)
+      "autocorr_daily")   // |days| rows (7 lead lags over the day series)
     SparkEntry.queries.foreach { case (name, fn) =>
       val unpart = fn(spark, Sf0001).queryExecution.executedPlan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec
