@@ -102,11 +102,18 @@ object StreamingEntry {
       .toSeq.sorted
   }
 
+  /** Exact µs of a Timestamp (getTime is ms-truncated; the fixture's
+    * event times carry µs, and the batch plans order by unix_micros —
+    * the feed must use the same granularity or a same-ms pair could
+    * arrive in a different order than the batch lead/argmax sees). */
+  private def micros(ts: Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
   private def events(spark: SparkSession, dir: String): Seq[Ev] = {
     import spark.implicits._
     graft.Tables.events(spark, dir)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-      .as[Ev].collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      .as[Ev].collect().toSeq.sortBy(e => (micros(e.ts), e.event_id))
   }
 
   private def docs(spark: SparkSession, dir: String): Seq[Doc] = {
@@ -135,7 +142,7 @@ object StreamingEntry {
     * would test nothing. */
   private def foldTwin(mode: String, xform: DataFrame => DataFrame,
       post: DataFrame => Seq[String],
-      order: Ev => (Long, Long) = e => (e.ts.getTime, e.event_id)): Twin =
+      order: Ev => (Long, Long) = e => (micros(e.ts), e.event_id)): Twin =
     Twin("fold", (spark, dir, splits) => {
       import spark.implicits._
       val rows = events(spark, dir).sortBy(order)
@@ -213,6 +220,26 @@ object StreamingEntry {
     }),
     "ktable_latest_stream" -> aggTwin("update", StreamOps.ktableLatest,
       (df, _) => canonLastPerKey(df, 0)),
+    // Markov transition matrix as a stream: the per-user transition
+    // extractor (flatMapGroupsWithState, append — state = last event per
+    // user, so batch boundaries are unobservable) feeds a downstream
+    // streaming COUNT aggregate; the drained matrix must equal the batch
+    // lead-window matrix exactly. STRONG parity (vs the independent
+    // batch plan, not the same transform replayed) — the one twin that
+    // composes arbitrary-state FMGWS with a streaming aggregation.
+    "markov_transitions_stream" -> Twin("agg", (spark, dir, splits) => {
+      import spark.implicits._
+      val rows = events(spark, dir)
+      val xform = (df: DataFrame) =>
+        StreamOps.statusTransitionsStream(df)
+          .groupBy(col("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+      val got = canon(runStream(spark, rows, splits, "complete", xform))
+      val want = canon(
+        graft.operators.Relational.markovTransitions(spark, dir)
+          .select(col("from_type"), col("to_type"), col("n")))
+      Parity(got, want)
+    }),
     // -- fold twins: split invariance -------------------------------
     "decayed_counts_stream" -> foldTwin("update",
       StreamOps.decayedCountsStream(_), canonLastPerKey(_, 0)),
