@@ -710,9 +710,21 @@ object TextAnalysis {
       // letters in the doc = chars minus the single-space separators
       .withColumn("n_letters", length($"text") - ($"n_tokens" - 1))
       .withColumn("n_stop", size(filter($"toks", isStop)))
+      // max token multiplicity = longest equal-run in the SORTED token
+      // array — one n·log n sort + one linear fold per row, vs the
+      // distinct×n transform-filter scan (≈6× fewer comparisons at the
+      // corpus' ~50-type/300-token docs; same value, so the oracle's
+      // unnest-and-count form stays a valid twin)
       .withColumn("max_tok_n",
-        array_max(transform(array_distinct($"toks"),
-          t => size(filter($"toks", x => x === t)))))
+        aggregate(array_sort($"toks"),
+          struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+          (acc, t) => {
+            val run = when(t === acc.getField("prev"),
+              acc.getField("run") + 1).otherwise(lit(1))
+            struct(t.as("prev"), run.as("run"),
+              greatest(acc.getField("best"), run).as("best"))
+          },
+          acc => acc.getField("best")))
       .select($"doc_id", $"n_tokens", $"n_stop", $"max_tok_n",
         ($"n_letters".cast(DoubleType) / $"n_tokens").as("mean_word_len"),
         ($"n_tokens" >= 30 && $"n_tokens" <= 500).cast(IntegerType).as("g_len"),
