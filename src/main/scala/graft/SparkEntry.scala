@@ -270,6 +270,7 @@ object SparkEntry {
     "format_roundtrip"     -> (ReferenceOps.formatRoundtrip(_, _)),
     "bracket_revenue"      -> (Relational.bracketRevenue(_, _)),
     "cohort_ltv"           -> (Relational.cohortLtv(_, _)),
+    "csv_malformed_audit"  -> (ReferenceOps.csvMalformedAudit(_, _)),
   )
 
   /** DuckDB oracle twins (driver runs these on the same parquet dirs).
@@ -2171,5 +2172,14 @@ object SparkEntry {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |            AS BIGINT) AS DOUBLE) / 100.0 AS cum_revenue
         |FROM g ORDER BY cohort_year, age""".stripMargin,
+    // csv_malformed_audit: the engine corrupts value on event_id % 7 = 0,
+    // writes CSV, reads PERMISSIVE; the oracle replays the mod-7 rule
+    "csv_malformed_audit" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(CASE WHEN event_id % 7 <> 0 THEN 1 END) AS BIGINT)
+        |    AS n_good,
+        |  CAST(count(CASE WHEN event_id % 7 = 0 THEN 1 END) AS BIGINT)
+        |    AS n_quarantined
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

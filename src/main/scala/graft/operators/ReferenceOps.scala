@@ -326,6 +326,40 @@ object ReferenceOps {
     * reader path (parquet / json / csv) must agree row-for-row. The
     * roundtrip files land under java.io.tmpdir keyed by the input dir,
     * overwritten per run — deterministic content, deterministic result. */
+  /** A13-adjacent: malformed-record ACCOUNTING on the CSV ingest path —
+    * the error-path counterpart of [[formatRoundtrip]]. A deterministic
+    * corruption (every event_id ≡ 0 mod 7 gets an unparseable `value`
+    * field) is injected into the CSV text, which is then read back in
+    * PERMISSIVE mode with an explicit schema: Spark nulls the field that
+    * failed to parse and keeps the row, so the audit counts rows whose
+    * value column came back null per event type. This is the quarantine
+    * report a 100 TB feed emits before promoting a landing zone to the
+    * lake — all per-row, zero extra shuffles beyond the profile agg.
+    * The oracle replays the mod-7 rule against the parquet truth. */
+  def csvMalformedAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corrupted = Tables.events(spark, dir)
+      .select($"event_id", $"event_type", $"user_id",
+        when($"event_id" % 7 === 0, concat(lit("x"), $"value".cast(StringType)))
+          .otherwise($"value".cast(StringType)).as("value"))
+    val tmp = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_badcsv_${dir.hashCode & 0x7fffffff}").getAbsolutePath
+    corrupted.write.mode("overwrite").option("header", "true").csv(tmp)
+    val sch = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    spark.read.schema(sch).option("header", "true")
+      .option("mode", "PERMISSIVE").csv(tmp)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"value").as("n_good"),
+        sum(($"value".isNull).cast(LongType)).as("n_quarantined"))
+      .orderBy($"event_type")
+  }
+
   def formatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = Tables.events(spark, dir)

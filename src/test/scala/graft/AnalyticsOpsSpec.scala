@@ -184,6 +184,24 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("csv_malformed_audit: PERMISSIVE quarantine counts equal the " +
+      "injected mod-7 corruption exactly and partition the row count") {
+    import spark.implicits._
+    val rows = ReferenceOps.csvMalformedAudit(spark, Sf001).collect()
+    val want = Tables.events(spark, Sf001)
+      .groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.sum(
+        ($"event_id" % 7 === 0).cast("long")).as("bad"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        s"${r.getString(0)}: good + quarantined != rows")
+      assert(r.getLong(3) == want(r.getString(0)),
+        s"${r.getString(0)}: quarantine count drifted from the mod-7 rule")
+    }
+    assert(rows.map(_.getLong(3)).sum > 0, "no corruption injected — vacuous")
+  }
+
   test("format_roundtrip: JSONL and CSV readers reproduce the parquet " +
       "profile exactly at sf0.001 and sf0.01") {
     for (sf <- Seq(Sf0001, Sf001)) {
