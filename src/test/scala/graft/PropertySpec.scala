@@ -325,4 +325,24 @@ class PropertySpec extends AnyFunSuite {
       assert(back === v && n === out.size(), s"zigzag($v)")
     }
   }
+
+  test("kmv merge law: k-min of two sketches' union == sketch of the " +
+      "set union (the identity kmv_set_ops' union estimator rides on)") {
+    def sketch(xs: Set[String], k: Int): Seq[Long] =
+      xs.map(s => Md5Long.hash(s.getBytes("UTF-8"), 15))
+        .toSeq.sorted.take(k)
+    val setGen = Gen.zip(
+      Gen.chooseNum(1, 6),
+      Gen.listOfN(120, Gen.chooseNum(0, 400)))
+    samples(Gen.zip(setGen, setGen)).zipWithIndex.foreach {
+      case (((salt1, a), (salt2, b)), i) =>
+        val (sa, sb) = (a.map(x => s"u$salt1-$x").toSet,
+          b.map(x => s"u$salt2-$x").toSet)
+        for (k <- Seq(8, 64)) {
+          val merged = (sketch(sa, k) ++ sketch(sb, k)).distinct.sorted.take(k)
+          assert(merged === sketch(sa ++ sb, k),
+            s"case $i k=$k: merge rule diverges from the union sketch")
+        }
+    }
+  }
 }
