@@ -134,7 +134,11 @@ object Bench {
     // ... and as a JSON artifact (the stdout machine line below truncates
     // to the driver's 2000-char capture; cross-round regression diffs need
     // the WHOLE registry, so persist it where the repo keeps round state)
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    // a SPARK_GRAFT_ONLY dev-loop slice must never clobber the committed
+    // full-registry artifact (it feeds cross-round regression diffs and
+    // scalediff) — write it only for full runs, or when a path is forced
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      if (only.isDefined) "/tmp/BENCH_ONLY.json" else "BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (s"""{"sf":"${jesc(sfDir)}","total":${f"$total%.3f"},""" +
         s""""calibration":{${ent("cpu_sec", calibCpu)},${ent("scan_sec", calibScan)}},""" +
