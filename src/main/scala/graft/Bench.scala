@@ -139,12 +139,28 @@ object Bench {
     // scalediff) — write it only for full runs, or when a path is forced
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       if (only.isDefined) "/tmp/BENCH_ONLY.json" else "BENCH_FULL.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
-      (s"""{"sf":"${jesc(sfDir)}","total":${f"$total%.3f"},""" +
-        s""""calibration":{${ent("cpu_sec", calibCpu)},${ent("scan_sec", calibScan)}},""" +
-        s""""queries_n":${results.size},"queries":$fullMap}""" + "\n")
-        .getBytes("UTF-8"))
-    catch { case e: Throwable =>
+    try {
+      // preserve the scalediff-owned scaling_sf1 section across rewrites:
+      // a full bench rerun (e.g. the gate's regression phase) must not
+      // silently drop the published sf0.1→sf1 scaling baseline
+      val prevScaling = {
+        val p = java.nio.file.Paths.get(fullPath)
+        if (java.nio.file.Files.exists(p)) {
+          val prev = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          val i = prev.indexOf("\"scaling_sf1\":")
+          // the section is the LAST top-level key when present (scalediff
+          // appends it), so slice from the key to the closing brace
+          if (i >= 0) Some(prev.substring(i, prev.lastIndexOf('}')))
+          else None
+        } else None
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+        (s"""{"sf":"${jesc(sfDir)}","total":${f"$total%.3f"},""" +
+          s""""calibration":{${ent("cpu_sec", calibCpu)},${ent("scan_sec", calibScan)}},""" +
+          s""""queries_n":${results.size},"queries":$fullMap""" +
+          prevScaling.map("," + _).getOrElse("") + "}\n")
+          .getBytes("UTF-8"))
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
     }
     // Machine-readable line LAST, kept under ~1500 chars: the driver

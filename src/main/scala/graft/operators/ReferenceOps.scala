@@ -336,22 +336,31 @@ object ReferenceOps {
     * report a 100 TB feed emits before promoting a landing zone to the
     * lake — all per-row, zero extra shuffles beyond the profile agg.
     * The oracle replays the mod-7 rule against the parquet truth. */
+  /** The 4-field event slice both text-format audits write and read —
+    * one definition so the two roundtrips can never drift apart. */
+  private val EventsTextSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("event_type", StringType),
+    StructField("user_id", LongType),
+    StructField("value", DoubleType)))
+
+  /** Scratch dir for a format audit: keyed by input dir (deterministic
+    * within a process) AND the JVM pid, so two concurrent processes
+    * benching the same data dir never race on each other's overwrite. */
+  private def fmtTmpDir(prefix: String, dir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"${prefix}_${dir.hashCode & 0x7fffffff}_p${ProcessHandle.current().pid()}")
+      .getAbsolutePath
+
   def csvMalformedAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val corrupted = Tables.events(spark, dir)
       .select($"event_id", $"event_type", $"user_id",
         when($"event_id" % 7 === 0, concat(lit("x"), $"value".cast(StringType)))
           .otherwise($"value".cast(StringType)).as("value"))
-    val tmp = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_badcsv_${dir.hashCode & 0x7fffffff}").getAbsolutePath
+    val tmp = fmtTmpDir("graft_badcsv", dir)
     corrupted.write.mode("overwrite").option("header", "true").csv(tmp)
-    val sch = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("event_type", StringType),
-      StructField("user_id", LongType),
-      StructField("value", DoubleType)))
-    spark.read.schema(sch).option("header", "true")
+    spark.read.schema(EventsTextSchema).option("header", "true")
       .option("mode", "PERMISSIVE").csv(tmp)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_rows"),
@@ -364,24 +373,19 @@ object ReferenceOps {
     import spark.implicits._
     val base = Tables.events(spark, dir)
       .select($"event_id", $"event_type", $"user_id", $"value")
-    val tmp = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_fmt_${dir.hashCode & 0x7fffffff}").getAbsolutePath
+    val tmp = fmtTmpDir("graft_fmt", dir)
     base.write.mode("overwrite").json(s"$tmp/json")
     base.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
-    val sch = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("event_type", StringType),
-      StructField("user_id", LongType),
-      StructField("value", DoubleType)))
     def profile(df: DataFrame, tag: String): DataFrame =
       df.groupBy($"event_type")
         .agg(count(lit(1)).as(s"n_$tag"), moneySum($"value").as(s"rev_$tag"))
     profile(base, "events")
-      .join(profile(spark.read.schema(sch).json(s"$tmp/json"), "json"),
+      .join(profile(
+        spark.read.schema(EventsTextSchema).json(s"$tmp/json"), "json"),
         Seq("event_type"))
-      .join(profile(spark.read.schema(sch).option("header", "true")
-        .csv(s"$tmp/csv"), "csv"), Seq("event_type"))
+      .join(profile(spark.read.schema(EventsTextSchema)
+        .option("header", "true").csv(s"$tmp/csv"), "csv"),
+        Seq("event_type"))
       .select($"event_type", $"n_events", $"rev_events".as("revenue"),
         ($"n_json" === $"n_events" && $"rev_json" === $"rev_events")
           .as("json_ok"),

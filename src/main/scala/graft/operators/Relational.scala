@@ -540,6 +540,10 @@ object Relational {
     * so the DuckDB twin replays the sketches bit-exactly. */
   def kmvSetOps(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
     import spark.implicits._
+    // the registered DuckDB twin hardcodes k=64 in its [1:64] slices and
+    // its 63·2^60 estimator constant — fail loudly rather than silently
+    // diverge from the oracle (the kcore unrollGuard discipline)
+    require(k == 64, s"kmv_set_ops' oracle hardcodes k=64; got k=$k")
     val sk = Tables.events(spark, dir)
       .groupBy($"event_type")
       .agg(graft.functions.kmv_sketch($"user_id".cast("string"), k).as("kmv"))
