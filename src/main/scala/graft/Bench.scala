@@ -143,16 +143,24 @@ object Bench {
       // preserve the scalediff-owned scaling_sf1 section across rewrites:
       // a full bench rerun (e.g. the gate's regression phase) must not
       // silently drop the published sf0.1→sf1 scaling baseline
-      val prevScaling = {
+      // extraction gets its OWN try: a malformed/hand-edited previous
+      // artifact must never block writing the fresh results below — losing
+      // a scaling section is recoverable (rerun scalediff), losing the
+      // run's bench numbers is not
+      val prevScaling: Option[String] = try {
         val p = java.nio.file.Paths.get(fullPath)
         if (java.nio.file.Files.exists(p)) {
           val prev = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-          val i = prev.indexOf("\"scaling_sf1\":")
-          // the section is the LAST top-level key when present (scalediff
-          // appends it), so slice from the key to the closing brace
+          // any scalediff-owned scaling_sf* sections sit LAST among the
+          // top-level keys (scalediff appends), so slice from the first
+          // such key to the closing brace
+          val i = prev.indexOf("\"scaling_sf")
           if (i >= 0) Some(prev.substring(i, prev.lastIndexOf('}')))
           else None
         } else None
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] previous $fullPath unparsable, dropping its scaling section: ${e.getMessage}")
+        None
       }
       java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
         (s"""{"sf":"${jesc(sfDir)}","total":${f"$total%.3f"},""" +

@@ -37,6 +37,38 @@ object Oracles {
        |s AS (SELECT doc_id, $simhashBitSums FROM h GROUP BY doc_id),
        |m AS MATERIALIZED (SELECT doc_id, $simhashAssemble AS simhash FROM s)""".stripMargin
 
+  /** Budget-governed simhash pair CTE chain (the round-10 pair governor)
+    * — appended right after [[simhashCte]]; yields
+    * `pairs(pa, pb, hamming)` built at the LOOSEST ladder level whose
+    * projected candidate mass (band-bucket histogram, Σ n(n−1)/2) fits
+    * the budget, with the hamming radius narrowed to `3 − level`. The
+    * band-layout VALUES and the budget constant are GENERATED from
+    * [[graft.operators.DocDedup.SimhashBandLayouts]] /
+    * [[graft.operators.DocDedup.PairBudget]], so the twins can never
+    * drift from the engine's governor decision. */
+  private lazy val governedPairsCte: String = {
+    val vals = operators.DocDedup.SimhashBandLayouts
+      .map { case (l, k, s, w) => s"($l, $k, $s, $w)" }.mkString(", ")
+    val budget = operators.DocDedup.PairBudget
+    s""",
+       |bl AS (SELECT * FROM (VALUES $vals) AS t(lvl, k, shift, width)),
+       |hb AS (SELECT bl.lvl, bl.k,
+       |         (simhash >> bl.shift) % (CAST(1 AS BIGINT) << bl.width) AS bv,
+       |         CAST(count(*) AS BIGINT) AS n
+       |       FROM m, bl GROUP BY 1, 2, 3),
+       |pick AS (SELECT CAST(COALESCE(min(lvl), 3) AS INTEGER) AS lvl FROM (
+       |           SELECT lvl, sum((n*(n-1))//2) AS cand FROM hb GROUP BY lvl) mm
+       |         WHERE cand <= $budget),
+       |b AS MATERIALIZED (SELECT m.doc_id, m.simhash, bl.k,
+       |       (m.simhash >> bl.shift) % (CAST(1 AS BIGINT) << bl.width) AS bv
+       |     FROM m, bl, pick WHERE bl.lvl = pick.lvl),
+       |pairs AS MATERIALIZED (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb,
+       |       CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+       |     FROM b x, b y, pick
+       |     WHERE x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
+       |       AND bit_count(xor(x.simhash, y.simhash)) <= 3 - pick.lvl)""".stripMargin
+  }
+
   private def lshDot(j: Int, v: String) =
     s"list_sum(list_transform(range(0, 64), d -> " +
       s"(CAST(concat('0x', substr(md5(concat('hp:$j:', d)), 1, 7)) AS BIGINT) % 2001 - 1000)" +
@@ -113,12 +145,8 @@ object Oracles {
          |             FROM l${i - 1} x JOIN edges e ON e.src = x.v
          |             GROUP BY e.dst) nb ON nb.v = p.v)""".stripMargin
     simhashCte +
+      governedPairsCte +
       """,
-        |b AS MATERIALIZED (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
-        |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
-        |pairs AS MATERIALIZED (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
-        |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
-        |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
         |edges AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
         |          UNION SELECT pb, pa FROM pairs),
         |l0 AS MATERIALIZED (SELECT doc_id AS v, doc_id AS l FROM m)""".stripMargin +
@@ -148,12 +176,8 @@ object Oracles {
          |        FROM deg d CROSS JOIN nn
          |        LEFT JOIN c$i ON c$i.doc_id = d.doc_id)""".stripMargin
     simhashCte +
+      governedPairsCte +
       """,
-        |b AS MATERIALIZED (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
-        |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
-        |pairs AS MATERIALIZED (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
-        |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
-        |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
         |e AS (SELECT pa AS src, pb AS dst FROM pairs
         |      UNION ALL SELECT pb, pa FROM pairs),
         |deg AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
@@ -342,12 +366,8 @@ object Oracles {
          |      FROM ($clustersSql) c) s
          |GROUP BY split ORDER BY split""".stripMargin,
     "split_leakage" -> (simhashCte +
+      governedPairsCte +
       """,
-        |b AS MATERIALIZED (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
-        |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
-        |pairs AS MATERIALIZED (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
-        |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
-        |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
         |sp AS (SELECT pa, pb,
         |         CASE WHEN CAST(concat('0x', substr(md5(CAST(pa AS VARCHAR)), 1, 15))
         |                   AS BIGINT) % 100 < 80 THEN 'train'
@@ -478,12 +498,8 @@ object Oracles {
         |FROM f GROUP BY source, shard_id
         |ORDER BY source, shard_id""".stripMargin,
     "label_propagation" -> (simhashCte +
+      governedPairsCte +
       """,
-        |b AS MATERIALIZED (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
-        |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
-        |pairs AS MATERIALIZED (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
-        |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
-        |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
         |e AS (SELECT pa AS src, pb AS dst FROM pairs
         |      UNION ALL SELECT pb, pa FROM pairs),
         |l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM e),
@@ -504,12 +520,8 @@ object Oracles {
     // per-community modularity contribution as the exact integer
     // numerator 4·m·e_c − d_c² — division-free
     "graph_modularity" -> (simhashCte +
+      governedPairsCte +
       """,
-        |b AS MATERIALIZED (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
-        |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
-        |pairs AS MATERIALIZED (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
-        |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
-        |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
         |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
         |      UNION ALL SELECT pb, pa FROM pairs),
         |l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM e),
@@ -541,22 +553,17 @@ object Oracles {
         |         AS contrib_num
         |FROM dc LEFT JOIN ein ON ein.label = dc.label CROSS JOIN mm
         |ORDER BY dc.label""".stripMargin),
-    "graph_triangles" -> (simhashCte +
+    "graph_triangles" -> (simhashCte + governedPairsCte +
       """,
-        |b AS MATERIALIZED (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
-        |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
-        |pairs0 AS MATERIALIZED (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
-        |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
-        |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
         |dg AS MATERIALIZED (SELECT v, count(*) AS deg FROM (
-        |        SELECT pa AS v FROM pairs0 UNION ALL SELECT pb AS v FROM pairs0)
+        |        SELECT pa AS v FROM pairs UNION ALL SELECT pb AS v FROM pairs)
         |      GROUP BY v),
-        |pairs AS MATERIALIZED (SELECT pa, pb FROM pairs0
-        |          JOIN dg da ON da.v = pairs0.pa JOIN dg db ON db.v = pairs0.pb
+        |pairsc AS MATERIALIZED (SELECT pa, pb FROM pairs
+        |          JOIN dg da ON da.v = pairs.pa JOIN dg db ON db.v = pairs.pb
         |          WHERE da.deg <= 256 AND db.deg <= 256),
         |t AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
-        |      FROM pairs e1 JOIN pairs e2 ON e1.pb = e2.pa
-        |      JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+        |      FROM pairsc e1 JOIN pairsc e2 ON e1.pb = e2.pa
+        |      JOIN pairsc e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM (SELECT unnest([a, b, c]) AS doc_id FROM t)
         |GROUP BY doc_id ORDER BY n_triangles DESC, doc_id LIMIT 20""".stripMargin),
@@ -597,12 +604,8 @@ object Oracles {
     // degree histogram buckets via integer bit length (length(bin(x))-1):
     // both engines print unpadded binary, so bucket edges are exact
     "graph_degree_hist" -> (simhashCte +
+      governedPairsCte +
       """,
-        |b AS MATERIALIZED (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
-        |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
-        |pairs AS MATERIALIZED (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
-        |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
-        |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
         |deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS deg FROM
         |        (SELECT pa AS doc_id FROM pairs
         |         UNION ALL SELECT pb AS doc_id FROM pairs)
@@ -619,13 +622,8 @@ object Oracles {
     // are MATERIALIZED: DuckDB inlines CTEs by default, and each round
     // references the previous one twice — inlined, the unroll would
     // re-evaluate the simhash chain 2^8 times
-    "kcore_membership" -> (simhashCte +
+    "kcore_membership" -> (simhashCte + governedPairsCte +
       s""",
-         |b AS MATERIALIZED (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
-         |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
-         |pairs AS MATERIALIZED (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
-         |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
-         |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
          |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
          |      UNION ALL SELECT pb, pa FROM pairs),
          |v0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id FROM e),
@@ -954,15 +952,37 @@ object Oracles {
         |       (simhash >> 16) % 256 AS band2,
         |       (simhash >> 24) % 256 AS band3
         |FROM m ORDER BY doc_id""".stripMargin),
-    "simhash_neardup_pairs" -> (simhashCte +
-      """,
-        |b AS MATERIALIZED (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
-        |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks)
-        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-        |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
-        |FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
-        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+    "simhash_neardup_pairs" -> (simhashCte + governedPairsCte +
+      """
+        |SELECT pa AS doc_a, pb AS doc_b, hamming FROM pairs
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // the governor REPORT: per ladder level, projected candidate mass and
+    // the chosen level — same hb histogram the pair CTE uses, no join
+    "pair_budget_governor" -> (simhashCte + {
+      val vals = operators.DocDedup.SimhashBandLayouts
+        .map { case (l, k, s, w) => s"($l, $k, $s, $w)" }.mkString(", ")
+      val budget = operators.DocDedup.PairBudget
+      s""",
+         |bl AS (SELECT * FROM (VALUES $vals) AS t(lvl, k, shift, width)),
+         |hb AS (SELECT bl.lvl, bl.k,
+         |         (simhash >> bl.shift) % (CAST(1 AS BIGINT) << bl.width) AS bv,
+         |         CAST(count(*) AS BIGINT) AS n
+         |       FROM m, bl GROUP BY 1, 2, 3),
+         |mm AS (SELECT lvl, CAST(count(DISTINCT k) AS BIGINT) AS n_bands,
+         |         CAST(count(*) AS BIGINT) AS n_buckets,
+         |         CAST(sum((n*(n-1))//2) AS BIGINT) AS cand_pairs
+         |       FROM hb GROUP BY lvl),
+         |pk AS (SELECT CAST(COALESCE(min(lvl), 3) AS INTEGER) AS chosen_lvl
+         |       FROM mm WHERE cand_pairs <= $budget)
+         |SELECT CAST(mm.lvl AS INTEGER) AS lvl, mm.n_bands,
+         |       CAST(3 - mm.lvl AS INTEGER) AS hamming_radius,
+         |       mm.n_buckets, mm.cand_pairs,
+         |       CAST($budget AS BIGINT) AS budget,
+         |       CASE WHEN mm.cand_pairs <= $budget THEN 1 ELSE 0 END
+         |         AS within_budget,
+         |       CASE WHEN mm.lvl = pk.chosen_lvl THEN 1 ELSE 0 END AS chosen
+         |FROM mm, pk ORDER BY lvl""".stripMargin
+    }),
     "dedup_ensemble" -> {
       val mhPairs = minhashCte +
         """,
@@ -970,13 +990,9 @@ object Oracles {
           |      FROM s, (SELECT unnest([0,1,2,3]) AS k) ks)
           |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
           |FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id""".stripMargin
-      val shPairs = simhashCte +
-        """,
-          |b AS MATERIALIZED (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
-          |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks)
-          |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-          |FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
-          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin
+      val shPairs = simhashCte + governedPairsCte +
+        """
+          |SELECT pa AS doc_a, pb AS doc_b FROM pairs""".stripMargin
       s"""SELECT COALESCE(a.doc_a, s.doc_a) AS doc_a,
          |       COALESCE(a.doc_b, s.doc_b) AS doc_b,
          |       CASE WHEN a.doc_a IS NULL THEN 0 ELSE 1 END AS by_minhash,
@@ -2160,12 +2176,8 @@ object Oracles {
     // frontier-expansion + min-dist rounds (same pair CTE as
     // label_propagation; seeds = every 50th doc, dist 0)
     "graph_bfs_distance" -> (simhashCte +
+      governedPairsCte +
       """,
-        |b AS MATERIALIZED (SELECT doc_id, simhash, ks.k, (simhash >> (8*ks.k)) % 256 AS bv
-        |      FROM m, (SELECT unnest([0,1,2,3]) AS k) ks),
-        |pairs AS MATERIALIZED (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
-        |          FROM b x JOIN b y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
-        |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
         |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
         |      UNION ALL SELECT pb, pa FROM pairs),
         |d0 AS (SELECT doc_id, 0 AS dist FROM documents WHERE doc_id % 50 = 0),

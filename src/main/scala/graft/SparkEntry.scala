@@ -206,6 +206,7 @@ object SparkEntry {
     "cluster_split"        -> (DocDedup.clusterSplit(_, _)),
     "simhash_docs"         -> (DocDedup.simhashDocs(_, _)),
     "simhash_neardup_pairs" -> (DocDedup.simhashNearDupPairs(_, _)),
+    "pair_budget_governor" -> (DocDedup.pairBudgetGovernor(_, _)),
     "ngram_jaccard"        -> (DocDedup.ngramJaccardProbe(_, _)),
     "fuzzy_join"           -> (DocDedup.fuzzyJoinPairs(_, _)),
     "dedup_clusters"       -> (DocDedup.dedupClusters(_, _)),
@@ -275,8 +276,10 @@ object SparkEntry {
 
   /** DuckDB oracle twins (driver runs these on the same parquet dirs).
     * LLM-operator oracles (incl. generated simhash/LSH SQL) live in
-    * [[Oracles.llm]]; `distinct_users_approx` (HLL++) is intentionally
-    * oracle-less → rows-only check (accuracy band pinned in GATE.json). */
+    * [[Oracles.llm]]. Every registered query has a twin — including
+    * `distinct_users_approx`, whose HLL++ accuracy band is emitted AS
+    * DATA (within-10% booleans next to exact counts) so the twin is pure
+    * SQL with literal `true`s. */
   def oracleSql: Map[String, String] = Oracles.llm ++ Map(
     "sales_totals" ->
       """SELECT user_id,
@@ -1805,7 +1808,11 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |       count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    // distinct_users_approx: engine-specific HLL++ estimate — no SQL oracle.
+    "distinct_users_approx" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |       count(DISTINCT event_id) AS n_events_distinct,
+        |       true AS users_within_band, true AS events_within_band
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "rollup_report" ->
       """SELECT event_type, d, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

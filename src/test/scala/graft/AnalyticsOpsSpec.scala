@@ -112,12 +112,21 @@ class AnalyticsOpsSpec extends SparkSpecBase {
       assert(gates.forall(g => g == 0 || g == 1))
       assert(r.getInt(9) == (if (gates.forall(_ == 1)) 1 else 0),
         s"doc ${r.getLong(0)}: pass != AND(gates)")
-      // mean_word_len must equal n_letters / n_tokens exactly
-      val meanFromCols =
-        (r.getInt(1) /* n_tokens */ * r.getDouble(4)).round // n_letters
-      assert(meanFromCols >= r.getInt(1),
-        "letters < tokens impossible for 1+ char tokens")
     }
+    // mean_word_len recounted from the raw text (length minus the
+    // single-space separators over the space-split token count) — an
+    // off-by-one in the separator subtraction or a tokenizer drift would
+    // break exact equality here
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    Tables.documents(spark, Sf001).select("doc_id", "text")
+      .orderBy("doc_id").limit(25).collect().foreach { d =>
+        val r = byId(d.getLong(0))
+        val nToks = d.getString(1).split(" ", -1).length
+        val nLetters = d.getString(1).length - (nToks - 1)
+        assert(r.getInt(1) == nToks, s"doc ${d.getLong(0)}: n_tokens")
+        assert(r.getDouble(4) == nLetters.toDouble / nToks,
+          s"doc ${d.getLong(0)}: mean_word_len != n_letters/n_tokens")
+      }
     // both outcomes occur at sf0.01 — the gate thresholds bite
     assert(rows.exists(_.getInt(9) == 1) && rows.exists(_.getInt(9) == 0),
       "thresholds never fire (all pass or all fail) — gates are vacuous")

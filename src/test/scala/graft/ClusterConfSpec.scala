@@ -49,6 +49,56 @@ class ClusterConfSpec extends SparkSpecBase {
     assert(conf("spark.sql.streaming.stateStore.providerClass")
       .contains("RocksDBStateStoreProvider"))
     assert(conf("spark.executor.instances") === "1000")
+    // format-audit scratch MUST be shared FS at cluster scale — the
+    // local-mode java.io.tmpdir default is node-local (fmtTmpDir doc)
+    assert(conf("spark.graft.scratchDir").contains("://"),
+      "cluster scratchDir must be a shared-FS URI")
+  }
+
+  test("reliable-checkpoint swap is config-only and result-identical") {
+    assert(conf("spark.graft.reliableCheckpoints") === "true")
+    assert(conf("spark.checkpoint.dir").contains("://"),
+      "cluster checkpoint dir must be shared FS")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck_spec")
+    spark.sparkContext.setCheckpointDir(ckDir.toString)
+    val base = graft.operators.DocDedup.dedupClusters(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s = spark.newSession()
+    s.conf.set(graft.operators.Checkpoints.ConfKey, "true")
+    try {
+      // cloned session → fresh memo entry → the CC loop (and the pair-gen
+      // memo build) actually re-runs through reliable checkpoint()s
+      val rel = graft.operators.DocDedup.dedupClusters(s, Sf0001)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rel === base, "reliable-checkpoint CC labels diverged")
+      assert(java.nio.file.Files.list(ckDir).count() > 0,
+        "no reliable checkpoint was written — the swap never engaged")
+      // the k-core peel loop under the same flag, vs its scalar reference
+      import s.implicits._
+      val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+        .toDF("doc_a", "doc_b")
+      val core = graft.operators.GraphOps.kcoreMembershipOf(s, pairs, k = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(core === Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 0))
+    } finally s.conf.unset(graft.operators.Checkpoints.ConfKey)
+  }
+
+  test("fmtTmpDir resolves under spark.graft.scratchDir when set") {
+    val s = spark.newSession()
+    // URI roots pass through verbatim (no local File resolution)
+    s.conf.set("spark.graft.scratchDir", "hdfs:///graft/scratch/")
+    val uri = graft.operators.ReferenceOps.fmtTmpDir(s, "graft_fmt", "/x")
+    assert(uri.startsWith("hdfs:///graft/scratch/graft_fmt_"))
+    // local roots resolve under the configured dir, and the audits run
+    val local = java.nio.file.Files.createTempDirectory("graft_scratch_spec")
+    s.conf.set("spark.graft.scratchDir", local.toString)
+    val p = graft.operators.ReferenceOps.fmtTmpDir(s, "graft_fmt", "/x")
+    assert(p.startsWith(local.toString))
+    val rows = graft.operators.ReferenceOps
+      .csvMalformedAudit(s, Sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(java.nio.file.Files.list(local).count() > 0,
+      "audit scratch did not land under the configured root")
   }
 
   test("representative queries plan clean at shuffle.partitions=50000") {

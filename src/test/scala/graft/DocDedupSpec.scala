@@ -151,4 +151,56 @@ class DocDedupSpec extends SparkSpecBase {
     }
     assert(rows.map(_.getLong(2)).sum === labels.length, "doc mass conserved")
   }
+
+  test("pair governor: every ladder level's banded join is pigeonhole-lossless " +
+      "at its radius (banded == brute force on the fixture)") {
+    val docs = DocDedup.simhashDocsMemo(spark, Sf0001)
+    val sims = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toVector
+    (0 to 3).foreach { lvl =>
+      val radius = 3 - lvl
+      val brute = (for {
+        (a, sa) <- sims; (b, sb) <- sims
+        if a < b && java.lang.Long.bitCount(sa ^ sb) <= radius
+      } yield (a, b)).toSet
+      val banded = DocDedup.simhashPairsAt(spark, Sf0001, lvl)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded === brute, s"level $lvl misses/invents pairs")
+    }
+  }
+
+  test("pair governor: escalates exactly when projected mass exceeds the budget") {
+    val mass = DocDedup.simhashPairMass(DocDedup.simhashDocsMemo(spark, Sf0001))
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    // fixture masses are small: a generous budget stays at level 0
+    assert(DocDedup.chosenSimhashLevel(spark, Sf0001, budget = 1L << 40) === 0)
+    // a budget below lvl-0 mass but >= lvl-1 mass escalates exactly one step
+    assert(DocDedup.chosenSimhashLevel(spark, Sf0001, budget = mass(0) - 1) === 1)
+    // an impossible budget floors at level 3 (exact-dup listing)
+    assert(DocDedup.chosenSimhashLevel(spark, Sf0001, budget = 0L) === 3)
+  }
+
+  test("pair governor report: chosen row is the loosest within-budget level " +
+      "and masses recount from the pair joins") {
+    val rows = DocDedup.pairBudgetGovernor(spark, Sf0001).collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(0, 1, 2, 3))
+    val chosen = rows.filter(_.getInt(7) == 1)
+    assert(chosen.length === 1)
+    val within = rows.filter(_.getInt(6) == 1).map(_.getInt(0))
+    assert(chosen.head.getInt(0) === (if (within.nonEmpty) within.min else 3))
+    // candidate mass at each level == the within-bucket join's pair count
+    // BEFORE the hamming filter (recount via an unfiltered bucket join)
+    val sims = DocDedup.simhashDocsMemo(spark, Sf0001).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toVector
+    rows.foreach { r =>
+      val lvl = r.getInt(0)
+      val layout = DocDedup.SimhashBandLayouts.filter(_._1 == lvl)
+      val cand = (for {
+        (_, k, sh, w) <- layout
+        (a, sa) <- sims; (b, sb) <- sims
+        if a < b &&
+          ((sa >>> sh) % (1L << w)) == ((sb >>> sh) % (1L << w))
+      } yield (k, a, b)).size.toLong
+      assert(r.getLong(4) === cand, s"level $lvl projected mass")
+    }
+  }
 }

@@ -51,19 +51,20 @@ class OperatorSmokeSpec extends SparkSpecBase {
     assert(after > before, s"training was a no-op: $before -> $after")
   }
 
-  test("distinct_users_approx: HLL++ estimates within the configured rsd of exact") {
-    // the one rows-only sketch gets a real accuracy gate here: each
-    // type's estimate must sit within 5× the 5% default rsd of the exact
-    // count (generous multiple — sf0.001 cardinalities are small enough
-    // that HLL++ is usually exact, but the bound must hold regardless)
-    val approx = graft.operators.Relational.distinctUsersApprox(spark, Sf0001)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("distinct_users_approx: band booleans true and exact side matches distinct_users") {
+    // the band check is now IN the query output (oracled against literal
+    // true); here we additionally pin that the exact columns agree with
+    // the independent distinct_users implementation
+    val rows = graft.operators.Relational.distinctUsersApprox(spark, Sf0001)
+      .collect()
     val exact = graft.operators.Relational.distinctUsers(spark, Sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet === exact.keySet)
-    exact.foreach { case (t, n) =>
-      val err = math.abs(approx(t) - n).toDouble / n
-      assert(err <= 0.25, s"type $t: approx ${approx(t)} vs exact $n (err $err)")
+    assert(rows.map(_.getString(0)).toSet === exact.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(1) === exact(r.getString(0)),
+        s"${r.getString(0)}: n_users disagrees with distinct_users")
+      assert(r.getBoolean(3), s"${r.getString(0)}: users estimate out of band")
+      assert(r.getBoolean(4), s"${r.getString(0)}: events estimate out of band")
     }
   }
 
@@ -340,9 +341,8 @@ class OperatorSmokeSpec extends SparkSpecBase {
     }
   }
 
-  test("every query has an oracle or a documented exemption") {
-    val exempt = Set("distinct_users_approx")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
+  test("every query has an oracle") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphaned.isEmpty, s"oracles without query: $orphaned")
