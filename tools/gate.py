@@ -70,6 +70,28 @@ def verify_sf(sf, extra_env=None, tag=""):
     return rec
 
 
+STREAMING_SUITES = ["graft.StreamingSpec", "graft.StreamingEntrySpec",
+                    "graft.DynamicSessionsSpec", "graft.RateLimiterSpec"]
+
+
+def rocksdb_twins():
+    """Re-run the whole streaming-twin manifest under the RocksDB state
+    store + changelog checkpointing (the cluster-100tb.conf backend) —
+    proving the state-store swap is config-only for every stateful twin,
+    not just the transformWithState one."""
+    r = run(["sbt", "-batch", "testOnly " + " ".join(STREAMING_SUITES)],
+            extra_env={"SPARK_GRAFT_STATESTORE": "rocksdb"})
+    out = r.stdout + r.stderr
+    m = re.search(r"Tests: succeeded (\d+), failed (\d+)", out)
+    if not m:
+        return {"green": False, "note": "no sbt summary parsed",
+                "rc": r.returncode}
+    return {"green": r.returncode == 0 and m.group(2) == "0",
+            "suites": STREAMING_SUITES,
+            "tests_n": int(m.group(1)), "tests_failed": int(m.group(2)),
+            "statestore": "RocksDBStateStoreProvider+changelog"}
+
+
 def bench_regressions(flag=1.35):
     """Run the bench fresh, diff it calibration-normalized against the last
     COMMITTED BENCH_FULL.json (benchdiff.compare — the same logic the
@@ -159,6 +181,9 @@ def main():
                        "SPARK_GRAFT_AQE": "true"},
             tag="_alt200aqe")
         checkpoint(gate)
+    if not args.skip_tests:
+        gate["rocksdb_twins"] = rocksdb_twins()
+        checkpoint(gate)
     if not args.skip_bench:
         # Run the bench LAST (never concurrent with another Spark JVM —
         # contention inflates times 2-5x) and diff it against the last
@@ -170,6 +195,7 @@ def main():
     gate["oracled_n"] = first.get("oracled_n")
     gate["rows_only"] = first.get("rows_only")
     gate["all_green"] = (gate.get("tests_green", True)
+                         and gate.get("rocksdb_twins", {}).get("green", True)
                          and all(r.get("oracle_fail") == 0
                                  for r in gate["per_sf"])
                          and (args.skip_alt_config
