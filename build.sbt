@@ -31,4 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // passed ~100 entries (round-3 bench died on executor-heartbeat timeouts
   // mid-pass — classic full-GC stall, not a slow query).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 242 queries × 2 bench passes generate thousands of whole-stage-codegen
+  // classes; the JDK17 default 240 MB code cache fills mid-run, the JIT
+  // disables itself, and compute-dense queries (decimal aggs) degrade
+  // ~8× ONLY inside long runs (sf2 bench: pricing_summary 109 s in-run vs
+  // 12.7 s isolated). Standard Spark-driver sizing for codegen-heavy
+  // workloads.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -1582,11 +1582,16 @@ object Oracles {
         |       CAST(n_contam AS DOUBLE) / n_grams AS contam_ratio,
         |       CASE WHEN n_contam >= 5 THEN 1 ELSE 0 END AS flagged
         |FROM c ORDER BY doc_id""".stripMargin),
+    // benchmark-df cap 4 mirrors decontaminatePairs' maxBenchDf: suite-
+    // boilerplate grams (df > 4 across bench docs) are dropped BEFORE the
+    // join on both engines — part of the declared semantics
     "decontaminate_pairs" -> (gramsCte +
       """,
         |e AS (SELECT doc_id, unnest(grams) AS gr FROM g),
-        |b AS (SELECT DISTINCT doc_id AS bench_doc, gr AS bg FROM e
-        |      WHERE doc_id % 50 = 0)
+        |b0 AS (SELECT DISTINCT doc_id AS bench_doc, gr AS bg FROM e
+        |       WHERE doc_id % 50 = 0),
+        |rare AS (SELECT bg FROM b0 GROUP BY bg HAVING count(*) <= 4),
+        |b AS (SELECT bench_doc, b0.bg FROM b0 JOIN rare ON rare.bg = b0.bg)
         |SELECT e.doc_id, b.bench_doc, CAST(count(*) AS BIGINT) AS n_shared
         |FROM e JOIN b ON e.gr = b.bg
         |WHERE e.doc_id % 50 <> 0
