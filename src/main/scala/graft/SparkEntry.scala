@@ -972,7 +972,7 @@ object SparkEntry {
         |SELECT n AS n_customers, total_cents,
         |       CAST(sum((2 * i - n - 1) * cents) AS BIGINT) AS gini_num,
         |       CAST(CAST(sum((2 * i - n - 1) * cents) AS BIGINT) AS DOUBLE)
-        |         / CAST(n * total_cents AS DOUBLE) AS gini
+        |         / (CAST(n AS DOUBLE) * CAST(total_cents AS DOUBLE)) AS gini
         |FROM r, n1 GROUP BY n, total_cents""".stripMargin,
     "small_qty_revenue" ->
       """WITH li AS (

@@ -2528,8 +2528,14 @@ object Relational {
       .agg(max($"n").as("n_customers"), max($"total_cents").as("total_cents"),
         sum((lit(2L) * $"i" - $"n" - 1L) * $"cents").as("gini_num"))
       .select($"n_customers", $"total_cents", $"gini_num",
+        // denominator product in DOUBLE: n · total_cents exceeds int64 at
+        // sf2 (299,994 × 7.5e13 ≈ 2.25e19 — DuckDB throws, Spark with
+        // ANSI off silently WRAPS). Both factors are < 2^53 so their
+        // double conversions are exact and the product is one correctly-
+        // rounded op — bit-stable cross-engine (mirrored in the twin).
         ($"gini_num".cast(DoubleType) /
-          ($"n_customers" * $"total_cents").cast(DoubleType)).as("gini"))
+          ($"n_customers".cast(DoubleType) * $"total_cents".cast(DoubleType)))
+          .as("gini"))
   }
 
   /** NS: TPC-H Q17 shape — revenue locked up in small-lot orders: for the

@@ -153,6 +153,10 @@ def main():
                     help="skip the fresh bench + regression diff vs the "
                          "last committed BENCH_FULL.json")
     ap.add_argument("--alt-sf", default="sf0.1")
+    ap.add_argument("--merge", action="store_true",
+                    help="start from the existing GATE.json and re-run only "
+                         "the named --sfs tiers into it (post-fix tier "
+                         "refresh), keeping every other phase's record")
     args = ap.parse_args()
 
     # Checkpoint the record after every phase: a gate killed at the
@@ -165,12 +169,27 @@ def main():
             json.dump(g, f, indent=1, sort_keys=True)
             f.write("\n")
 
-    gate = {} if args.skip_tests else sbt_tests()
-    checkpoint(gate)
-    gate["per_sf"] = []
-    for sf in args.sfs.split(","):
-        gate["per_sf"].append(verify_sf(sf))
+    if args.merge:
+        with open(os.path.join(REPO, "GATE.json")) as f:
+            gate = json.load(f)
+        if not args.skip_tests:
+            gate.update(sbt_tests())
+            checkpoint(gate)
+        for sf in args.sfs.split(","):
+            rec = verify_sf(sf)
+            tail = os.path.basename(sf.rstrip("/"))
+            gate["per_sf"] = [r for r in gate.get("per_sf", [])
+                              if os.path.basename(str(r.get("sf", ""))
+                                                  .rstrip("/")) != tail]
+            gate["per_sf"].append(rec)
+            checkpoint(gate)
+    else:
+        gate = {} if args.skip_tests else sbt_tests()
         checkpoint(gate)
+        gate["per_sf"] = []
+        for sf in args.sfs.split(","):
+            gate["per_sf"].append(verify_sf(sf))
+            checkpoint(gate)
     if not args.skip_alt_config:
         # Partition-count agnosticism proof: the same sweep must hash-match
         # at a cluster-like shuffle.partitions=200 with AQE on (exercises
@@ -194,15 +213,18 @@ def main():
     gate["registry_n"] = first.get("registry_n")
     gate["oracled_n"] = first.get("oracled_n")
     gate["rows_only"] = first.get("rows_only")
+    # all_green judges every record PRESENT in the gate (merge mode keeps
+    # earlier phases' records, so they stay load-bearing even when their
+    # phase was skipped on this invocation)
     gate["all_green"] = (gate.get("tests_green", True)
                          and gate.get("rocksdb_twins", {}).get("green", True)
                          and all(r.get("oracle_fail") == 0
                                  for r in gate["per_sf"])
-                         and (args.skip_alt_config
-                              or gate["alt_config"].get("oracle_fail") == 0)
-                         and (args.skip_bench
-                              or gate["bench_regressions"].get("green",
-                                                               False)))
+                         and gate.get("alt_config",
+                                      {"oracle_fail": 0})
+                             .get("oracle_fail") == 0
+                         and gate.get("bench_regressions",
+                                      {"green": True}).get("green", False))
     path = os.path.join(REPO, "GATE.json")
     with open(path, "w") as f:
         json.dump(gate, f, indent=1, sort_keys=True)
