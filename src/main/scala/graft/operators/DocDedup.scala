@@ -267,10 +267,14 @@ object DocDedup {
         sum(shiftright(col("n") * (col("n") - 1), 1)).as("cand_pairs"))
   }
 
-  // ladder decisions are deterministic per (dir, budget) — cache the
-  // 4-row collect so repeated consumers don't re-trigger it
+  // ladder decisions are deterministic per (session, dir, budget) — cache
+  // the 4-row collect so repeated consumers don't re-trigger it. Keyed by
+  // session like FrameMemo (NOT (dir, budget) alone): if the data under
+  // `dir` is regenerated in the same JVM, a fresh session must re-decide
+  // the level from the fresh data, or the pair join would run at a stale
+  // ladder level while the DuckDB twin recomputes it.
   private val levelMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), Int]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Long), Int]
 
   /** The governor's choice: loosest ladder level whose projected candidate
     * mass fits the budget (level 3 — exact-dup listing — is the floor even
@@ -279,7 +283,7 @@ object DocDedup {
     * `semantic_dedup` adaptive-k pattern. */
   private[graft] def chosenSimhashLevel(spark: SparkSession, dir: String,
       budget: Long = PairBudget): Int =
-    levelMemo.getOrElseUpdate((dir, budget), {
+    levelMemo.getOrElseUpdate((spark, dir, budget), {
       val masses = simhashPairMass(simhashDocsMemo(spark, dir))
         .select(col("lvl"), col("cand_pairs")).collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -374,8 +374,16 @@ object ReferenceOps {
     val root = spark.conf.getOption("spark.graft.scratchDir")
       .getOrElse(sys.props("java.io.tmpdir"))
     val name = s"${prefix}_${dir.hashCode & 0x7fffffff}_p${ProcessHandle.current().pid()}"
-    if (root.contains("://")) s"${root.stripSuffix("/")}/$name"
-    else {
+    if (root.contains("://")) {
+      // Shared-FS root (the cluster conf): the pid-keyed dir would
+      // otherwise accumulate one events-slice copy per run forever —
+      // register a Hadoop-FS deleteOnExit so the filesystem's shutdown
+      // hook removes it (the audit's re-read completes within this JVM).
+      val p = s"${root.stripSuffix("/")}/$name"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(hp)
+      p
+    } else {
       val f = new java.io.File(root, name)
       fmtScratch.add(f)
       val _ = fmtCleanupHook

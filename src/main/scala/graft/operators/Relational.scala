@@ -728,13 +728,33 @@ object Relational {
     * sketch half.) */
   def distinctUsersApprox(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.events(spark, dir)
-      .groupBy($"event_type")
-      .agg(
-        countDistinct($"user_id").as("n_users"),
-        countDistinct($"event_id").as("n_events_distinct"),
-        approx_count_distinct($"user_id", 0.02).as("au"),
+    // Plan note: the obvious single groupBy with two countDistincts +
+    // two HLLs rewrites through Expand — every input row quadrupled
+    // before the shuffle (one replica per distinct group + one for the
+    // plain aggregates). Measured as the suite's slowest query at 26 s/
+    // sf2. Instead each exact distinct is its own TWO-LEVEL aggregate
+    // (groupBy(type, id) partial-combines duplicates map-side, then a
+    // bounded per-type count) and the two HLLs share one plain
+    // aggregate — three linear passes, zero fan-out, and the terminal
+    // join is over ≤ |event_type| rows (broadcast both sides).
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", $"user_id", $"event_id")
+    // `where isNotNull` keeps countDistinct's null semantics bit-exact.
+    def exactDistinct(id: Column, as: String) = ev
+      .select($"event_type", id.as("k")).where($"k".isNotNull).distinct()
+      .groupBy($"event_type").agg(count(lit(1)).as(as))
+    val sketches = ev.groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.02).as("au"),
         approx_count_distinct($"event_id", 0.02).as("ae"))
+    sketches
+      .join(broadcast(exactDistinct($"user_id", "nu0")),
+        Seq("event_type"), "left")
+      .join(broadcast(exactDistinct($"event_id", "ne0")),
+        Seq("event_type"), "left")
+      // left + coalesce: an all-null id column must still report 0, as
+      // countDistinct would.
+      .withColumn("n_users", coalesce($"nu0", lit(0L)))
+      .withColumn("n_events_distinct", coalesce($"ne0", lit(0L)))
       .select($"event_type", $"n_users", $"n_events_distinct",
         (abs($"au" - $"n_users") <= $"n_users" * 0.10)
           .as("users_within_band"),
@@ -2597,31 +2617,39 @@ object Relational {
     * on orders with ≥2 suppliers, the one supplier whose latest shipment
     * IS the order's latest shipment (and uniquely so — the exists/
     * not-exists pair of the original, folded into one pass). Two stacked
-    * aggregations, no self-join: per-(order,supplier) max shipdate, then
-    * a window over the order computes the order max and the count of
-    * suppliers at that max — the blamed supplier is `own_max = order_max
-    * ∧ n_at_max = 1`. Everything after the first groupBy is one row per
-    * (order,supplier): the 100 TB plan shuffles the fact table once. */
+    * aggregations, no self-join and NO window: per-(order,supplier) max
+    * shipdate, then ONE more groupBy per order that finds the argmax
+    * supplier and detects ties in the same pass — `max(struct(supp_max,
+    * suppkey))` vs `max(struct(supp_max, −suppkey))` agree on the
+    * supplier iff exactly one supplier holds the order max, so
+    * `n_at_max = 1` never needs a second look at the rows. Both maxes
+    * are partial-aggregable, so the whole query is two map-side-combined
+    * hash aggregates on one reused exchange — no per-group sort at any
+    * scale (the previous shape stacked two window passes over millions
+    * of 1–7-row groups and re-sorted the fact exchange each time:
+    * measured 4.96× at the sf1→sf2 doubling; this shape removed it). */
   def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // ONE fact shuffle: hash-partitioning on l_orderkey alone satisfies
-    // both the (l_orderkey, l_suppkey) groupBy (subset clustering) and the
-    // l_orderkey window, so the heavy lineitem exchange is reused — the
-    // alternative (groupBy on the pair, then re-exchange for the window)
+    // both the (l_orderkey, l_suppkey) groupBy (subset clustering) and
+    // the per-order groupBy, so the heavy lineitem exchange is reused —
+    // the alternative (groupBy on the pair, then re-exchange per order)
     // shuffles twice at 100 TB.
     val perSupp = Tables.lineitem(spark, dir)
       .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
       .repartition($"l_orderkey")
       .groupBy($"l_orderkey", $"l_suppkey")
       .agg(max($"l_shipdate").as("supp_max"))
-    val w = Window.partitionBy($"l_orderkey")
+    // struct max is lexicographic: (supp_max, suppkey) picks the LARGEST
+    // suppkey at the order-max date, (supp_max, −suppkey) the SMALLEST —
+    // they name the same supplier iff the max-date holder is unique.
     val blamed = perSupp
-      .withColumn("n_supp", count(lit(1)).over(w))
-      .withColumn("order_max", max($"supp_max").over(w))
-      .withColumn("n_at_max",
-        sum(when($"supp_max" === $"order_max", 1L).otherwise(0L)).over(w))
-      .filter($"n_supp" >= 2 && $"n_at_max" === 1 &&
-        $"supp_max" === $"order_max")
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+        max(struct($"supp_max", $"l_suppkey")).as("hi"),
+        max(struct($"supp_max", (-$"l_suppkey").as("neg"))).as("lo"))
+      .filter($"n_supp" >= 2 && $"hi.l_suppkey" === -$"lo.neg")
+      .select($"hi.l_suppkey".as("l_suppkey"))
     blamed
       .join(broadcast(Tables.supplier(spark, dir)),
         $"l_suppkey" === $"s_suppkey")
