@@ -983,6 +983,49 @@ object Oracles {
          |       CASE WHEN mm.lvl = pk.chosen_lvl THEN 1 ELSE 0 END AS chosen
          |FROM mm, pk ORDER BY lvl""".stripMargin
     }),
+    // the governor ladder's RECALL audit: level-0 truth pairs (hamming
+    // ≤ 3) on the bounded calibration sample, surviving fraction per
+    // narrowed radius, the corpus-wide pick flagged — brute pair scan is
+    // fine here (≤ C(1024,2) rows), the engine uses the lossless banded
+    // join for the identical set
+    "governor_recall" -> (simhashCte + {
+      val vals = operators.DocDedup.SimhashBandLayouts
+        .map { case (l, k, s, w) => s"($l, $k, $s, $w)" }.mkString(", ")
+      val budget = operators.DocDedup.PairBudget
+      val calib = operators.DocDedup.RecallCalibDocs
+      s""",
+         |c AS MATERIALIZED (SELECT doc_id, simhash FROM m WHERE doc_id < $calib),
+         |t AS (SELECT bit_count(xor(x.simhash, y.simhash)) AS h
+         |      FROM c x, c y
+         |      WHERE x.doc_id < y.doc_id
+         |        AND bit_count(xor(x.simhash, y.simhash)) <= 3),
+         |agg AS (SELECT
+         |    CAST(COALESCE(sum(CASE WHEN h <= 3 THEN 1 END), 0) AS BIGINT) AS s0,
+         |    CAST(COALESCE(sum(CASE WHEN h <= 2 THEN 1 END), 0) AS BIGINT) AS s1,
+         |    CAST(COALESCE(sum(CASE WHEN h <= 1 THEN 1 END), 0) AS BIGINT) AS s2,
+         |    CAST(COALESCE(sum(CASE WHEN h <= 0 THEN 1 END), 0) AS BIGINT) AS s3
+         |  FROM t),
+         |bl AS (SELECT * FROM (VALUES $vals) AS bt(lvl, k, shift, width)),
+         |hb AS (SELECT bl.lvl,
+         |         (simhash >> bl.shift) % (CAST(1 AS BIGINT) << bl.width) AS bv,
+         |         bl.k, CAST(count(*) AS BIGINT) AS n
+         |       FROM m, bl GROUP BY 1, 2, 3),
+         |pk AS (SELECT CAST(COALESCE(min(lvl), 3) AS INTEGER) AS chosen_lvl FROM (
+         |         SELECT lvl, sum((n*(n-1))//2) AS cand FROM hb GROUP BY lvl) mm
+         |       WHERE cand <= $budget)
+         |SELECT CAST(v.lvl AS INTEGER) AS lvl,
+         |       CAST(3 - v.lvl AS INTEGER) AS hamming_radius,
+         |       agg.s0 AS n_true_pairs,
+         |       CASE v.lvl WHEN 0 THEN agg.s0 WHEN 1 THEN agg.s1
+         |                  WHEN 2 THEN agg.s2 ELSE agg.s3 END AS n_survive,
+         |       CAST(CASE WHEN agg.s0 > 0 THEN
+         |         CAST(CASE v.lvl WHEN 0 THEN agg.s0 WHEN 1 THEN agg.s1
+         |                         WHEN 2 THEN agg.s2 ELSE agg.s3 END AS DOUBLE)
+         |           / agg.s0 END AS DOUBLE) AS recall,
+         |       CASE WHEN v.lvl = pk.chosen_lvl THEN 1 ELSE 0 END AS chosen
+         |FROM (VALUES (0), (1), (2), (3)) v(lvl), agg, pk
+         |ORDER BY lvl""".stripMargin
+    }),
     "dedup_ensemble" -> {
       val mhPairs = minhashCte +
         """,

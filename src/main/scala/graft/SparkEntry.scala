@@ -207,6 +207,7 @@ object SparkEntry {
     "simhash_docs"         -> (DocDedup.simhashDocs(_, _)),
     "simhash_neardup_pairs" -> (DocDedup.simhashNearDupPairs(_, _)),
     "pair_budget_governor" -> (DocDedup.pairBudgetGovernor(_, _)),
+    "governor_recall"      -> (DocDedup.governorRecall(_, _)),
     "ngram_jaccard"        -> (DocDedup.ngramJaccardProbe(_, _)),
     "fuzzy_join"           -> (DocDedup.fuzzyJoinPairs(_, _)),
     "dedup_clusters"       -> (DocDedup.dedupClusters(_, _)),

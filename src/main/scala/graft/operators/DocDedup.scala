@@ -316,6 +316,65 @@ object DocDedup {
       .orderBy($"lvl")
   }
 
+  /** Calibration-sample size for [[governorRecall]] — bounded CONSTANT
+    * (not a corpus fraction) so the recall audit's pair work is ≤
+    * C(1024,2) at any corpus size; small tiers (500 docs) simply use the
+    * whole corpus. */
+  private[graft] val RecallCalibDocs = 1024L
+
+  /** NS: the governor ladder's measured RECALL cost — the quality axis of
+    * the [[pairBudgetGovernor]] knob table (which only prices each level).
+    * On a bounded calibration sample (doc_id < [[RecallCalibDocs]]), the
+    * level-0 truth set (ALL sample pairs with hamming ≤ 3 — the banded
+    * level-0 join is pigeonhole-lossless at that radius, so no brute-force
+    * cross join is needed) is computed once, then each ladder level
+    * reports how many of those true near-dup pairs its narrowed radius
+    * `3 − lvl` still catches. `recall` is the surviving fraction; the
+    * governor's actual pick at this corpus size is flagged, so the report
+    * reads "escalating to the chosen level trades away 1 − recall of true
+    * near-dups". Cost: one ≤1024-doc slice of the memoized simhash frame
+    * + a bounded banded self-join — corpus-size-independent, like every
+    * governor decision input. The DuckDB twin replays the same sample,
+    * radii, and pick bit-exactly. */
+  def governorRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = simhashDocsMemo(spark, dir).where($"doc_id" < RecallCalibDocs)
+    val bandCols = SimhashBandLayouts.filter(_._1 == 0).map { case (_, k, sh, w) =>
+      struct(lit(k).as("k"),
+        pmod(shiftright($"simhash", sh), lit(1L << w)).as("bv"))
+    }
+    val bands = docs
+      .select($"doc_id", $"simhash", explode(array(bandCols: _*)).as("b"))
+      .select($"doc_id", $"simhash", $"b.k".as("k"), $"b.bv".as("bv"))
+    val truth = bands.as("x")
+      .join(bands.as("y"), col("x.k") === col("y.k") && col("x.bv") === col("y.bv"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("h"))
+      .where($"h" <= 3)
+      .distinct()
+    // one bounded aggregate row (sums coalesced: empty truth set must
+    // still emit the 4 ladder rows with zero counts)
+    val one = truth.agg(
+      coalesce(sum(when($"h" <= 3, 1L)), lit(0L)).as("s0"),
+      coalesce(sum(when($"h" <= 2, 1L)), lit(0L)).as("s1"),
+      coalesce(sum(when($"h" <= 1, 1L)), lit(0L)).as("s2"),
+      coalesce(sum(when($"h" <= 0, 1L)), lit(0L)).as("s3"))
+    val chosen = chosenSimhashLevel(spark, dir)
+    spark.range(4).select($"id".cast(IntegerType).as("lvl"))
+      .crossJoin(broadcast(one)) // scalar-broadcast: `one` is a 1-row agg
+      .select($"lvl", (lit(3) - $"lvl").as("hamming_radius"),
+        $"s0".as("n_true_pairs"),
+        element_at(array($"s0", $"s1", $"s2", $"s3"), $"lvl" + 1)
+          .as("n_survive"),
+        when($"s0" > 0,
+          element_at(array($"s0", $"s1", $"s2", $"s3"), $"lvl" + 1)
+            .cast(DoubleType) / $"s0")
+          .as("recall"),
+        ($"lvl" === chosen).cast(IntegerType).as("chosen"))
+      .orderBy($"lvl")
+  }
+
   /** SimHash near-dup pairs under the BUDGETED default: hamming(simhash)
     * ≤ 3 − chosen level, candidates restricted to docs sharing a band of
     * the chosen layout (pigeonhole-lossless at that radius — see
@@ -327,9 +386,13 @@ object DocDedup {
     simhashPairsMemo(spark, dir).orderBy($"doc_a", $"doc_b")
   }
 
-  private[operators] def simhashPairsMemo(spark: SparkSession, dir: String): DataFrame =
-    memoized(spark, dir, "simhash_pairs") {
-      simhashPairsAt(spark, dir, chosenSimhashLevel(spark, dir))
+  private[graft] def simhashPairsMemo(spark: SparkSession, dir: String,
+      budget: Long = PairBudget): DataFrame =
+    // non-default budgets (the escalation spec's fixture path) get their
+    // own memo slot so they can never serve the governed default
+    memoized(spark, dir,
+      if (budget == PairBudget) "simhash_pairs" else s"simhash_pairs@b=$budget") {
+      simhashPairsAt(spark, dir, chosenSimhashLevel(spark, dir, budget))
     }
 
   /** The banded pair join at an EXPLICIT ladder level — the governed

@@ -380,8 +380,14 @@ object ReferenceOps {
       // register a Hadoop-FS deleteOnExit so the filesystem's shutdown
       // hook removes it (the audit's re-read completes within this JVM).
       val p = s"${root.stripSuffix("/")}/$name"
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(hp)
+      // best-effort: path construction must stay side-effect-free when the
+      // shared FS is unreachable from this process (the local-mode spec
+      // pins an hdfs:/// conf with no namenode — resolution happens at
+      // write time anyway)
+      try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(hp)
+      } catch { case _: java.io.IOException => }
       p
     } else {
       val f = new java.io.File(root, name)

@@ -203,4 +203,52 @@ class DocDedupSpec extends SparkSpecBase {
       assert(r.getLong(4) === cand, s"level $lvl projected mass")
     }
   }
+
+  test("governor escalation (level >= 1) runs end-to-end in the default gate") {
+    // sf0.001/sf0.1 verifies only ever exercise ladder level 0 — a tiny
+    // EXPLICIT budget forces the escalated banded join + a downstream
+    // consumer through the suite, checked against an independent brute
+    // twin (all-pairs hamming + union-find — no engine code shared).
+    val budget = 1000L
+    val lvl = DocDedup.chosenSimhashLevel(spark, Sf0001, budget)
+    assert(lvl >= 1, s"budget=$budget must force escalation, picked $lvl")
+    val governed = DocDedup.simhashPairsMemo(spark, Sf0001, budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sims = DocDedup.simhashDocsMemo(spark, Sf0001).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toVector
+    val layout = DocDedup.SimhashBandLayouts.filter(_._1 == lvl)
+    val brute = (for {
+      (a, sa) <- sims; (b, sb) <- sims
+      if a < b && java.lang.Long.bitCount((sa ^ sb) & 0xffffffffL) <= 3 - lvl &&
+        // pigeonhole says the band restriction loses nothing at radius
+        // 3-lvl; assert that rather than assume it
+        layout.exists { case (_, _, sh, w) =>
+          ((sa >>> sh) % (1L << w)) == ((sb >>> sh) % (1L << w)) }
+    } yield (a, b, java.lang.Long.bitCount((sa ^ sb) & 0xffffffffL))).toSet
+    val bruteUnbanded = (for {
+      (a, sa) <- sims; (b, sb) <- sims
+      if a < b && java.lang.Long.bitCount((sa ^ sb) & 0xffffffffL) <= 3 - lvl
+    } yield (a, b)).toSet
+    assert(brute.map(t => (t._1, t._2)) === bruteUnbanded,
+      "band layout must be pigeonhole-lossless at its radius")
+    assert(governed === brute)
+    // downstream consumer at the escalated level: engine star-contraction
+    // CC over the governed pairs vs a driver-side union-find over brute
+    val labels = DocDedup.connectedComponents(
+        DocDedup.simhashPairsMemo(spark, Sf0001, budget)
+          .select($"doc_a", $"doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    brute.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = brute.flatMap(t => Seq(t._1, t._2))
+      .map(d => d -> find(d)).toMap
+    assert(labels === expected)
+  }
 }

@@ -11,7 +11,16 @@ that SURVEY.md cites (so tallies can never drift from the code):
      via benchdiff.compare)             -> bench_regressions record;
      a query flagged in 2+ consecutive gate records FAILS the gate
      unless waived in tools/bench_waivers.json
-  5. merge                              -> <repo>/GATE.json
+  5. fresh sf2 bench vs committed BENCH_SF2.json (same normalization +
+     window counter)                    -> bench_regressions_sf2 record
+  6. merge (atomic os.replace; partial checkpoint removed on success)
+                                        -> <repo>/GATE.json
+
+Every phase record is stamped with the short HEAD sha (+dirty marker).
+--merge keeps prior phases' records but lists any whose stamp differs
+from the current tree in merge_stale and refuses all_green unless
+--allow-stale — a merged gate can never silently claim green with
+evidence that predates the code it vouches for.
 
 Usage: python3 tools/gate.py [--sfs sf0.001,sf0.01,sf0.1] [--skip-tests]
 """
@@ -24,6 +33,23 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TESTDATA = "/root/testdata"
+
+
+def git_head():
+    """Short HEAD sha + dirty marker — stamped into every phase record so
+    a --merge can tell which kept records predate the current tree."""
+    sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+                         capture_output=True, text=True).stdout.strip()
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain", "--untracked-files=no"],
+        cwd=REPO, capture_output=True, text=True).stdout.strip() != ""
+    return (sha or "unknown") + ("+dirty" if dirty else "")
+
+
+def stamp(rec):
+    if isinstance(rec, dict):
+        rec["commit"] = git_head()
+    return rec
 
 
 def run(cmd, extra_env=None, **kw):
@@ -92,37 +118,47 @@ def rocksdb_twins():
             "statestore": "RocksDBStateStoreProvider+changelog"}
 
 
-def bench_regressions(flag=1.35):
+def bench_regressions(flag=1.35, bench_file="BENCH_FULL.json",
+                      sf_dir=None, record_key="bench_regressions",
+                      extra_env=None):
     """Run the bench fresh, diff it calibration-normalized against the last
-    COMMITTED BENCH_FULL.json (benchdiff.compare — the same logic the
+    COMMITTED <bench_file> (benchdiff.compare — the same logic the
     by-hand tool uses), and carry a repeated-window counter forward from
     the previous GATE.json. A query flagged in 2+ consecutive gate records
-    FAILS the gate unless tools/bench_waivers.json explains it."""
+    FAILS the gate unless tools/bench_waivers.json explains it. The sf0.1
+    default diffs BENCH_FULL.json; the scale tier (record_key
+    `bench_regressions_sf2`) diffs BENCH_SF2.json so superlinear-at-scale
+    regressions are caught by the gate, not only by the per-round
+    scalediff study."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import benchdiff
 
     prior_windows = {}
     try:
         with open(os.path.join(REPO, "GATE.json")) as f:
-            prior = json.load(f).get("bench_regressions", {})
+            prior = json.load(f).get(record_key, {})
         prior_windows = {q: v.get("windows", 1)
                          for q, v in prior.get("flagged", {}).items()}
     except (OSError, json.JSONDecodeError):
         pass
 
-    base = subprocess.run(["git", "show", "HEAD:BENCH_FULL.json"],
+    base = subprocess.run(["git", "show", f"HEAD:{bench_file}"],
                           cwd=REPO, capture_output=True, text=True)
     if base.returncode != 0:
-        return {"error": "no committed BENCH_FULL.json baseline"}
+        return {"error": f"no committed {bench_file} baseline"}
     baseline = json.loads(base.stdout)
     old_qc = (baseline.get("queries") or {}, baseline.get("calibration"))
 
-    r = run(["sbt", "-batch", "runMain graft.Bench"],
-            extra_env={"SPARK_GRAFT_SF_DIR": f"{TESTDATA}/sf0.1",
-                       "SPARK_GRAFT_CPUS": "32"})
+    env = {"SPARK_GRAFT_SF_DIR": sf_dir or f"{TESTDATA}/sf0.1",
+           "SPARK_GRAFT_CPUS": "32"}
+    if bench_file != "BENCH_FULL.json":
+        env["SPARK_GRAFT_BENCH_FULL"] = bench_file
+    if extra_env:
+        env.update(extra_env)
+    r = run(["sbt", "-batch", "runMain graft.Bench"], extra_env=env)
     if r.returncode != 0:
         return {"error": f"bench rc={r.returncode}"}
-    new_qc = benchdiff.load(os.path.join(REPO, "BENCH_FULL.json"))
+    new_qc = benchdiff.load(os.path.join(REPO, bench_file))
 
     norm, how, flagged = benchdiff.compare(old_qc, new_qc, flag)
     waivers = {}
@@ -137,7 +173,7 @@ def bench_regressions(flag=1.35):
             v["waived"] = waivers[q]
     failing = sorted(q for q, v in flagged.items()
                      if v["windows"] >= 2 and q not in waivers)
-    return {"baseline": "HEAD:BENCH_FULL.json", "drift": norm,
+    return {"baseline": f"HEAD:{bench_file}", "drift": norm,
             "normalized_by": how, "flag_threshold": flag,
             "flagged": flagged, "failing": failing,
             "green": not failing}
@@ -156,7 +192,17 @@ def main():
     ap.add_argument("--merge", action="store_true",
                     help="start from the existing GATE.json and re-run only "
                          "the named --sfs tiers into it (post-fix tier "
-                         "refresh), keeping every other phase's record")
+                         "refresh), keeping every other phase's record. "
+                         "Kept records whose stamped commit differs from "
+                         "the current tree are listed in merge_stale and "
+                         "FORCE all_green=false unless --allow-stale")
+    ap.add_argument("--allow-stale", action="store_true",
+                    help="merge mode: let kept records from an older "
+                         "commit still count toward all_green (recorded "
+                         "in the gate as allow_stale=true)")
+    ap.add_argument("--skip-scale-bench", action="store_true",
+                    help="skip the testdata-sf2 bench + regression diff "
+                         "vs the last committed BENCH_SF2.json")
     args = ap.parse_args()
 
     # Checkpoint the record after every phase: a gate killed at the
@@ -172,11 +218,13 @@ def main():
     if args.merge:
         with open(os.path.join(REPO, "GATE.json")) as f:
             gate = json.load(f)
+        gate["merged_from"] = gate.get("commit_at_write", "unstamped")
         if not args.skip_tests:
-            gate.update(sbt_tests())
+            gate.update(stamp(sbt_tests()))
+            gate["tests_commit"] = gate.pop("commit")
             checkpoint(gate)
         for sf in args.sfs.split(","):
-            rec = verify_sf(sf)
+            rec = stamp(verify_sf(sf))
             tail = os.path.basename(sf.rstrip("/"))
             gate["per_sf"] = [r for r in gate.get("per_sf", [])
                               if os.path.basename(str(r.get("sf", ""))
@@ -185,50 +233,95 @@ def main():
             checkpoint(gate)
     else:
         gate = {} if args.skip_tests else sbt_tests()
+        if not args.skip_tests:
+            gate["tests_commit"] = git_head()
         checkpoint(gate)
         gate["per_sf"] = []
         for sf in args.sfs.split(","):
-            gate["per_sf"].append(verify_sf(sf))
+            gate["per_sf"].append(stamp(verify_sf(sf)))
             checkpoint(gate)
     if not args.skip_alt_config:
         # Partition-count agnosticism proof: the same sweep must hash-match
         # at a cluster-like shuffle.partitions=200 with AQE on (exercises
         # withGlobalRank/withGlobalCumsum/AsOfJoinExec partitioning).
-        gate["alt_config"] = verify_sf(
+        gate["alt_config"] = stamp(verify_sf(
             args.alt_sf,
             extra_env={"SPARK_GRAFT_SHUFFLE_PARTITIONS": "200",
                        "SPARK_GRAFT_AQE": "true"},
-            tag="_alt200aqe")
+            tag="_alt200aqe"))
         checkpoint(gate)
     if not args.skip_tests:
-        gate["rocksdb_twins"] = rocksdb_twins()
+        gate["rocksdb_twins"] = stamp(rocksdb_twins())
         checkpoint(gate)
     if not args.skip_bench:
-        # Run the bench LAST (never concurrent with another Spark JVM —
-        # contention inflates times 2-5x) and diff it against the last
-        # committed BENCH_FULL.json, calibration-normalized.
-        gate["bench_regressions"] = bench_regressions()
+        # Run the benches LAST (never concurrent with another Spark JVM —
+        # contention inflates times 2-5x) and diff each against its last
+        # committed baseline, calibration-normalized.
+        gate["bench_regressions"] = stamp(bench_regressions())
         checkpoint(gate)
+        sf2_dir = os.path.join(REPO, "testdata-sf2")
+        if not args.skip_scale_bench and os.path.isdir(sf2_dir):
+            # the scale tier: the three real round-10 findings came from
+            # sf2, which the sf0.1 diff structurally cannot see
+            gate["bench_regressions_sf2"] = stamp(bench_regressions(
+                bench_file="BENCH_SF2.json", sf_dir=sf2_dir,
+                record_key="bench_regressions_sf2",
+                extra_env={"SPARK_GRAFT_DEADLINE": "3600",
+                           "SPARK_GRAFT_WARM_DIR": f"{TESTDATA}/sf0.001"}))
+            checkpoint(gate)
     first = next((r for r in gate["per_sf"] if "registry_n" in r), {})
     gate["registry_n"] = first.get("registry_n")
     gate["oracled_n"] = first.get("oracled_n")
     gate["rows_only"] = first.get("rows_only")
     # all_green judges every record PRESENT in the gate (merge mode keeps
     # earlier phases' records, so they stay load-bearing even when their
-    # phase was skipped on this invocation)
-    gate["all_green"] = (gate.get("tests_green", True)
-                         and gate.get("rocksdb_twins", {}).get("green", True)
-                         and all(r.get("oracle_fail") == 0
-                                 for r in gate["per_sf"])
-                         and gate.get("alt_config",
-                                      {"oracle_fail": 0})
-                             .get("oracle_fail") == 0
-                         and gate.get("bench_regressions",
-                                      {"green": True}).get("green", False))
+    # phase was skipped on this invocation) — but a kept record stamped
+    # with an OLDER commit than the current tree is evidence about code
+    # that no longer exists: merge mode lists those in merge_stale and
+    # refuses all_green unless --allow-stale says otherwise.
+    head_now = git_head()
+    gate["commit_at_write"] = head_now
+    if args.merge:
+        stale = []
+        for r in gate.get("per_sf", []):
+            if r.get("commit", "unstamped") != head_now:
+                stale.append(f"per_sf:{os.path.basename(str(r.get('sf', '?')).rstrip('/'))}")
+        for key in ("alt_config", "rocksdb_twins", "bench_regressions",
+                    "bench_regressions_sf2"):
+            if key in gate and gate[key].get("commit", "unstamped") != head_now:
+                stale.append(key)
+        if "tests_green" in gate and gate.get("tests_commit",
+                                              "unstamped") != head_now:
+            stale.append("tests")
+        gate["merge_stale"] = sorted(stale)
+        gate["allow_stale"] = bool(args.allow_stale)
+    green = (gate.get("tests_green", True)
+             and gate.get("rocksdb_twins", {}).get("green", True)
+             and all(r.get("oracle_fail") == 0
+                     for r in gate["per_sf"])
+             and gate.get("alt_config",
+                          {"oracle_fail": 0})
+                 .get("oracle_fail") == 0
+             and gate.get("bench_regressions",
+                          {"green": True}).get("green", False)
+             and gate.get("bench_regressions_sf2",
+                          {"green": True}).get("green", False))
+    if args.merge and gate.get("merge_stale") and not args.allow_stale:
+        print(f"[gate] merge kept stale records {gate['merge_stale']} "
+              "(stamped commit != current tree) — forcing all_green=false; "
+              "re-run those phases or pass --allow-stale")
+        green = False
+    gate["all_green"] = green
+    # atomic write-back: a gate record can never be half-written, and the
+    # phase-checkpoint partial is removed once the real record lands
     path = os.path.join(REPO, "GATE.json")
-    with open(path, "w") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(gate, f, indent=1, sort_keys=True)
         f.write("\n")
+    os.replace(tmp, path)
+    if os.path.exists(partial):
+        os.remove(partial)
     print(f"[gate] wrote {path}: all_green={gate['all_green']}")
     return 0 if gate["all_green"] else 1
 

@@ -133,7 +133,22 @@ def compare_big(con, name, sql, out_dir, n_rows):
                 f"SELECT {collist} FROM got LIMIT 3").fetchall()
             return (False, f"{n_diff} multiset-diff rows of {n_rows}; "
                     f"oracle-only sample={sample}")
-        return True, f"{n_rows} rows, duckdb-side"
+        # EXCEPT ALL is order-insensitive, but compare_small enforces the
+        # query's ORDER BY — keep that discipline here with a bounded head
+        # sample (zero-padded part files + order-preserving scans keep both
+        # sides in their written/declared order).
+        head_k = 1000
+        head_got = [tuple(canon(v) for v in r) for r in con.execute(
+            f"SELECT {collist} FROM got LIMIT {head_k}").fetchall()]
+        head_exp = [tuple(canon(v) for v in r) for r in con.execute(
+            f"SELECT {collist} FROM exp LIMIT {head_k}").fetchall()]
+        if head_got != head_exp:
+            i = next(i for i, (g, e)
+                     in enumerate(zip(head_got, head_exp)) if g != e)
+            return (False, f"multiset matches but head-{head_k} ORDER "
+                    f"differs; first @{i}\n  spark={head_got[i]}\n"
+                    f"  duck ={head_exp[i]}")
+        return True, f"{n_rows} rows, duckdb-side multiset + head-{head_k} order"
     finally:
         con.execute("DROP VIEW IF EXISTS got")
         con.execute("DROP TABLE IF EXISTS exp")
