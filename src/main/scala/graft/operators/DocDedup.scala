@@ -272,9 +272,36 @@ object DocDedup {
   // session like FrameMemo (NOT (dir, budget) alone): if the data under
   // `dir` is regenerated in the same JVM, a fresh session must re-decide
   // the level from the fresh data, or the pair join would run at a stale
-  // ladder level while the DuckDB twin recomputes it.
+  // ladder level while the DuckDB twin recomputes it. SELF-BOUNDING like
+  // FrameMemo: only the 2 most-recently-used sessions' decisions are
+  // kept (insertion-ordered LinkedHashMap), so dead sessions are not
+  // pinned for JVM lifetime; [[clearMemo]] drops decisions alongside the
+  // frames so regeneration-in-place can never pair a stale ladder level
+  // with a fresh simhash frame.
   private val levelMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Long), Int]
+    scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String, Long), Int]
+
+  private def levelMemoGet(key: (SparkSession, String, Long))(build: => Int): Int =
+    levelMemo.synchronized {
+      levelMemo.get(key) match {
+        case Some(v) =>
+          // refresh MRU position so the eviction below tracks recency
+          levelMemo.remove(key); levelMemo.put(key, v); v
+        case None =>
+          val v = build
+          levelMemo.put(key, v)
+          val mruSessions =
+            levelMemo.keys.toSeq.reverse.map(_._1).distinct.take(2).toSet
+          levelMemo.filterInPlace { case ((s, _, _), _) => mruSessions(s) }
+          v
+      }
+    }
+
+  /** Drop every memoized frame AND every cached ladder decision. The two
+    * must clear together: a caller that regenerates the data under a dir
+    * in the same JVM and clears only the frames would otherwise get a
+    * fresh simhash frame served under a stale governor level. */
+  def clearMemo(): Unit = { memo.clear(); levelMemo.synchronized(levelMemo.clear()) }
 
   /** The governor's choice: loosest ladder level whose projected candidate
     * mass fits the budget (level 3 — exact-dup listing — is the floor even
@@ -283,7 +310,7 @@ object DocDedup {
     * `semantic_dedup` adaptive-k pattern. */
   private[graft] def chosenSimhashLevel(spark: SparkSession, dir: String,
       budget: Long = PairBudget): Int =
-    levelMemo.getOrElseUpdate((spark, dir, budget), {
+    levelMemoGet((spark, dir, budget))({
       val masses = simhashPairMass(simhashDocsMemo(spark, dir))
         .select(col("lvl"), col("cand_pairs")).collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -384,10 +384,14 @@ object ReferenceOps {
       // shared FS is unreachable from this process (the local-mode spec
       // pins an hdfs:/// conf with no namenode — resolution happens at
       // write time anyway)
+      // NonFatal, not just IOException: Hadoop surfaces an unresolvable
+      // namenode host as IllegalArgumentException(UnknownHostException),
+      // and path construction is documented side-effect-free for ANY
+      // unreachable-FS misconfiguration, not one exception class
       try {
         val hp = new org.apache.hadoop.fs.Path(p)
         hp.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(hp)
-      } catch { case _: java.io.IOException => }
+      } catch { case scala.util.control.NonFatal(_) => }
       p
     } else {
       val f = new java.io.File(root, name)

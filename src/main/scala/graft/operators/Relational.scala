@@ -652,10 +652,11 @@ object Relational {
     * grouped by which of three (brand-set, size-range, quantity-range)
     * conjunctions a lineitem satisfies. The brackets are brand-disjoint,
     * so the `when` chain is order-independent; non-matching rows drop
-    * before the aggregate. The part side is a broadcast dim here; at
-    * TPC-H-scale part counts the same plan degrades to a partkey-keyed
-    * shuffle join with the bracket predicate evaluated join-side — no
-    * re-plan needed. The OR-of-ANDs is the point: Catalyst splits the
+    * before the aggregate. The part side carries NO broadcast hint —
+    * `part` grows linearly with SF, so the join strategy is left to
+    * statistics/AQE: a broadcast join at fixture tiers, a partkey-keyed
+    * shuffle join with the bracket predicate evaluated join-side at
+    * TPC-H-scale part counts. The OR-of-ANDs is the point: Catalyst splits the
     * disjunction's common `p_partkey` equi-key out of the filter, so the
     * join stays a hash join (never a nested loop over the predicate). */
   def bracketRevenue(spark: SparkSession, dir: String): DataFrame = {
@@ -668,8 +669,8 @@ object Relational {
       .select($"l_partkey", $"l_quantity",
         (dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) -
           dec($"l_discount"))).as("rev"))
-      .join(broadcast(Tables.part(spark, dir)
-        .select($"p_partkey", $"p_brand", $"p_size")),
+      .join(Tables.part(spark, dir)
+        .select($"p_partkey", $"p_brand", $"p_size"),
         $"l_partkey" === $"p_partkey")
     joined
       .withColumn("bracket",
@@ -746,11 +747,14 @@ object Relational {
     val sketches = ev.groupBy($"event_type")
       .agg(approx_count_distinct($"user_id", 0.02).as("au"),
         approx_count_distinct($"event_id", 0.02).as("ae"))
+    // null-SAFE join keys (<=>): a NULL event_type is a legitimate group
+    // on both sides; a plain equi-join would never match it and its
+    // exact counts would silently coalesce to 0 under populated sketches
+    val nu = exactDistinct($"user_id", "nu0").withColumnRenamed("event_type", "et_u")
+    val ne = exactDistinct($"event_id", "ne0").withColumnRenamed("event_type", "et_e")
     sketches
-      .join(broadcast(exactDistinct($"user_id", "nu0")),
-        Seq("event_type"), "left")
-      .join(broadcast(exactDistinct($"event_id", "ne0")),
-        Seq("event_type"), "left")
+      .join(broadcast(nu), $"event_type" <=> $"et_u", "left").drop("et_u")
+      .join(broadcast(ne), $"event_type" <=> $"et_e", "left").drop("et_e")
       // left + coalesce: an all-null id column must still report 0, as
       // countDistinct would.
       .withColumn("n_users", coalesce($"nu0", lit(0L)))
@@ -1545,14 +1549,16 @@ object Relational {
   /** NS: TPC-H Q19-shaped disjunctive-predicate join — OR-of-ANDs across
     * both join sides (brand × size × quantity bands). Catalyst extracts
     * the common `l_partkey = p_partkey` conjunct so the join stays an
-    * equi-join (hash, broadcast dim) with the disjunction as a residual
-    * filter — the plan shape that separates engines that CNF-convert
-    * from those that fall back to a nested loop. */
+    * equi-join (hash) with the disjunction as a residual filter — the
+    * plan shape that separates engines that CNF-convert from those that
+    * fall back to a nested loop. `part` is SF-scaled, so no broadcast
+    * hint: statistics/AQE pick broadcast at fixture tiers and a partkey
+    * shuffle join at 100 TB part counts. */
   def brandPromo(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val l = Tables.lineitem(spark, dir)
     val p = Tables.part(spark, dir)
-    l.join(broadcast(p), $"l_partkey" === $"p_partkey" && (
+    l.join(p, $"l_partkey" === $"p_partkey" && (
         ($"p_brand" === "Brand#1" && $"p_size".between(1, 15) &&
           $"l_quantity".between(1, 11)) ||
         ($"p_brand" === "Brand#2" && $"p_size".between(1, 30) &&
@@ -1578,9 +1584,13 @@ object Relational {
       .groupBy($"l_suppkey")
       .agg(revenueExact($"l_extendedprice", $"l_discount").as("total_revenue"))
     val mx = rev.agg(max($"total_revenue").as("mx"))
-    rev.crossJoin(broadcast(mx))
+    // the tied-at-max winner set is the provably-reduced side (≈1 row),
+    // so IT carries the broadcast hint — never the SF-scaled supplier
+    // table, which would pin an unbounded broadcast at 100 TB.
+    val winners = rev.crossJoin(broadcast(mx))
       .where($"total_revenue" === $"mx")
-      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+    broadcast(winners)
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
       .select($"l_suppkey".as("suppkey"), $"s_name", $"total_revenue")
       .orderBy($"suppkey")
   }
@@ -1741,8 +1751,9 @@ object Relational {
     // localCheckpoint: the distinct (order, brand) frame feeds FOUR
     // consumers (the 1-row order-total aggregate, the brand marginals,
     // both self-join sides) — materialize once (cluster: checkpoint())
+    // part is SF-scaled — no broadcast hint; stats/AQE choose the strategy
     val items = Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
+      .join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
       .select($"l_orderkey".as("okey"), $"p_brand".as("brand"))
       .distinct()
       .localCheckpoint(false)
@@ -1850,7 +1861,7 @@ object Relational {
         $"l_shipdate" < lit("1997-04-01").cast(TimestampType))
     val rev = $"l_extendedprice".cast(DecimalType(18, 2)) *
       (lit(1).cast(DecimalType(18, 2)) - $"l_discount".cast(DecimalType(18, 2)))
-    l.join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
+    l.join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
       .agg(
         sum(when($"p_type" === "PROMO", rev)).cast(DoubleType).as("promo_revenue"),
         sum(rev).cast(DoubleType).as("total_revenue"),
@@ -1885,9 +1896,10 @@ object Relational {
     * the map side ships ONE candidate per (part, partition) instead of a
     * window over all lineitems. Unit price is a single IEEE division per
     * row (identical cross-engine); ties break inside the struct by
-    * suppkey. Joins to supplier/nation are broadcast dims. At 100 TB the
-    * lineitem argmin is the only fact shuffle, with partial aggregation
-    * doing the heavy lifting map-side. */
+    * suppkey. The supplier join is unhinted (supplier is SF-scaled;
+    * stats/AQE choose) and only the bounded nation dim carries a
+    * broadcast hint. At 100 TB the lineitem argmin is the only fact
+    * shuffle, with partial aggregation doing the heavy lifting map-side. */
   def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val best = Tables.lineitem(spark, dir)
@@ -1899,7 +1911,9 @@ object Relational {
       .select($"l_partkey", $"best.unit_price".as("unit_price"),
         $"best.s".as("suppkey"), $"n_offers")
     best
-      .join(broadcast(Tables.supplier(spark, dir)), $"suppkey" === $"s_suppkey")
+      // supplier is SF-scaled — unhinted (stats/AQE choose); nation is
+      // bounded by construction (≤25 rows) so its hint is safe
+      .join(Tables.supplier(spark, dir), $"suppkey" === $"s_suppkey")
       .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
       .select($"l_partkey".as("partkey"), $"suppkey", $"s_name", $"n_name",
         $"unit_price", $"n_offers")
@@ -1949,7 +1963,7 @@ object Relational {
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
       .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
-      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
       .join(broadcast(n1), $"s_nationkey" === $"sn_key")
       .join(broadcast(n2), $"c_nationkey" === $"cn_key")
       .where($"supp_nation" =!= $"cust_nation")
@@ -1965,10 +1979,15 @@ object Relational {
     * (the "local fulfilment" read), restricted to one region and one
     * order year. The same-nation predicate rides the lineitem→supplier
     * join as an extra equality (c_nationkey = s_nationkey), so mismatched
-    * pairs die in the join, not in a post-filter; region membership and
-    * nation names are broadcast dims; the date cut is pushed into the
-    * orders scan. One fact shuffle (lineitem⋈orders), exact decimal
-    * revenue — the Q7 discipline on the Q5 topology. */
+    * pairs die in the join, not in a post-filter; the bounded
+    * nation×region membership is the only hinted broadcast (supplier is
+    * SF-scaled — unhinted, stats/AQE choose); the date cut is a half-open
+    * RANGE LITERAL (`>= '1997-01-01' && < '1998-01-01'`), not `year()`,
+    * so it reaches the orders parquet scan as a min/max row-group filter
+    * — a `year(col)=k` function predicate cannot be pushed and would
+    * read every row group at any scale. One fact shuffle
+    * (lineitem⋈orders), exact decimal revenue — the Q7 discipline on the
+    * Q5 topology. */
   def localVolume(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val nations = Tables.nation(spark, dir)
@@ -1976,12 +1995,13 @@ object Relational {
         $"n_regionkey" === $"r_regionkey")
       .select($"n_nationkey", $"n_name")
     val ord = Tables.orders(spark, dir)
-      .where(year($"o_orderdate") === 1997)
+      .where($"o_orderdate" >= lit("1997-01-01").cast(TimestampType) &&
+        $"o_orderdate" < lit("1998-01-01").cast(TimestampType))
       .select($"o_orderkey", $"o_custkey")
     Tables.lineitem(spark, dir)
       .join(ord, $"l_orderkey" === $"o_orderkey")
       .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
-      .join(broadcast(Tables.supplier(spark, dir)),
+      .join(Tables.supplier(spark, dir),
         $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(nations), $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
@@ -2014,7 +2034,8 @@ object Relational {
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
       .join(custAsia, $"o_custkey" === $"c_custkey", "left_semi")
-      .join(broadcast(suppFlag), $"l_suppkey" === $"s_suppkey")
+      // suppFlag has supplier's cardinality (SF-scaled) — unhinted
+      .join(suppFlag, $"l_suppkey" === $"s_suppkey")
       .groupBy(year($"o_orderdate").as("yr"))
       .agg(
         sum(when($"intra", rev).otherwise(dec(lit(0)))).cast(DoubleType)
@@ -2027,17 +2048,20 @@ object Relational {
 
   /** NS: TPC-H Q9 shape (adapted — the fixture has no partsupp, so profit
     * is revenue): per supplier nation × order year profit on widget
-    * parts. The part-name filter prunes the broadcast part dim BEFORE the
-    * fact join touches it, so only widget lineitems survive into the
-    * orders shuffle; supplier/nation broadcast. Output bounded by
-    * |nations|·|years|. */
+    * parts. The part-name filter prunes the part side BEFORE the fact
+    * join touches it, so only widget lineitems survive into the orders
+    * shuffle; part/supplier are SF-scaled so those joins are unhinted
+    * (stats/AQE choose), and only the bounded nation dim broadcasts.
+    * Output bounded by |nations|·|years|. */
   def productProfit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)
-          .filter($"p_name".contains("widget")).select($"p_partkey")),
+      // part (even name-filtered) and supplier are SF-scaled — unhinted;
+      // only the ≤25-row nation dim keeps its broadcast hint
+      .join(Tables.part(spark, dir)
+          .filter($"p_name".contains("widget")).select($"p_partkey"),
         $"l_partkey" === $"p_partkey")
-      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
       .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
       .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
       .groupBy($"n_name".as("nation"), year($"o_orderdate").as("yr"))
@@ -2572,9 +2596,11 @@ object Relational {
     val p = Tables.part(spark, dir)
       .filter($"p_brand".isin("Brand#1", "Brand#2"))
       .select($"p_partkey", $"p_brand")
+    // p is brand-filtered part — still SF-scaled (a filter does not
+    // bound growth), so the join is unhinted like the other part joins
     val li = Tables.lineitem(spark, dir)
       .select($"l_partkey", $"l_quantity", $"l_extendedprice")
-      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .join(p, $"l_partkey" === $"p_partkey")
     val w = Window.partitionBy($"l_partkey")
     li.withColumn("sum_q",
         sum(($"l_quantity".cast(DecimalType(18, 2)) * 100).cast(LongType)).over(w))
@@ -2650,11 +2676,15 @@ object Relational {
         max(struct($"supp_max", (-$"l_suppkey").as("neg"))).as("lo"))
       .filter($"n_supp" >= 2 && $"hi.l_suppkey" === -$"lo.neg")
       .select($"hi.l_suppkey".as("l_suppkey"))
+    // count per blamed supplier BEFORE touching the supplier table, so
+    // the name join carries ≤|supplier| rows instead of one row per
+    // blamed order; the join itself is unhinted (supplier is SF-scaled
+    // — stats/AQE pick broadcast at fixture tiers, shuffle at 100 TB)
     blamed
-      .join(broadcast(Tables.supplier(spark, dir)),
-        $"l_suppkey" === $"s_suppkey")
-      .groupBy($"s_suppkey", $"s_name")
+      .groupBy($"l_suppkey")
       .agg(count(lit(1)).as("n_waiting_orders"))
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"n_waiting_orders")
       .orderBy($"n_waiting_orders".desc, $"s_suppkey")
   }
 

@@ -458,6 +458,82 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("no declared query force-broadcasts an SF-scaled base table") {
+    // The round-11 finding: a `broadcast()` hint overrides BOTH the
+    // 10 MiB statistics threshold AND AQE, so a hint on a table that
+    // grows with SF (supplier is 1k/10k/20k rows at sf0.1/sf1/sf2; part
+    // 20k/200k/400k) is a driver-OOM scale-killer at the 100 TB design
+    // point even though every fixture tier happily broadcasts it. The
+    // rule: a hint subtree must be REDUCED by construction — contain an
+    // aggregate or a limit, or read only bounded leaves (nation/region,
+    // ≤25 rows by schema construction; driver-literal local tables;
+    // ranges). Unhinted joins are exempt: statistics/AQE may freely
+    // broadcast a small side at a small tier, because the same plan
+    // degrades gracefully to a shuffle join at scale.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val scaled = Seq("customer", "supplier", "part", "orders", "lineitem",
+      "events", "documents", "embeddings")
+    // Filter-probe exceptions: the broadcast side is a literal-key slice
+    // of a scaled table (≤ a constant number of rows by the literal —
+    // e.g. `doc_id < 8` probe rows), which no structural walk can prove
+    // bounded. Each entry must keep a Filter over the scaled leaf inside
+    // the hint subtree (enforced below) — an UNfiltered scaled scan is
+    // never allowlisted.
+    val allowFilterProbe: Map[String, String] = Map(
+      "minhash_incremental" ->
+        "broadcast side is the literal-keyed incremental batch slice",
+      "dedup_clusters_incremental" ->
+        "broadcast side is the literal-keyed incremental batch slice")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val analyzed = fn(spark, Sf0001).queryExecution.analyzed
+      val hints = analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.exists(
+          _.toString.toUpperCase.contains("BROADCAST")) => h
+      }
+      hints.foreach { h =>
+        val reduced = h.child.collectFirst {
+          case a: Aggregate => a: LogicalPlan
+          case d: Distinct => d
+          case l: GlobalLimit => l
+          case l: LocalLimit => l
+        }
+        lazy val leaves = h.child.collectLeaves()
+        lazy val scaledLeaves = leaves.filter { l =>
+          val s = l.toString
+          scaled.exists(t => s.contains(s"/$t.parquet") || s.contains(s"$t.parquet]"))
+        }
+        if (reduced.isEmpty && scaledLeaves.nonEmpty) {
+          assert(allowFilterProbe.contains(name),
+            s"$name broadcast-hints a subtree over SF-scaled leaf(s) " +
+              s"${scaledLeaves.map(_.nodeName)} with no aggregate/limit — " +
+              s"a forced unbounded broadcast at 100 TB:\n${h.child}")
+          // structural floor under the allowlist prose: the probe slice
+          // must actually be filtered
+          val filtered = h.child.collectFirst { case f: Filter => f }
+          assert(filtered.nonEmpty,
+            s"$name is allowlisted as a filter-probe broadcast but its " +
+              s"hint subtree has no Filter:\n${h.child}")
+        }
+      }
+    }
+  }
+
+  test("local_volume's order-year cut reaches the orders scan as a pushed filter") {
+    // `year(o_orderdate) = 1997` is a function predicate — parquet can't
+    // evaluate it against row-group min/max stats, so the orders scan
+    // would read EVERY row group at any scale. The half-open range
+    // literal form is pushdown-eligible; this pin keeps it that way.
+    val ex = formatted(graft.operators.Relational.localVolume(spark, Sf0001))
+    val ordersScan = ex.split("\n\n").find(s =>
+      s.contains("orders.parquet") || s.contains("orders"))
+    assert(ex.contains("PushedFilters"), s"no pushed filters at all:\n$ex")
+    assert(ex.contains("o_orderdate"), s"orderdate absent from plan:\n$ex")
+    val pushedLines = ex.split("\n").filter(_.contains("PushedFilters"))
+    assert(pushedLines.exists(l => l.contains("GreaterThanOrEqual(o_orderdate") &&
+        l.contains("LessThan(o_orderdate")),
+      s"orders date range not in PushedFilters:\n${pushedLines.mkString("\n")}")
+  }
+
   test("no declared query runs a window with an empty partition spec") {
     // A `Window.orderBy` without partitionBy funnels EVERY row through one
     // task — the classic 100 TB scale-killer (the round-5 pareto/rfm/gini

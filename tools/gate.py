@@ -35,15 +35,32 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TESTDATA = "/root/testdata"
 
 
+_HEAD_AT_START = None
+
+
 def git_head():
-    """Short HEAD sha + dirty marker — stamped into every phase record so
-    a --merge can tell which kept records predate the current tree."""
-    sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
-                         capture_output=True, text=True).stdout.strip()
-    dirty = subprocess.run(
-        ["git", "status", "--porcelain", "--untracked-files=no"],
-        cwd=REPO, capture_output=True, text=True).stdout.strip() != ""
-    return (sha or "unknown") + ("+dirty" if dirty else "")
+    """Short HEAD sha + dirty marker, captured ONCE at process start and
+    reused for every stamp in this invocation. Gate phases themselves
+    rewrite tracked artifacts (BENCH_FULL.json, LEAKCHECK.json, ...), so
+    a run started on a clean tree turns dirty mid-run; re-probing per
+    phase would stamp early phases clean and late phases dirty and a
+    --merge would spuriously flag the early ones as stale."""
+    global _HEAD_AT_START
+    if _HEAD_AT_START is None:
+        sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+                             capture_output=True, text=True).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--untracked-files=no"],
+            cwd=REPO, capture_output=True, text=True).stdout.strip() != ""
+        _HEAD_AT_START = (sha or "unknown") + ("+dirty" if dirty else "")
+    return _HEAD_AT_START
+
+
+def head_sha(stamp):
+    """The sha component of a stamp — merge staleness compares ONLY this:
+    dirtiness transitions caused by gate-written artifacts must not make
+    a same-commit record look stale."""
+    return str(stamp).split("+", 1)[0]
 
 
 def stamp(rec):
@@ -282,16 +299,21 @@ def main():
     head_now = git_head()
     gate["commit_at_write"] = head_now
     if args.merge:
+        # sha-only compare (head_sha): records kept from a prior
+        # invocation are stale when they were produced at a DIFFERENT
+        # commit, not when the only difference is the +dirty marker the
+        # gate's own artifact writes flipped mid-run.
         stale = []
         for r in gate.get("per_sf", []):
-            if r.get("commit", "unstamped") != head_now:
+            if head_sha(r.get("commit", "unstamped")) != head_sha(head_now):
                 stale.append(f"per_sf:{os.path.basename(str(r.get('sf', '?')).rstrip('/'))}")
         for key in ("alt_config", "rocksdb_twins", "bench_regressions",
                     "bench_regressions_sf2"):
-            if key in gate and gate[key].get("commit", "unstamped") != head_now:
+            if key in gate and head_sha(gate[key].get("commit", "unstamped")) \
+                    != head_sha(head_now):
                 stale.append(key)
-        if "tests_green" in gate and gate.get("tests_commit",
-                                              "unstamped") != head_now:
+        if "tests_green" in gate and head_sha(gate.get(
+                "tests_commit", "unstamped")) != head_sha(head_now):
             stale.append("tests")
         gate["merge_stale"] = sorted(stale)
         gate["allow_stale"] = bool(args.allow_stale)
