@@ -1026,6 +1026,61 @@ object Oracles {
          |FROM (VALUES (0), (1), (2), (3)) v(lvl), agg, pk
          |ORDER BY lvl""".stripMargin
     }),
+    // the INVERSE governor: hold recall (exact-rational floor), price the
+    // level — same truth aggregate + band-mass histogram as the two
+    // reports above, chosen = HIGHEST level meeting the floor, plus the
+    // budget that level's corpus mass implies
+    "governor_recall_floor" -> (simhashCte + {
+      val vals = operators.DocDedup.SimhashBandLayouts
+        .map { case (l, k, s, w) => s"($l, $k, $s, $w)" }.mkString(", ")
+      val calib = operators.DocDedup.RecallCalibDocs
+      val num = operators.DocDedup.RecallFloorNum
+      val den = operators.DocDedup.RecallFloorDen
+      s""",
+         |c AS MATERIALIZED (SELECT doc_id, simhash FROM m WHERE doc_id < $calib),
+         |t AS (SELECT bit_count(xor(x.simhash, y.simhash)) AS h
+         |      FROM c x, c y
+         |      WHERE x.doc_id < y.doc_id
+         |        AND bit_count(xor(x.simhash, y.simhash)) <= 3),
+         |agg AS (SELECT
+         |    CAST(COALESCE(sum(CASE WHEN h <= 3 THEN 1 END), 0) AS BIGINT) AS s0,
+         |    CAST(COALESCE(sum(CASE WHEN h <= 2 THEN 1 END), 0) AS BIGINT) AS s1,
+         |    CAST(COALESCE(sum(CASE WHEN h <= 1 THEN 1 END), 0) AS BIGINT) AS s2,
+         |    CAST(COALESCE(sum(CASE WHEN h <= 0 THEN 1 END), 0) AS BIGINT) AS s3
+         |  FROM t),
+         |bl AS (SELECT * FROM (VALUES $vals) AS bt(lvl, k, shift, width)),
+         |hb AS (SELECT bl.lvl,
+         |         (simhash >> bl.shift) % (CAST(1 AS BIGINT) << bl.width) AS bv,
+         |         bl.k, CAST(count(*) AS BIGINT) AS n
+         |       FROM m, bl GROUP BY 1, 2, 3),
+         |mm AS (SELECT lvl, CAST(sum((n*(n-1))//2) AS BIGINT) AS cand_pairs
+         |       FROM hb GROUP BY lvl),
+         |rows_ AS (SELECT v.lvl,
+         |    agg.s0,
+         |    CASE v.lvl WHEN 0 THEN agg.s0 WHEN 1 THEN agg.s1
+         |               WHEN 2 THEN agg.s2 ELSE agg.s3 END AS n_survive,
+         |    CAST(COALESCE(mm.cand_pairs, 0) AS BIGINT) AS cand_pairs
+         |  FROM (VALUES (0), (1), (2), (3)) v(lvl)
+         |  LEFT JOIN mm ON mm.lvl = v.lvl
+         |  CROSS JOIN agg),
+         |ok AS (SELECT *, CASE WHEN s0 = 0 OR n_survive * $den >= s0 * $num
+         |                 THEN 1 ELSE 0 END AS meets_floor FROM rows_),
+         |pk AS (SELECT CAST(max(lvl) AS INTEGER) AS chosen_lvl
+         |       FROM ok WHERE meets_floor = 1),
+         |req AS (SELECT ok.cand_pairs AS required_budget FROM ok, pk
+         |        WHERE ok.lvl = pk.chosen_lvl)
+         |SELECT CAST(ok.lvl AS INTEGER) AS lvl,
+         |       CAST(3 - ok.lvl AS INTEGER) AS hamming_radius,
+         |       ok.s0 AS n_true_pairs, ok.n_survive,
+         |       CAST(CASE WHEN ok.s0 > 0 THEN
+         |         CAST(ok.n_survive AS DOUBLE) / ok.s0 END AS DOUBLE) AS recall,
+         |       CAST(ok.meets_floor AS INTEGER) AS meets_floor,
+         |       ok.cand_pairs,
+         |       CASE WHEN ok.lvl = pk.chosen_lvl THEN 1 ELSE 0 END
+         |         AS chosen_by_recall,
+         |       req.required_budget
+         |FROM ok, pk, req ORDER BY lvl""".stripMargin
+    }),
     "dedup_ensemble" -> {
       val mhPairs = minhashCte +
         """,

@@ -208,6 +208,7 @@ object SparkEntry {
     "simhash_neardup_pairs" -> (DocDedup.simhashNearDupPairs(_, _)),
     "pair_budget_governor" -> (DocDedup.pairBudgetGovernor(_, _)),
     "governor_recall"      -> (DocDedup.governorRecall(_, _)),
+    "governor_recall_floor" -> (DocDedup.governorRecallFloor(_, _)),
     "ngram_jaccard"        -> (DocDedup.ngramJaccardProbe(_, _)),
     "fuzzy_join"           -> (DocDedup.fuzzyJoinPairs(_, _)),
     "dedup_clusters"       -> (DocDedup.dedupClusters(_, _)),

@@ -365,6 +365,31 @@ object DocDedup {
     * radii, and pick bit-exactly. */
   def governorRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val one = recallTruthAgg(spark, dir)
+    val chosen = chosenSimhashLevel(spark, dir)
+    spark.range(4).select($"id".cast(IntegerType).as("lvl"))
+      .crossJoin(broadcast(one)) // scalar-broadcast: `one` is a 1-row agg
+      .select($"lvl", (lit(3) - $"lvl").as("hamming_radius"),
+        $"s0".as("n_true_pairs"),
+        element_at(array($"s0", $"s1", $"s2", $"s3"), $"lvl" + 1)
+          .as("n_survive"),
+        when($"s0" > 0,
+          element_at(array($"s0", $"s1", $"s2", $"s3"), $"lvl" + 1)
+            .cast(DoubleType) / $"s0")
+          .as("recall"),
+        ($"lvl" === chosen).cast(IntegerType).as("chosen"))
+      .orderBy($"lvl")
+  }
+
+  /** The 1-row calibration truth aggregate shared by [[governorRecall]]
+    * and [[governorRecallFloor]]: on the bounded doc_id <
+    * [[RecallCalibDocs]] sample, counts of true near-dup pairs surviving
+    * each ladder radius (s0 = hamming ≤ 3 ... s3 = hamming = 0). The
+    * level-0 banded join is pigeonhole-lossless at radius 3, so the truth
+    * set needs no brute-force cross join; sums are coalesced so an empty
+    * truth set still yields one all-zero row. */
+  private def recallTruthAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val docs = simhashDocsMemo(spark, dir).where($"doc_id" < RecallCalibDocs)
     val bandCols = SimhashBandLayouts.filter(_._1 == 0).map { case (_, k, sh, w) =>
       struct(lit(k).as("k"),
@@ -380,26 +405,87 @@ object DocDedup {
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("h"))
       .where($"h" <= 3)
       .distinct()
-    // one bounded aggregate row (sums coalesced: empty truth set must
-    // still emit the 4 ladder rows with zero counts)
-    val one = truth.agg(
+    truth.agg(
       coalesce(sum(when($"h" <= 3, 1L)), lit(0L)).as("s0"),
       coalesce(sum(when($"h" <= 2, 1L)), lit(0L)).as("s1"),
       coalesce(sum(when($"h" <= 1, 1L)), lit(0L)).as("s2"),
       coalesce(sum(when($"h" <= 0, 1L)), lit(0L)).as("s3"))
-    val chosen = chosenSimhashLevel(spark, dir)
-    spark.range(4).select($"id".cast(IntegerType).as("lvl"))
+  }
+
+  /** The recall floor for the INVERSE governor mode, as an exact rational
+    * (num/den) so both engines evaluate the floor with one integer
+    * cross-multiply — never a float compare on a derived quotient. 1/4:
+    * "keep at least a quarter of the true h≤3 near-dups", the knob the
+    * round-11 measurement showed the default budget ladder gives up
+    * (level 2 keeps 4.5% at sf1). Baked like [[PairBudget]] so the
+    * DuckDB twin can never drift. */
+  private[graft] val RecallFloorNum = 1L
+  private[graft] val RecallFloorDen = 4L
+
+  /** NS: the INVERSE governor — given a recall floor instead of a pair
+    * budget, pick the CHEAPEST (most-escalated) ladder level whose
+    * measured calibration recall still meets the floor, and report the
+    * pair-mass budget that level requires (what the user must raise
+    * [[PairBudget]] to, to get that recall). The dual of
+    * [[pairBudgetGovernor]]: that one holds cost fixed and lets recall
+    * float; this one holds recall and prices it. Per ladder level:
+    * calibration survival (the [[governorRecall]] columns), the
+    * corpus-wide candidate mass, whether the floor is met
+    * (n_survive·den ≥ s0·num — exact integers; an empty truth set meets
+    * any floor), the chosen row, and the implied required budget.
+    * Everything is the same two bounded inputs every governor decision
+    * reads — the ≤1024-doc calibration aggregate and the 4-row band-mass
+    * histogram — so the report is corpus-size-independent. */
+  def governorRecallFloor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val one = recallTruthAgg(spark, dir)
+    val mass = simhashPairMass(simhashDocsMemo(spark, dir))
+      .select($"lvl".as("m_lvl"), $"cand_pairs")
+    val rows = spark.range(4).select($"id".cast(IntegerType).as("lvl"))
       .crossJoin(broadcast(one)) // scalar-broadcast: `one` is a 1-row agg
-      .select($"lvl", (lit(3) - $"lvl").as("hamming_radius"),
-        $"s0".as("n_true_pairs"),
+      .join(broadcast(mass), $"lvl" === $"m_lvl", "left")
+      .select($"lvl", $"s0",
         element_at(array($"s0", $"s1", $"s2", $"s3"), $"lvl" + 1)
           .as("n_survive"),
-        when($"s0" > 0,
-          element_at(array($"s0", $"s1", $"s2", $"s3"), $"lvl" + 1)
-            .cast(DoubleType) / $"s0")
-          .as("recall"),
-        ($"lvl" === chosen).cast(IntegerType).as("chosen"))
+        coalesce($"cand_pairs", lit(0L)).as("cand_pairs"))
+      .withColumn("meets_floor",
+        ($"s0" === 0L ||
+          $"n_survive" * RecallFloorDen >= $"s0" * RecallFloorNum)
+          .cast(IntegerType))
+    val pick = rows.where($"meets_floor" === 1)
+      // max(struct) = the HIGHEST qualifying level and its mass in one
+      // bounded aggregate; level 0 always qualifies, so never empty
+      .agg(max(struct($"lvl", $"cand_pairs")).as("c"))
+      .select($"c.lvl".as("chosen_lvl"),
+        $"c.cand_pairs".as("required_budget"))
+    rows.crossJoin(broadcast(pick))
+      .select($"lvl", (lit(3) - $"lvl").as("hamming_radius"),
+        $"s0".as("n_true_pairs"), $"n_survive",
+        when($"s0" > 0, $"n_survive".cast(DoubleType) / $"s0").as("recall"),
+        $"meets_floor", $"cand_pairs",
+        ($"lvl" === $"chosen_lvl").cast(IntegerType).as("chosen_by_recall"),
+        $"required_budget")
       .orderBy($"lvl")
+  }
+
+  /** Documented API for the inverse mode: the cheapest ladder level whose
+    * calibration recall meets `floorNum/floorDen`, with the pair budget
+    * that level requires. Driver-side state is one 4-row collect —
+    * bounded at any corpus size. */
+  def chosenSimhashLevelByRecall(spark: SparkSession, dir: String,
+      floorNum: Long = RecallFloorNum,
+      floorDen: Long = RecallFloorDen): (Int, Long) = {
+    import spark.implicits._
+    require(floorDen > 0 && floorNum >= 0, "floor must be a valid rational")
+    val one = recallTruthAgg(spark, dir).collect()(0)
+    val s = Array(one.getLong(0), one.getLong(1), one.getLong(2), one.getLong(3))
+    val masses = simhashPairMass(simhashDocsMemo(spark, dir))
+      .select($"lvl", $"cand_pairs").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val lvl = (3 to 0 by -1)
+      .find(l => s(0) == 0L || s(l) * floorDen >= s(0) * floorNum)
+      .getOrElse(0)
+    (lvl, masses.getOrElse(lvl, 0L))
   }
 
   /** SimHash near-dup pairs under the BUDGETED default: hamming(simhash)

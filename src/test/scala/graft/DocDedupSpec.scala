@@ -251,4 +251,49 @@ class DocDedupSpec extends SparkSpecBase {
       .map(d => d -> find(d)).toMap
     assert(labels === expected)
   }
+
+  test("inverse governor: recall floor picks the cheapest qualifying level " +
+      "and prices it; query row agrees with the API") {
+    // independent truth: brute calibration survival counts from the
+    // collected simhash frame (no engine aggregate shared)
+    val sims = DocDedup.simhashDocsMemo(spark, Sf0001)
+      .where($"doc_id" < DocDedup.RecallCalibDocs).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toVector
+    val s = (0 to 3).map { lvl =>
+      (for {
+        (a, sa) <- sims; (b, sb) <- sims
+        if a < b && java.lang.Long.bitCount((sa ^ sb) & 0xffffffffL) <= 3 - lvl
+      } yield 1).size.toLong
+    }
+    // default floor 1/4
+    val (lvl, reqBudget) = DocDedup.chosenSimhashLevelByRecall(spark, Sf0001)
+    val meets = (l: Int) => s(0) == 0L ||
+      s(l) * DocDedup.RecallFloorDen >= s(0) * DocDedup.RecallFloorNum
+    assert(meets(lvl), s"chosen level $lvl must meet the floor")
+    ((lvl + 1) to 3).foreach(l =>
+      assert(!meets(l), s"level $l above chosen $lvl also meets the floor — not maximal"))
+    // the priced budget is that level's projected corpus mass
+    val masses = DocDedup.simhashPairMass(
+        DocDedup.simhashDocsMemo(spark, Sf0001))
+      .select($"lvl", $"cand_pairs").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(reqBudget === masses.getOrElse(lvl, 0L))
+    // the declared query's flagged row is the same decision
+    val rows = DocDedup.governorRecallFloor(spark, Sf0001).collect()
+    assert(rows.length === 4)
+    val chosenRows = rows.filter(_.getAs[Int]("chosen_by_recall") == 1)
+    assert(chosenRows.map(_.getAs[Int]("lvl")).toSeq === Seq(lvl))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_true_pairs") === s(0))
+      assert(r.getAs[Long]("n_survive") === s(r.getAs[Int]("lvl")))
+      assert(r.getAs[Long]("required_budget") === reqBudget)
+    }
+    // floor 1/1 (perfect recall): only a level with zero loss qualifies —
+    // level 0 by construction; higher only if calibration loses nothing
+    val (lvlAll, _) = DocDedup.chosenSimhashLevelByRecall(spark, Sf0001, 1L, 1L)
+    assert((0 to lvlAll).forall(l => s(0) == 0L || s(l) == s(0)))
+    // floor 0: any level qualifies, so the cheapest (3) wins
+    val (lvl0, _) = DocDedup.chosenSimhashLevelByRecall(spark, Sf0001, 0L, 1L)
+    assert(lvl0 === 3)
+  }
 }

@@ -13,7 +13,12 @@ import org.apache.spark.sql.streaming.Trigger
   *   - `SPARK_GRAFT_KAFKA_BOOTSTRAP` (e.g. `localhost:9092`) — no broker
   *     ships in this sandbox (zero egress, no docker);
   *   - the `spark-sql-kafka-0-10` connector on the classpath — the Spark
-  *     distribution at /opt/spark/jars does not bundle it.
+  *     distribution at /opt/spark/jars does not bundle it, and (checked
+  *     round 12) the offline dependency cache holds no
+  *     spark-sql-kafka/kafka-clients artifact either, so a Test-scope
+  *     library dependency cannot resolve in this sandbox. Both gates are
+  *     genuinely environmental; on a machine with a broker, add the
+  *     connector with --packages or drop its jar on the classpath.
   * When both are present the test is a real integration proof: batch
   * produce through the Kafka sink, streaming consume with AvailableNow,
   * per-partition offset contiguity (the consumer-side view of the
