@@ -44,13 +44,21 @@ def git_head():
     rewrite tracked artifacts (BENCH_FULL.json, LEAKCHECK.json, ...), so
     a run started on a clean tree turns dirty mid-run; re-probing per
     phase would stamp early phases clean and late phases dirty and a
-    --merge would spuriously flag the early ones as stale."""
+    --merge would spuriously flag the early ones as stale.
+
+    Scoped to CODE paths (src/tools/build.sbt/conf/project): a phase
+    record is evidence about the code, so an artifact-only commit (e.g.
+    the --commit-artifacts one, or a SURVEY edit) must not make every
+    kept record look stale on the next --merge."""
     global _HEAD_AT_START
     if _HEAD_AT_START is None:
-        sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
-                             capture_output=True, text=True).stdout.strip()
+        code_paths = ["src", "tools", "build.sbt", "conf", "project"]
+        sha = subprocess.run(
+            ["git", "log", "-1", "--format=%h", "--"] + code_paths,
+            cwd=REPO, capture_output=True, text=True).stdout.strip()
         dirty = subprocess.run(
-            ["git", "status", "--porcelain", "--untracked-files=no"],
+            ["git", "status", "--porcelain", "--untracked-files=no", "--"]
+            + code_paths,
             cwd=REPO, capture_output=True, text=True).stdout.strip() != ""
         _HEAD_AT_START = (sha or "unknown") + ("+dirty" if dirty else "")
     return _HEAD_AT_START
@@ -178,6 +186,35 @@ def bench_regressions(flag=1.35, bench_file="BENCH_FULL.json",
     new_qc = benchdiff.load(os.path.join(REPO, bench_file))
 
     norm, how, flagged = benchdiff.compare(old_qc, new_qc, flag)
+    # Isolated re-probe (round-12): in-run times for small queries can be
+    # ~3x their isolated times from neighbors' GC/JIT churn, so a flag
+    # from the full run is not yet evidence of a plan regression. Re-run
+    # the flagged queries alone (own calibration, min-of-2 preserved) and
+    # record both numbers in the flag entry — a real plan regression
+    # persists in isolation, an in-run artifact does not, and that
+    # distinction used to require a by-hand SPARK_GRAFT_ONLY adjudication.
+    if flagged and len(flagged) <= 20:
+        probe_path = "/tmp/BENCH_GATE_PROBE.json"
+        try:
+            os.remove(probe_path)
+        except OSError:
+            pass
+        penv = dict(env)
+        penv["SPARK_GRAFT_ONLY"] = ",".join(sorted(flagged))
+        penv["SPARK_GRAFT_BENCH_FULL"] = probe_path
+        pr = run(["sbt", "-batch", "runMain graft.Bench"], extra_env=penv)
+        try:
+            iso_q, iso_c = benchdiff.load(probe_path)
+            inorm, _, _ = benchdiff.compare(old_qc, (iso_q, iso_c), flag)
+            for q, v in flagged.items():
+                if q in iso_q and old_qc[0].get(q):
+                    v["isolated_s"] = iso_q[q]
+                    v["isolated_ratio_norm"] = \
+                        iso_q[q] / old_qc[0][q] / inorm
+                    v["isolated_clears"] = v["isolated_ratio_norm"] <= flag
+        except (OSError, json.JSONDecodeError, ZeroDivisionError) as exn:
+            for v in flagged.values():
+                v["isolated_probe_error"] = f"{type(exn).__name__}: {exn}"
     waivers = {}
     try:
         with open(os.path.join(REPO, "tools", "bench_waivers.json")) as f:
@@ -188,8 +225,13 @@ def bench_regressions(flag=1.35, bench_file="BENCH_FULL.json",
         v["windows"] = prior_windows.get(q, 0) + 1
         if q in waivers:
             v["waived"] = waivers[q]
+    # an isolated probe that comes back under the flag line EXONERATES the
+    # query (the full-run flag was neighbor contention, and the evidence
+    # is recorded in the entry); windows still accumulate so a recurring
+    # in-run-only flag stays visible
     failing = sorted(q for q, v in flagged.items()
-                     if v["windows"] >= 2 and q not in waivers)
+                     if v["windows"] >= 2 and q not in waivers
+                     and not v.get("isolated_clears", False))
     return {"baseline": f"HEAD:{bench_file}", "drift": norm,
             "normalized_by": how, "flag_threshold": flag,
             "flagged": flagged, "failing": failing,
@@ -217,6 +259,10 @@ def main():
                     help="merge mode: let kept records from an older "
                          "commit still count toward all_green (recorded "
                          "in the gate as allow_stale=true)")
+    ap.add_argument("--commit-artifacts", action="store_true",
+                    help="after writing GATE.json, git-commit the gate-"
+                         "written artifacts (GATE/BENCH_*/LEAKCHECK/"
+                         "COPYCHECK) so claims and evidence share history")
     ap.add_argument("--skip-scale-bench", action="store_true",
                     help="skip the testdata-sf2 bench + regression diff "
                          "vs the last committed BENCH_SF2.json")
@@ -345,6 +391,30 @@ def main():
     if os.path.exists(partial):
         os.remove(partial)
     print(f"[gate] wrote {path}: all_green={gate['all_green']}")
+    # Artifact atomicity (round-12): the gate's own phases rewrite tracked
+    # artifacts, so a finished gate ALWAYS leaves the tree dirty — and two
+    # consecutive rounds shipped SURVEY claims citing uncommitted bench
+    # numbers. Make the fix mechanical: list what is dirty, and with
+    # --commit-artifacts commit exactly those files so the claims and
+    # their evidence land in the same history.
+    artifacts = [a for a in ("GATE.json", "BENCH_FULL.json", "BENCH_SF1.json",
+                             "BENCH_SF2.json", "LEAKCHECK.json",
+                             "COPYCHECK.json")
+                 if subprocess.run(["git", "status", "--porcelain", "--", a],
+                                   cwd=REPO, capture_output=True,
+                                   text=True).stdout.strip()]
+    if artifacts:
+        if args.commit_artifacts:
+            subprocess.run(["git", "add", "--"] + artifacts, cwd=REPO,
+                           check=True)
+            msg = (f"Commit gate artifacts: all_green={gate['all_green']} "
+                   f"({', '.join(artifacts)})")
+            subprocess.run(["git", "commit", "-m", msg], cwd=REPO, check=True)
+            print(f"[gate] committed artifacts: {', '.join(artifacts)}")
+        else:
+            print(f"[gate] DIRTY ARTIFACTS not committed: "
+                  f"{', '.join(artifacts)} — commit them with the claims "
+                  f"that cite them (or re-run with --commit-artifacts)")
     return 0 if gate["all_green"] else 1
 
 
