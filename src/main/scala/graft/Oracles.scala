@@ -2105,6 +2105,45 @@ object Oracles {
         |    k -> ascii(substr(px, CAST(k * 3 + 3 AS INTEGER), 1)))) AS BIGINT)
         |    AS sum_b
         |FROM d ORDER BY doc_id""".stripMargin,
+    // media_dedup: same construction + decode replay as media_decode,
+    // then group byte-DISTINCT payloads by decoded signature — md5(s) is
+    // the distinct-payload audit (ASCII payload: VARCHAR md5 == the
+    // engine's md5 over the same bytes)
+    "media_dedup" ->
+      """WITH raw AS (SELECT doc_id,
+        |    'P6' || chr(10) ||
+        |    CAST(2 + doc_id % 3 AS VARCHAR) || ' ' ||
+        |    CAST(1 + doc_id % 2 AS VARCHAR) || chr(10) || '255' || chr(10) ||
+        |    array_to_string(list_transform(
+        |      range(0, 3 * (2 + doc_id % 3) * (1 + doc_id % 2)),
+        |      j -> chr(CAST(32 + (doc_id * 31 + j * 7) % 64 AS INTEGER))), '')
+        |    || text AS s
+        |  FROM documents),
+        |d AS (SELECT doc_id, md5(s) AS pmd5,
+        |    CAST(regexp_extract(s, '^P6\n([0-9]+) ([0-9]+)\n([0-9]+)\n', 1)
+        |         AS INTEGER) AS width,
+        |    CAST(regexp_extract(s, '^P6\n([0-9]+) ([0-9]+)\n([0-9]+)\n', 2)
+        |         AS INTEGER) AS height,
+        |    substr(s, length(regexp_extract(
+        |      s, '^P6\n([0-9]+) ([0-9]+)\n([0-9]+)\n', 0)) + 1) AS px
+        |  FROM raw),
+        |f AS (SELECT doc_id, pmd5, width, height,
+        |  CAST(list_sum(list_transform(range(0, CAST(width * height AS BIGINT)),
+        |    k -> ascii(substr(px, CAST(k * 3 + 1 AS INTEGER), 1)))) AS BIGINT)
+        |    AS sum_r,
+        |  CAST(list_sum(list_transform(range(0, CAST(width * height AS BIGINT)),
+        |    k -> ascii(substr(px, CAST(k * 3 + 2 AS INTEGER), 1)))) AS BIGINT)
+        |    AS sum_g,
+        |  CAST(list_sum(list_transform(range(0, CAST(width * height AS BIGINT)),
+        |    k -> ascii(substr(px, CAST(k * 3 + 3 AS INTEGER), 1)))) AS BIGINT)
+        |    AS sum_b
+        |  FROM d)
+        |SELECT width, height, sum_r, sum_g, sum_b,
+        |  CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(count(DISTINCT pmd5) AS BIGINT) AS n_distinct_payloads
+        |FROM f GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY keeper_doc_id""".stripMargin,
     "media_frame_sample" ->
       """WITH d AS (SELECT doc_id, text,
         |             CAST((length(text) + 99) // 100 AS INTEGER) AS n_frames

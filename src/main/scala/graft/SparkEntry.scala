@@ -265,6 +265,7 @@ object SparkEntry {
     "media_shard_pack"     -> (Multimodal.mediaShardPack(_, _, 4096L)),
     "media_decode"         -> (Multimodal.mediaDecode(_, _)),
     "media_frame_sample"   -> (Multimodal.mediaFrameSample(_, _)),
+    "media_dedup"          -> (Multimodal.mediaDedup(_, _)),
     "kmv_set_ops"          -> (Relational.kmvSetOps(_, _)),
     "autocorr_daily"       -> (Relational.autocorrDaily(_, _)),
     "markov_transitions"   -> (Relational.markovTransitions(_, _)),

@@ -209,6 +209,40 @@ object Multimodal {
     decodeFeatures(ppmRecords(spark, dir)).toDF().orderBy($"doc_id")
   }
 
+  case class MediaSig(doc_id: Long, ok: Boolean, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, payload_md5: String)
+
+  /** NS: perceptual media dedup — byte-DISTINCT payloads collapsed by
+    * their decoded content signature (width, height, per-channel sums:
+    * the stats-signature stand-in for a perceptual hash; a pHash/dHash
+    * drops into the same shape). Every fixture payload is byte-unique
+    * (trailing text differs), yet the decoded rasters repeat with the
+    * doc_id splice period, so the dedup is REAL work the exact-dup md5
+    * listing cannot do. One partition pass decodes AND hashes each
+    * payload (decode amortized like [[decodeFeatures]], md5 for the
+    * distinct-payload audit), then ONE bounded hash aggregate: map-side
+    * combine collapses each partition to ≤|signatures| rows before the
+    * shuffle, so the exchange is signature-bounded at any corpus size —
+    * the `doc_dedup_exact` discipline applied to decoded content. */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = ppmRecords(spark, dir).mapPartitions { it =>
+      it.map { r =>
+        val f = PpmDecoder.decode(r.doc_id, r.payload)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+        MediaSig(f.doc_id, f.ok, f.width, f.height,
+          f.sum_r, f.sum_g, f.sum_b, hex)
+      }
+    }.toDF()
+    sigs.where($"ok")
+      .groupBy($"width", $"height", $"sum_r", $"sum_g", $"sum_b")
+      .agg(min($"doc_id").as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct($"payload_md5").as("n_distinct_payloads"))
+      .orderBy($"keeper_doc_id")
+  }
+
   /** Frame sampling as REAL (non-stub) plumbing: the payload is windowed
     * into fixed-size frames and every stride-th frame is taken, stride
     * chosen so ~4 frames survive per document — the row-explosion shape

@@ -383,4 +383,33 @@ class OperatorSmokeSpec extends SparkSpecBase {
       assert(f.sum_r <= 95L * f.n_pixels && f.sum_r >= 32L * f.n_pixels)
     }
   }
+
+  test("media_dedup: byte-distinct payloads collapse by decoded signature; " +
+      "brute recount from the splice formula") {
+    val rows = Multimodal.mediaDedup(spark, Sf0001).collect()
+    val nDocs = graft.Tables.documents(spark, Sf0001).count()
+    // every doc lands in exactly one cluster, and NO payload was a byte
+    // dup (trailing text differs) — the collapse is purely perceptual
+    assert(rows.map(_.getAs[Long]("n_copies")).sum === nDocs)
+    assert(rows.map(_.getAs[Long]("n_distinct_payloads")).sum === nDocs)
+    assert(rows.exists(_.getAs[Long]("n_copies") > 1L),
+      "fixture must contain at least one perceptual cluster")
+    // signature is fully determined by doc_id mod 192 (w: mod 3, h: mod 2,
+    // raster bytes: doc_id*31 mod 64) — recount clusters independently
+    def sig(d: Long) = {
+      val w = 2 + (d % 3).toInt; val h = 1 + (d % 2).toInt
+      val sums = Array(0L, 0L, 0L)
+      (0 until 3 * w * h).foreach(j => sums(j % 3) += 32 + ((d * 31 + j * 7) % 64))
+      (w, h, sums(0), sums(1), sums(2))
+    }
+    val brute = (0L until nDocs).groupBy(sig)
+      .map { case (k, ds) => k -> (ds.min, ds.size.toLong) }
+    assert(rows.length === brute.size)
+    rows.foreach { r =>
+      val k = (r.getAs[Int]("width"), r.getAs[Int]("height"),
+        r.getAs[Long]("sum_r"), r.getAs[Long]("sum_g"), r.getAs[Long]("sum_b"))
+      assert(brute(k) === ((r.getAs[Long]("keeper_doc_id"),
+        r.getAs[Long]("n_copies"))))
+    }
+  }
 }

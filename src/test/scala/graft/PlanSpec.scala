@@ -423,7 +423,8 @@ class PlanSpec extends SparkSpecBase {
       "kmv_set_ops",   // |types|-row sketch aggregate broadcast, non-equi pair join
       "autocorr_daily", // 1-row (n, s) totals broadcast onto the |days| frame
       "pair_budget_governor", // 1-row chosen-level aggregate onto the 4 ladder rows
-      "governor_recall") // 1-row survival-count aggregate onto the 4 ladder rows
+      "governor_recall", // 1-row survival-count aggregate onto the 4 ladder rows
+      "governor_recall_floor") // 1-row truth + 1-row pick aggregates onto the 4 ladder rows
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, Sf0001).queryExecution.executedPlan
       val p = plan.toString
