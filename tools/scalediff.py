@@ -59,10 +59,22 @@ def main():
         scaling[q] = {"base": bq[q], "scaled": nq[q], "ratio_norm": r}
         if r > flag and (bq[q] >= 0.15 or nq[q] >= 0.15 * flag):
             flagged.append((r, q))
+    # a flag can carry a waiver from tools/bench_waivers.json (the gate's
+    # convention): the flag STAYS in the table — a waiver documents
+    # measured isolated/alternating evidence next to it, never hides it
+    try:
+        import os
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_waivers.json")) as f:
+            waivers = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        waivers = {}
+    waived = {q: waivers[q] for _, q in flagged if q in waivers}
     section = {
         "baseline": args[0], "scaled_run": args[1],
         "calib_drift": round(drift, 3), "flag_threshold": flag,
         "flagged": sorted(q for _, q in flagged),
+        "waived": waived,
         "queries": scaling,
     }
     with open(into) as f:
@@ -76,8 +88,9 @@ def main():
     print(f"{len(common)} queries; calib drift {drift:.3f}x; "
           f"median normalized scaling {med:.2f}x; flag > {flag}x")
     for r, q in sorted(flagged, reverse=True):
+        note = " [WAIVED: see bench_waivers.json]" if q in waived else ""
         print(f"SUPERLINEAR {q}: {scaling[q]['base']:.3f}s -> "
-              f"{scaling[q]['scaled']:.3f}s ({r:.2f}x normalized)")
+              f"{scaling[q]['scaled']:.3f}s ({r:.2f}x normalized){note}")
     top = sorted(((v["ratio_norm"], q) for q, v in scaling.items()),
                  reverse=True)[:15]
     print("top ratios:", ", ".join(f"{q}={r:.1f}x" for r, q in top))
