@@ -44,8 +44,13 @@ object CorpusOps {
     // (doc, term) exchange — Catalyst prunes the count and the subtree
     // stops being reusable; a count-over-term window would instead sort
     // stop-word-sized partitions — a skew hazard at corpus scale).
-    // The broadcast hint fits the fixture vocabularies; at a 100 TB
-    // corpus's vocabulary, drop the hint and let stats pick the join.
+    // The df join is deliberately UNhinted: `df` has VOCABULARY
+    // cardinality, which grows with the corpus (Heaps' law — a 100 TB
+    // corpus's unigram table is GBs), so a forced broadcast would be a
+    // driver-OOM scale-killer. Statistics/AQE still pick a broadcast at
+    // every fixture tier; at corpus scale the same plan degrades
+    // gracefully to a term-keyed shuffle join (both sides already hash
+    // on `term`, so the tf exchange is reused).
     val df = toksF
       .select(explode(array_distinct($"toks")).as("term"))
       .groupBy($"term").agg(count(lit(1)).as("df"))
@@ -54,7 +59,7 @@ object CorpusOps {
       $"tf".cast(DoubleType) *
         log($"n_docs".cast(DoubleType) / $"df".cast(DoubleType)) *
         1048576.0 + 0.5).cast(LongType)
-    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .withColumn("score_u20", scoreU20)
     scored
       .groupBy($"doc_id")

@@ -47,10 +47,28 @@ class CorpusOpsSpec extends SparkSpecBase {
     }
   }
 
-  test("tfidf_topk: df join broadcasts and top-k is the bounded aggregate") {
-    val p = CorpusOps.tfidfTopk(spark, Sf0001, 3)
-      .queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"), s"df join did not broadcast:\n$p")
+  test("tfidf_topk: df join is UNhinted (stats may broadcast) and top-k is " +
+      "the bounded aggregate") {
+    // The vocabulary-cardinality df frame must never carry a broadcast()
+    // HINT (it grows with the corpus — Heaps' law); statistics/AQE are
+    // free to pick a broadcast at fixture tiers. Assert no ResolvedHint
+    // survives analysis, and the physical top-k stays the bounded agg.
+    val qe = CorpusOps.tfidfTopk(spark, Sf0001, 3).queryExecution
+    val hints = qe.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+        if h.hints.strategy.exists(_.toString.toUpperCase.contains("BROADCAST"))
+        => h
+    }
+    // the only permitted hint is the 1-row global-count N crossJoin
+    hints.foreach { h =>
+      val agg = h.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.isEmpty => a
+      }
+      assert(agg.nonEmpty,
+        s"tfidf_topk hints a non-global-aggregate frame:\n${h.child}")
+    }
+    val p = qe.executedPlan.toString
     assert(p.contains("top_k_rows"), s"top-k not the bounded aggregate:\n$p")
     assert(!p.contains("Window"), s"unexpected window shuffle:\n$p")
   }

@@ -25,6 +25,66 @@ class PlanSpec extends SparkSpecBase {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Tables whose row count grows with SF — a broadcast() hint over one of
+    * these is only safe when the hint subtree provably reduces it. */
+  private val scaledTables = Seq("customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Round-13 finding (caught by the negative-control test below): an
+    * ANALYZED LogicalRelation's toString is just `Relation [cols] parquet`
+    * — no path — so the round-12 string probe never matched and the pin
+    * was vacuous. Read the file-source root paths directly instead. A
+    * LogicalRDD (localCheckpoint'd FrameMemo frame) is treated as
+    * non-scaled: every memoized frame is reduced before materialization.
+    */
+  private def isScaledLeaf(l: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Boolean = l match {
+    case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      lr.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toString).exists(p =>
+            scaledTables.exists(t => p.contains(s"/$t.parquet")))
+        case _ => false
+      }
+    case other =>
+      val s = other.toString
+      scaledTables.exists(t =>
+        s.contains(s"/$t.parquet") || s.contains(s"$t.parquet]"))
+  }
+
+  /** Recursive row-bound walk (round-13 tightening of the round-12
+    * "reduced by construction" rule — the tfidf_topk loophole): a plan's
+    * output is bounded-by-construction iff every root-to-leaf path passes
+    * through a bounding node — a GLOBAL aggregate (1 row), a Limit, an
+    * Aggregate/Deduplicate whose grouping keys are in the query's
+    * declared bounded-enum set `cols`, or bottoms out in a non-scaled
+    * leaf (nation/region/local/range — bounded by schema). Joins require
+    * BOTH inputs bounded: a 1-row agg joined onto an unbounded frame does
+    * NOT bound the result, which is exactly the loophole a subtree-wide
+    * collectFirst would reopen. An Aggregate over unbounded grouping keys
+    * (`groupBy(term)` — a vocabulary grows with the corpus, Heaps' law)
+    * is bounded only when its INPUT is bounded (output ≤ input). Generate
+    * (explode) fans out per-row, so it is bounded only when its input is.
+    */
+  private def boundedPlan(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      cols: Set[String]): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case a: Aggregate =>
+        a.groupingExpressions.isEmpty ||
+          (cols.nonEmpty && a.groupingExpressions
+            .flatMap(_.references.map(_.name)).toSet.subsetOf(cols)) ||
+          boundedPlan(a.child, cols)
+      case d: Deduplicate =>
+        (cols.nonEmpty && d.keys.map(_.name).toSet.subsetOf(cols)) ||
+          boundedPlan(d.child, cols)
+      case _: GlobalLimit | _: LocalLimit => true
+      case l if l.children.isEmpty => !isScaledLeaf(l)
+      case o => o.children.forall(boundedPlan(_, cols))
+    }
+  }
+
   test("filter_pushdown_scan pushes the shipdate predicate into the parquet scan") {
     val ex = formatted(graft.operators.ReferenceOps.filterPushdownScan(spark, Sf0001))
     assert(ex.contains("PushedFilters:") &&
@@ -465,26 +525,94 @@ class PlanSpec extends SparkSpecBase {
     // grows with SF (supplier is 1k/10k/20k rows at sf0.1/sf1/sf2; part
     // 20k/200k/400k) is a driver-OOM scale-killer at the 100 TB design
     // point even though every fixture tier happily broadcasts it. The
-    // rule: a hint subtree must be REDUCED by construction — contain an
-    // aggregate or a limit, or read only bounded leaves (nation/region,
-    // ≤25 rows by schema construction; driver-literal local tables;
-    // ranges). Unhinted joins are exempt: statistics/AQE may freely
-    // broadcast a small side at a small tier, because the same plan
-    // degrades gracefully to a shuffle join at scale.
+    // rule (see [[boundedPlan]]): a hint subtree must be BOUNDED by
+    // construction on every root-to-leaf path — a global aggregate, a
+    // limit, a bounded-enum-grouped aggregate, or only bounded leaves
+    // (nation/region, ≤25 rows by schema construction; driver-literal
+    // local tables; ranges). Unhinted joins are exempt: statistics/AQE
+    // may freely broadcast a small side at a small tier, because the
+    // same plan degrades gracefully to a shuffle join at scale.
     import org.apache.spark.sql.catalyst.plans.logical._
-    val scaled = Seq("customer", "supplier", "part", "orders", "lineitem",
-      "events", "documents", "embeddings")
-    // Filter-probe exceptions: the broadcast side is a literal-key slice
-    // of a scaled table (≤ a constant number of rows by the literal —
-    // e.g. `doc_id < 8` probe rows), which no structural walk can prove
-    // bounded. Each entry must keep a Filter over the scaled leaf inside
-    // the hint subtree (enforced below) — an UNfiltered scaled scan is
-    // never allowlisted.
+    // (1) Literal-key probe exceptions: the broadcast side is a slice of
+    // a scaled table selected by comparing a BARE key attribute to a
+    // literal (`vec_id = 0`, `vec_id < 8`, a literal-keyed batch id) —
+    // O(1) rows at any SF because the probe id set is fixed by the
+    // query, not by the data. Structural floor (enforced below): the
+    // hint subtree must contain a Filter whose predicate compares a bare
+    // attribute (not an expression OF an attribute — `doc_id % 50 = 0`
+    // selects 2% of the corpus and does NOT qualify) to a literal.
     val allowFilterProbe: Map[String, String] = Map(
       "minhash_incremental" ->
         "broadcast side is the literal-keyed incremental batch slice",
       "dedup_clusters_incremental" ->
-        "broadcast side is the literal-keyed incremental batch slice")
+        "broadcast side is the literal-keyed incremental batch slice",
+      "similarity_search" -> "1-row probe: vec_id = 0",
+      "rrf_fusion" -> "1-row probe: vec_id = 0",
+      "ann_multiprobe" -> "1-row probe: vec_id = 0",
+      "ann_lsh_search" -> "1-row probe: vec_id = 0",
+      "ngram_jaccard" -> "1-row probe doc: doc_id = 0",
+      "ann_nprobe_frontier" -> "8-row probe set: vec_id < 8",
+      "contrastive_negatives" -> "8-row probe set: vec_id < 8",
+      "pq_recall_eval" -> "8-row probe set: vec_id < 8",
+      "ann_ndcg" -> "8-row probe set: vec_id < 8",
+      "ann_recall_eval" -> "8-row probe set: vec_id < 8",
+      "quantize_recall_eval" -> "8-row probe set: vec_id < 8")
+    // (2) Round-13 tightening (the tfidf_topk loophole): an Aggregate
+    // only counts as "reduced by construction" when its GROUPING is
+    // bounded — a global aggregate (1 row), or grouping keys drawn from
+    // an enum-like domain bounded by the data model, never by row count.
+    // `groupBy(term)` over a corpus is an Aggregate, but a vocabulary
+    // grows with the corpus (Heaps' law), so it must not satisfy the
+    // broadcast pin. Grouping-key-bounded hints need an entry here naming
+    // the allowed grouping columns; the walk then requires every
+    // bounding Aggregate/Deduplicate to group ONLY by those columns (the
+    // structural floor under the prose). Domains: event_type is a 5-value
+    // enum, lang/source are generator enums (≤6), l_returnflag is TPC-H's
+    // {A,N,R}, o_orderpriority 5 values, yr is 2 years by the filter.
+    val allowBoundedGroupAgg: Map[String, (Set[String], String)] = Map(
+      "lang_drift" -> (Set("lang", "source"), "lang/source generator enums"),
+      "distinct_users_approx" -> (Set("event_type"), "5-value event enum"),
+      "anomaly_zscore" -> (Set("event_type"), "5-value event enum"),
+      "burst_detection" -> (Set("event_type"), "5-value event enum"),
+      "kmv_set_ops" -> (Set("event_type"), "5-value event enum"),
+      "time_gapfill" -> (Set("event_type"), "5-value event enum"),
+      "loglin_quantiles" -> (Set("l_returnflag"), "TPC-H 3-value flag"),
+      "winsorized_stats" -> (Set("l_returnflag"), "TPC-H 3-value flag"),
+      "chi2_drift" -> (Set("o_orderpriority", "yr"),
+        "5-value priority enum x 2 filtered years"),
+      "stratified_sample" -> (Set("source"), "source generator enum"))
+    // (3) Semantically-bounded exceptions: frames a structural walk
+    // cannot prove bounded, where the bound comes from the data model's
+    // MEANING. Each entry's floor: a Filter must exist in the subtree,
+    // and for max-tie slices a global aggregate must feed it.
+    val allowSemanticBounded: Map[String, String] = Map(
+      "top_supplier" -> ("tied-winners slice: equality filter against the " +
+        "broadcast 1-row global max — ≤ #ties rows at any SF"),
+      "decontaminate" -> ("benchmark grams: an eval SUITE is " +
+        "deployment-bounded (the doc_id % 50 slice is a fixture stand-in " +
+        "for a fixed held-out set that does not grow with the corpus)"),
+      "decontaminate_pairs" -> ("benchmark grams: an eval SUITE is " +
+        "deployment-bounded (fixture stand-in slice), further df-capped " +
+        "at maxBenchDf"))
+    def isProbeFilter(f: Filter): Boolean = {
+      import org.apache.spark.sql.catalyst.expressions._
+      def bareAttr(e: Expression): Boolean = e match {
+        case _: Attribute => true
+        case c: Cast => bareAttr(c.child)
+        case _ => false
+      }
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      conjuncts(f.condition).exists {
+        case b: BinaryComparison =>
+          (bareAttr(b.left) && b.right.foldable) ||
+            (bareAttr(b.right) && b.left.foldable)
+        case _ => false
+      }
+    }
+    val violations = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       val analyzed = fn(spark, Sf0001).queryExecution.analyzed
       val hints = analyzed.collect {
@@ -492,31 +620,73 @@ class PlanSpec extends SparkSpecBase {
           _.toString.toUpperCase.contains("BROADCAST")) => h
       }
       hints.foreach { h =>
-        val reduced = h.child.collectFirst {
-          case a: Aggregate => a: LogicalPlan
-          case d: Distinct => d
-          case l: GlobalLimit => l
-          case l: LocalLimit => l
-        }
-        lazy val leaves = h.child.collectLeaves()
-        lazy val scaledLeaves = leaves.filter { l =>
-          val s = l.toString
-          scaled.exists(t => s.contains(s"/$t.parquet") || s.contains(s"$t.parquet]"))
-        }
-        if (reduced.isEmpty && scaledLeaves.nonEmpty) {
-          assert(allowFilterProbe.contains(name),
-            s"$name broadcast-hints a subtree over SF-scaled leaf(s) " +
-              s"${scaledLeaves.map(_.nodeName)} with no aggregate/limit — " +
-              s"a forced unbounded broadcast at 100 TB:\n${h.child}")
-          // structural floor under the allowlist prose: the probe slice
-          // must actually be filtered
-          val filtered = h.child.collectFirst { case f: Filter => f }
-          assert(filtered.nonEmpty,
-            s"$name is allowlisted as a filter-probe broadcast but its " +
-              s"hint subtree has no Filter:\n${h.child}")
+        val cols = allowBoundedGroupAgg.get(name).map(_._1).getOrElse(Set.empty)
+        if (!boundedPlan(h.child, cols)) {
+          if (allowFilterProbe.contains(name)) {
+            // floor: a bare-attribute-vs-literal Filter must exist
+            val probe = h.child.collect { case f: Filter => f }.exists(isProbeFilter)
+            if (!probe)
+              violations += s"$name is allowlisted as a literal-key probe " +
+                s"broadcast but its hint subtree has no bare-attribute-vs-" +
+                s"literal Filter:\n${h.child}"
+          } else if (allowSemanticBounded.contains(name)) {
+            // floor: the slice selector must exist; tied-winner slices
+            // must be fed by a 1-row global aggregate
+            val hasFilter = h.child.collectFirst { case f: Filter => f }.nonEmpty
+            val needsGlobalAgg = name == "top_supplier"
+            val hasGlobalAgg = h.child.collectFirst {
+              case a: Aggregate if a.groupingExpressions.isEmpty => a
+            }.nonEmpty
+            if (!hasFilter || (needsGlobalAgg && !hasGlobalAgg))
+              violations += s"$name is allowlisted as semantically bounded " +
+                s"but fails its structural floor (filter=${hasFilter}, " +
+                s"globalAgg=${hasGlobalAgg}):\n${h.child}"
+          } else {
+            violations += s"$name broadcast-hints a subtree that is not " +
+              s"bounded by construction — no global aggregate/limit/" +
+              s"bounded-group aggregate on every path to its SF-scaled " +
+              s"leaves (grouping aggregates over unbounded keys do NOT " +
+              s"count: a vocabulary/user/key table grows with the data) " +
+              s"— a forced unbounded broadcast at 100 TB:\n${h.child}"
+          }
         }
       }
     }
+    assert(violations.isEmpty,
+      s"${violations.size} unbounded forced broadcast(s):\n\n" +
+        violations.mkString("\n\n"))
+  }
+
+  test("boundedPlan walk (negative control): rejects the round-12 tfidf " +
+      "vocabulary-broadcast loophole shapes") {
+    // Proves the walk MATCHES something — guards against a refactor that
+    // silently stops seeing scaled leaves or aggregates. Three shapes:
+    // (1) the old tfidf df frame: groupBy(unbounded key) over a scaled
+    //     leaf — an Aggregate, but NOT bounded;
+    // (2) that same frame joined with a 1-row global agg — the collectFirst
+    //     loophole: a global agg exists in the subtree, output still
+    //     vocabulary-sized;
+    // (3) the fixed shapes: a global agg, and a Limit, both bounded.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001)
+    val vocabDf = docs
+      .select(explode(split($"text", " ")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    assert(!boundedPlan(vocabDf.queryExecution.analyzed, Set.empty),
+      "groupBy(term) over a scaled leaf must NOT count as bounded")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val joined = vocabDf.crossJoin(n)
+    assert(!boundedPlan(joined.queryExecution.analyzed, Set.empty),
+      "a 1-row agg joined onto a vocabulary frame must NOT bound the join")
+    assert(boundedPlan(n.queryExecution.analyzed, Set.empty),
+      "a global aggregate is bounded")
+    assert(boundedPlan(docs.limit(10).queryExecution.analyzed, Set.empty),
+      "a Limit is bounded")
+    // the declared-enum escape hatch: the same grouping is accepted only
+    // when the query allowlists the grouping column
+    assert(boundedPlan(vocabDf.queryExecution.analyzed, Set("term")),
+      "an allowlisted grouping column bounds the aggregate")
   }
 
   test("local_volume's order-year cut reaches the orders scan as a pushed filter") {
