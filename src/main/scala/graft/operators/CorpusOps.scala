@@ -1048,8 +1048,23 @@ object CorpusOps {
     *
     * Returns (1-row stage-count frame in [[corpusPipelineIncremental]]'s
     * column order, this batch's q_keep hashes to fold into `seenQ`). */
+  /** The funnel's seen-hash probe side: seenQ is cross-batch state that
+    * grows with stream LIFETIME, not batch size — an unconditional
+    * broadcast hint would eventually OOM the driver on a week-long
+    * funnel stream. Under the cap (a cheap count off the caller's
+    * eagerly-checkpointed state frame) the probe carries the broadcast
+    * hint; past it the hint is DROPPED and the probe degrades to the
+    * same h-keyed join the persisted index-hash probe uses — identical
+    * verdicts either side of the switchover (the StreamingEntrySpec
+    * parity case proves both halves). */
+  private[graft] def seenProbeFrame(seenQ: DataFrame, cap: Long): DataFrame = {
+    val side = seenQ.withColumn("seen_q", lit(1))
+    if (seenQ.count() <= cap) broadcast(side) else side
+  }
+
   private[graft] def ingestFunnelBatch(idx: CorpusIndex, seenQ: DataFrame,
-      batch: DataFrame, estThreshold: Double = 0.5): (DataFrame, DataFrame) = {
+      batch: DataFrame, estThreshold: Double = 0.5,
+      seenQBroadcastCap: Long = 4L << 20): (DataFrame, DataFrame) = {
     val base = batch.select(col("doc_id"), md5(col("text")).as("h"),
       size(tokens(col("text"))).cast(LongType).as("n_toks"))
     val rep = TextAnalysis.repetitionFrameOf(batch)
@@ -1074,8 +1089,7 @@ object CorpusOps {
       .groupBy(col("h")).agg(min(col("doc_id")).as("b_keeper"))
     val q2 = q
       .join(idx.hashes.withColumn("in_index", lit(1)), Seq("h"), "left_outer")
-      .join(broadcast(seenQ.withColumn("seen_q", lit(1))), Seq("h"),
-        "left_outer")
+      .join(seenProbeFrame(seenQ, seenQBroadcastCap), Seq("h"), "left_outer")
       .join(keeper, Seq("h"), "left_outer")
       .withColumn("e_keep", col("q_keep") && col("in_index").isNull &&
         col("seen_q").isNull && col("doc_id") === col("b_keeper"))

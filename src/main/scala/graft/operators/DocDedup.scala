@@ -281,21 +281,31 @@ object DocDedup {
   private val levelMemo =
     scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String, Long), Int]
 
-  private def levelMemoGet(key: (SparkSession, String, Long))(build: => Int): Int =
-    levelMemo.synchronized {
-      levelMemo.get(key) match {
-        case Some(v) =>
-          // refresh MRU position so the eviction below tracks recency
-          levelMemo.remove(key); levelMemo.put(key, v); v
-        case None =>
-          val v = build
-          levelMemo.put(key, v)
-          val mruSessions =
-            levelMemo.keys.toSeq.reverse.map(_._1).distinct.take(2).toSet
-          levelMemo.filterInPlace { case ((s, _, _), _) => mruSessions(s) }
-          v
-      }
+  private def levelMemoGet(key: (SparkSession, String, Long))(build: => Int): Int = {
+    val hit = levelMemo.synchronized {
+      val h = levelMemo.get(key)
+      // refresh MRU position so the eviction below tracks recency
+      h.foreach { v => levelMemo.remove(key); levelMemo.put(key, v) }
+      h
     }
+    hit.getOrElse {
+      // Cache miss: run `build` (Spark jobs — simhash frame + pair-mass
+      // collect) OUTSIDE the monitor, so one session's governor decision
+      // cannot serialize cache HITS for every other (session, dir) for
+      // the duration of the job. Two concurrent misses on the same key
+      // may both compute; the decision is deterministic per (session,
+      // dir, budget), so the duplicated work is harmless and last-put
+      // wins with the identical value.
+      val v = build
+      levelMemo.synchronized {
+        levelMemo.remove(key); levelMemo.put(key, v)
+        val mruSessions =
+          levelMemo.keys.toSeq.reverse.map(_._1).distinct.take(2).toSet
+        levelMemo.filterInPlace { case ((s, _, _), _) => mruSessions(s) }
+      }
+      v
+    }
+  }
 
   /** Drop every memoized frame AND every cached ladder decision. The two
     * must clear together: a caller that regenerates the data under a dir

@@ -46,10 +46,11 @@ object Multimodal {
     def decodeBatch(records: Iterator[MediaRecord]): Iterator[ImageFeatures] =
       records.map { r => decode(r.doc_id, r.payload) }
 
-    private[graft] def decode(docId: Long, b: Array[Byte]): ImageFeatures = {
-      val bad = ImageFeatures(docId, ok = false, 0, 0, 0, 0, 0L, 0L, 0L)
+    /** Header parse shared by [[decode]] and [[dhash2x2]]:
+      * (width, height, maxval, rasterStart) or None when malformed. */
+    private[graft] def parseHeader(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
       var pos = 2
-      if (b.length < 2 || b(0) != 'P' || b(1) != '6') return bad
+      if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
 
       def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
       // whitespace-delimited decimal token, skipping '#'-to-newline comments
@@ -71,19 +72,79 @@ object Multimodal {
       val w = nextInt(); val h = nextInt(); val mx = nextInt()
       // exactly ONE whitespace byte separates maxval from the raster
       if (w <= 0 || h <= 0 || mx <= 0 || mx > 255 ||
-          pos >= b.length || !isWs(b(pos))) return bad
+          pos >= b.length || !isWs(b(pos))) return None
       pos += 1
-      val n = w * h
-      if (b.length - pos < 3 * n) return bad
-      var (sr, sg, sb) = (0L, 0L, 0L)
-      var k = 0
-      while (k < n) {
-        sr += b(pos + 3 * k) & 0xff
-        sg += b(pos + 3 * k + 1) & 0xff
-        sb += b(pos + 3 * k + 2) & 0xff
-        k += 1
+      if (b.length - pos < 3 * w * h) return None
+      Some((w, h, mx, pos))
+    }
+
+    private[graft] def decode(docId: Long, b: Array[Byte]): ImageFeatures =
+      parseHeader(b) match {
+        case None =>
+          ImageFeatures(docId, ok = false, 0, 0, 0, 0, 0L, 0L, 0L)
+        case Some((w, h, mx, pos)) =>
+          val n = w * h
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var k = 0
+          while (k < n) {
+            sr += b(pos + 3 * k) & 0xff
+            sg += b(pos + 3 * k + 1) & 0xff
+            sb += b(pos + 3 * k + 2) & 0xff
+            k += 1
+          }
+          ImageFeatures(docId, ok = true, w, h, mx, n, sr, sg, sb)
       }
-      ImageFeatures(docId, ok = true, w, h, mx, n, sr, sg, sb)
+
+    /** Cell-pair comparison order for [[dhash2x2]] — 2x2 grid cells in
+      * row-major order (0,0)=0 (1,0)=1 (0,1)=2 (1,1)=3; bit layout is
+      * channel·6 + pairIndex. The DuckDB oracle SQL is GENERATED from
+      * this same constant (the anti-drift design), so the layout is the
+      * single source of truth. */
+    private[graft] val DhashPairs: Seq[(Int, Int)] =
+      Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+
+    /** Perceptual difference hash over a 2x2 downsample of the decoded
+      * raster — a REAL dHash, not a stats signature: pixel (x,y) maps to
+      * grid cell (2x/w, 2y/h); per cell and per RGB channel the byte sum
+      * and pixel count are accumulated; each of the 6 ordered cell pairs
+      * contributes one bit per channel — set when cell i's channel MEAN
+      * exceeds cell j's, compared exactly by integer cross-multiplication
+      * (s_i·c_j > s_j·c_i — no division, no floats). 3 channels x 6 pairs
+      * = 18 comparison bits packed into a 64-bit long; the tiny fixture
+      * rasters (≤4x2) bound the grid — a deployment-scale 9x8 grid (the
+      * classic 64-bit dHash) drops into the identical shape. Trailing
+      * bytes after the raster never reach the hash (the spec proves it),
+      * and empty cells (h=1 rasters) compare deterministically as mean 0.
+      */
+    private[graft] def dhash2x2(b: Array[Byte]): Long = parseHeader(b) match {
+      case None => 0L
+      case Some((w, h, _, pos)) =>
+        val s = Array.ofDim[Long](3, 4)
+        val c = new Array[Long](4)
+        val n = w * h
+        var k = 0
+        while (k < n) {
+          val cell = (2 * (k / w) / h) * 2 + (2 * (k % w) / w)
+          c(cell) += 1
+          var ch = 0
+          while (ch < 3) {
+            s(ch)(cell) += b(pos + 3 * k + ch) & 0xff
+            ch += 1
+          }
+          k += 1
+        }
+        var bits = 0L
+        var ch = 0
+        while (ch < 3) {
+          var p = 0
+          while (p < DhashPairs.length) {
+            val (i, j) = DhashPairs(p)
+            if (s(ch)(i) * c(j) > s(ch)(j) * c(i)) bits |= 1L << (ch * 6 + p)
+            p += 1
+          }
+          ch += 1
+        }
+        bits
     }
   }
 
@@ -210,36 +271,42 @@ object Multimodal {
   }
 
   case class MediaSig(doc_id: Long, ok: Boolean, width: Int, height: Int,
-      sum_r: Long, sum_g: Long, sum_b: Long, payload_md5: String)
+      sum_r: Long, sum_g: Long, sum_b: Long, dhash: Long, payload_md5: String)
 
   /** NS: perceptual media dedup — byte-DISTINCT payloads collapsed by
-    * their decoded content signature (width, height, per-channel sums:
-    * the stats-signature stand-in for a perceptual hash; a pHash/dHash
-    * drops into the same shape). Every fixture payload is byte-unique
-    * (trailing text differs), yet the decoded rasters repeat with the
-    * doc_id splice period, so the dedup is REAL work the exact-dup md5
-    * listing cannot do. One partition pass decodes AND hashes each
-    * payload (decode amortized like [[decodeFeatures]], md5 for the
-    * distinct-payload audit), then ONE bounded hash aggregate: map-side
+    * their decoded perceptual signature: (width, height,
+    * [[PpmDecoder.dhash2x2]]) — a real difference hash over the decoded
+    * raster, so near-identical rasters (same cell-mean ORDERING) collapse
+    * even when their exact channel sums differ. Every fixture payload is
+    * byte-unique (trailing text differs), yet the decoded rasters repeat
+    * with the doc_id splice period, so the dedup is REAL work the
+    * exact-dup md5 listing cannot do. One partition pass decodes AND
+    * hashes each payload — the MessageDigest is instantiated ONCE per
+    * partition (digest() resets it between rows), the same amortization
+    * as [[decodeFeatures]] — then ONE bounded hash aggregate: map-side
     * combine collapses each partition to ≤|signatures| rows before the
     * shuffle, so the exchange is signature-bounded at any corpus size —
-    * the `doc_dedup_exact` discipline applied to decoded content. */
+    * the `doc_dedup_exact` discipline applied to decoded content.
+    * `n_rasters` counts distinct exact channel-sum triples inside each
+    * perceptual cluster — >1 means the dHash merged rasters the exact
+    * signature would have kept apart. */
   def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sigs = ppmRecords(spark, dir).mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
         val f = PpmDecoder.decode(r.doc_id, r.payload)
-        val md = java.security.MessageDigest.getInstance("MD5")
         val hex = md.digest(r.payload).map("%02x".format(_)).mkString
         MediaSig(f.doc_id, f.ok, f.width, f.height,
-          f.sum_r, f.sum_g, f.sum_b, hex)
+          f.sum_r, f.sum_g, f.sum_b, PpmDecoder.dhash2x2(r.payload), hex)
       }
     }.toDF()
     sigs.where($"ok")
-      .groupBy($"width", $"height", $"sum_r", $"sum_g", $"sum_b")
+      .groupBy($"width", $"height", $"dhash")
       .agg(min($"doc_id").as("keeper_doc_id"),
         count(lit(1)).as("n_copies"),
-        countDistinct($"payload_md5").as("n_distinct_payloads"))
+        countDistinct($"payload_md5").as("n_distinct_payloads"),
+        countDistinct($"sum_r", $"sum_g", $"sum_b").as("n_rasters"))
       .orderBy($"keeper_doc_id")
   }
 

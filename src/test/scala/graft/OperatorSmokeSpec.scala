@@ -384,7 +384,7 @@ class OperatorSmokeSpec extends SparkSpecBase {
     }
   }
 
-  test("media_dedup: byte-distinct payloads collapse by decoded signature; " +
+  test("media_dedup: byte-distinct payloads collapse by perceptual dHash; " +
       "brute recount from the splice formula") {
     val rows = Multimodal.mediaDedup(spark, Sf0001).collect()
     val nDocs = graft.Tables.documents(spark, Sf0001).count()
@@ -394,22 +394,59 @@ class OperatorSmokeSpec extends SparkSpecBase {
     assert(rows.map(_.getAs[Long]("n_distinct_payloads")).sum === nDocs)
     assert(rows.exists(_.getAs[Long]("n_copies") > 1L),
       "fixture must contain at least one perceptual cluster")
-    // signature is fully determined by doc_id mod 192 (w: mod 3, h: mod 2,
-    // raster bytes: doc_id*31 mod 64) — recount clusters independently
-    def sig(d: Long) = {
+    // independent dHash reimplementation straight from the splice formula
+    // (pixel j byte = 32 + (d*31 + j*7) % 64; channel = j%3, pixel = j/3)
+    def bruteDhash(d: Long): (Int, Int, Long) = {
       val w = 2 + (d % 3).toInt; val h = 1 + (d % 2).toInt
-      val sums = Array(0L, 0L, 0L)
-      (0 until 3 * w * h).foreach(j => sums(j % 3) += 32 + ((d * 31 + j * 7) % 64))
-      (w, h, sums(0), sums(1), sums(2))
+      val s = Array.ofDim[Long](3, 4); val c = new Array[Long](4)
+      for (k <- 0 until w * h) {
+        val cell = (2 * (k / w) / h) * 2 + (2 * (k % w) / w)
+        c(cell) += 1
+        for (ch <- 0 until 3)
+          s(ch)(cell) += 32 + ((d * 31 + (3 * k + ch) * 7) % 64)
+      }
+      val pairs = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+      var bits = 0L
+      for (ch <- 0 until 3; (p, pi) <- pairs.zipWithIndex) {
+        if (s(ch)(p._1) * c(p._2) > s(ch)(p._2) * c(p._1))
+          bits |= 1L << (ch * 6 + pi)
+      }
+      (w, h, bits)
     }
-    val brute = (0L until nDocs).groupBy(sig)
+    val brute = (0L until nDocs).groupBy(bruteDhash)
       .map { case (k, ds) => k -> (ds.min, ds.size.toLong) }
     assert(rows.length === brute.size)
     rows.foreach { r =>
       val k = (r.getAs[Int]("width"), r.getAs[Int]("height"),
-        r.getAs[Long]("sum_r"), r.getAs[Long]("sum_g"), r.getAs[Long]("sum_b"))
+        r.getAs[Long]("dhash"))
       assert(brute(k) === ((r.getAs[Long]("keeper_doc_id"),
         r.getAs[Long]("n_copies"))))
     }
+  }
+
+  test("dhash2x2: trailing-text-only change shares the signature; a " +
+      "one-pixel raster change flips it") {
+    import Multimodal.PpmDecoder
+    // 2x2 raster: each grid cell is exactly one pixel. Red channel means
+    // 10/20/30/40 give a strict cell ordering every pair compares on.
+    def ppm(px: Array[Int], trailing: String): Array[Byte] =
+      "P6\n2 2\n255\n".getBytes("US-ASCII") ++ px.map(_.toByte) ++
+        trailing.getBytes("US-ASCII")
+    val raster = Array(
+      10, 1, 2,   20, 3, 4,   // row 0: cells 0, 1
+      30, 5, 6,   40, 7, 8)   // row 1: cells 2, 3
+    val a = ppm(raster, "caption about a cat")
+    val b = ppm(raster, "totally different alt text, different length too")
+    assert(!java.util.Arrays.equals(a, b), "payloads must be byte-distinct")
+    assert(PpmDecoder.dhash2x2(a) === PpmDecoder.dhash2x2(b),
+      "trailing bytes after the raster must not reach the dHash")
+    // one-pixel change: cell 0's red 10 -> 25 reverses the (0,1) red
+    // comparison (10 > 20 false, 25 > 20 true) — the hash must flip
+    val flipped = raster.clone(); flipped(0) = 25
+    val c = ppm(flipped, "caption about a cat")
+    assert(PpmDecoder.dhash2x2(c) !== PpmDecoder.dhash2x2(a),
+      "a one-pixel raster change that reorders cell means must flip the hash")
+    // and the flip is exactly the (red, pair(0,1)) bit: layout ch*6 + p
+    assert((PpmDecoder.dhash2x2(c) ^ PpmDecoder.dhash2x2(a)) === (1L << 0))
   }
 }

@@ -71,6 +71,27 @@ def rows_of(tbl):
 # round-9 salted_join flake was a one-off comparator-side failure on a
 # 6.1M-row python materialization. The driver's own comparator sorts
 # before hashing, so the multiset semantics match what is being graded.
+def parse_order_keys(sql):
+    """The trailing ORDER BY of an oracle query as [(column_or_ordinal,
+    is_desc)], or None when any item is an expression (function call,
+    arithmetic) — callers must then stay strict, because the
+    tie-permutation acceptance cannot verify an order it cannot parse."""
+    import re
+    m = re.search(r"ORDER\s+BY\s+(.+?)(?:\s+LIMIT\s+\d+\s*)?;?\s*$",
+                  sql, re.IGNORECASE | re.DOTALL)
+    if not m:
+        return None
+    keys = []
+    for item in m.group(1).split(","):
+        m2 = re.fullmatch(r"([A-Za-z_][A-Za-z0-9_]*|\d+)\s*(ASC|DESC)?",
+                          item.strip(), re.IGNORECASE)
+        if not m2:
+            return None
+        keys.append((m2.group(1),
+                     bool(m2.group(2)) and m2.group(2).upper() == "DESC"))
+    return keys
+
+
 BIG_ROWS = 200_000
 
 
@@ -159,10 +180,14 @@ def compare_big(con, name, sql, out_dir, n_rows):
                         for r in cur.fetchmany(head_k)]
         if head_got != head_exp:
             # A non-total ORDER BY cannot pin tie order cross-engine: if
-            # the two heads hold the SAME multiset, the difference is a
-            # pure permutation among order-by ties — legitimate, not an
-            # ordering violation. Only a differing head multiset (wrong
-            # rows in the head region) fails.
+            # the two heads hold the SAME multiset, the difference MAY be
+            # a pure permutation among order-by ties. Equal multisets
+            # alone do not prove that (a dropped secondary sort key also
+            # preserves the multiset), so additionally require head_got to
+            # be NON-DECREASING on the query's declared ORDER BY keys —
+            # only then is the permutation confined to tie runs. If the
+            # ORDER BY cannot be resolved to plain columns/ordinals, stay
+            # strict and fail.
             from collections import Counter
             if Counter(head_got) != Counter(head_exp):
                 i = next(i for i, (g, e)
@@ -170,8 +195,46 @@ def compare_big(con, name, sql, out_dir, n_rows):
                 return (False, f"multiset matches but head-{head_k} ORDER "
                         f"differs beyond tie permutation; first @{i}\n"
                         f"  spark={head_got[i]}\n  duck ={head_exp[i]}")
+            keys = parse_order_keys(sql)
+            key_idx = None
+            if keys is not None:
+                names = [d[0] for d in con.execute(
+                    "SELECT * FROM exp LIMIT 0").description]
+                try:
+                    key_idx = [
+                        (gc.index(names[int(c) - 1] if c.isdigit() else c), d)
+                        for c, d in keys]
+                except (ValueError, IndexError):
+                    key_idx = None
+            if key_idx is None:
+                return (False, f"head-{head_k} order differs and the ORDER "
+                        f"BY keys could not be resolved to plain columns — "
+                        f"cannot prove a tie-only permutation")
+
+            def pair_ok(a, b):
+                for i, desc in key_idx:
+                    x, y = a[i], b[i]
+                    if x is None or y is None:
+                        # engines disagree on NULL placement; the multiset
+                        # gate above already pinned the content
+                        return True
+                    if x == y:
+                        continue
+                    try:
+                        lt = x < y
+                    except TypeError:
+                        return True
+                    return (not lt) if desc else lt
+                return True
+            bad = next((i for i in range(len(head_got) - 1)
+                        if not pair_ok(head_got[i], head_got[i + 1])), None)
+            if bad is not None:
+                return (False, f"multiset matches but head-{head_k} violates "
+                        f"the declared ORDER BY at @{bad}:\n"
+                        f"  {head_got[bad]}\n  {head_got[bad + 1]}")
             return (True, f"{n_rows} rows, duckdb-side multiset; "
-                    f"head-{head_k} equal up to order-by-tie permutation")
+                    f"head-{head_k} equal up to order-by-tie permutation "
+                    f"(sort keys verified non-decreasing)")
         return True, f"{n_rows} rows, duckdb-side multiset + head-{head_k} order"
     finally:
         con.execute("DROP VIEW IF EXISTS got")
