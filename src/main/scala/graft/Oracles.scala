@@ -195,6 +195,64 @@ object Oracles {
 
   /** BM25 scoring CTE chain over the fixed query-term set (shared by
     * `bm25_topk` and `rrf_fusion`; caller appends the final SELECT). */
+  /** Shared media-dHash CTE chain (media_dedup, media_neardup_pairs):
+    * replay the PPM construction, parse the header, take channel sums,
+    * then compute the 2x2 perceptual dHash. The per-cell sums/counts and
+    * the comparison-bit expression are GENERATED from the engine's own
+    * [[graft.operators.Multimodal.PpmDecoder.DhashPairs]] bit layout
+    * (the anti-drift design). Ends with `g(doc_id, pmd5, width, height,
+    * sum_r, sum_g, sum_b, ..., dhash)`. */
+  private lazy val mediaDhashCte: String = {
+    // cell id of pixel k: (2*(k div w)) div h * 2 + (2*(k mod w)) div w
+    def cellFilter(m: Int) =
+      s"list_filter(range(0, CAST(width * height AS BIGINT)), " +
+        s"k -> ((2 * (k // width)) // height * 2 + (2 * (k % width)) // width) = $m)"
+    // per-cell channel sums (COALESCE: empty cells sum to 0) and counts
+    val cellSelect = (0 until 4).flatMap { m =>
+      (0 until 3).map { ch =>
+        s"  COALESCE(list_sum(list_transform(${cellFilter(m)},\n" +
+        s"    k -> ascii(substr(px, CAST(k * 3 + ${ch + 1} AS INTEGER), 1)))), 0) AS s${ch}_$m"
+      } :+ s"  len(${cellFilter(m)}) AS c_$m"
+    }.mkString(",\n")
+    val dhashExpr = operators.Multimodal.PpmDecoder.DhashPairs.zipWithIndex
+      .flatMap { case ((i, j), p) =>
+        (0 until 3).map { ch =>
+          val bit = 1L << (ch * 6 + p)
+          s"(CASE WHEN s${ch}_$i * c_$j > s${ch}_$j * c_$i THEN $bit ELSE 0 END)"
+        }
+      }.mkString(" + ")
+    s"""WITH raw AS (SELECT doc_id,
+       |    'P6' || chr(10) ||
+       |    CAST(2 + doc_id % 3 AS VARCHAR) || ' ' ||
+       |    CAST(1 + doc_id % 2 AS VARCHAR) || chr(10) || '255' || chr(10) ||
+       |    array_to_string(list_transform(
+       |      range(0, 3 * (2 + doc_id % 3) * (1 + doc_id % 2)),
+       |      j -> chr(CAST(32 + (doc_id * 31 + j * 7) % 64 AS INTEGER))), '')
+       |    || text AS s
+       |  FROM documents),
+       |d AS (SELECT doc_id, md5(s) AS pmd5,
+       |    CAST(regexp_extract(s, '^P6\n([0-9]+) ([0-9]+)\n([0-9]+)\n', 1)
+       |         AS INTEGER) AS width,
+       |    CAST(regexp_extract(s, '^P6\n([0-9]+) ([0-9]+)\n([0-9]+)\n', 2)
+       |         AS INTEGER) AS height,
+       |    substr(s, length(regexp_extract(
+       |      s, '^P6\n([0-9]+) ([0-9]+)\n([0-9]+)\n', 0)) + 1) AS px
+       |  FROM raw),
+       |f AS (SELECT doc_id, pmd5, width, height,
+       |  CAST(list_sum(list_transform(range(0, CAST(width * height AS BIGINT)),
+       |    k -> ascii(substr(px, CAST(k * 3 + 1 AS INTEGER), 1)))) AS BIGINT)
+       |    AS sum_r,
+       |  CAST(list_sum(list_transform(range(0, CAST(width * height AS BIGINT)),
+       |    k -> ascii(substr(px, CAST(k * 3 + 2 AS INTEGER), 1)))) AS BIGINT)
+       |    AS sum_g,
+       |  CAST(list_sum(list_transform(range(0, CAST(width * height AS BIGINT)),
+       |    k -> ascii(substr(px, CAST(k * 3 + 3 AS INTEGER), 1)))) AS BIGINT)
+       |    AS sum_b,
+       |$cellSelect
+       |  FROM d),
+       |g AS (SELECT *, CAST($dhashExpr AS BIGINT) AS dhash FROM f)""".stripMargin
+  }
+
   private val bm25Cte: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
@@ -2113,64 +2171,39 @@ object Oracles {
     // bit per (channel, cell pair) by exact integer cross-multiplication.
     // md5(s) is the distinct-payload audit (ASCII payload: VARCHAR md5
     // == the engine's md5 over the same bytes).
-    "media_dedup" -> {
-      // cell id of pixel k: (2*(k div w)) div h * 2 + (2*(k mod w)) div w
-      def cellOf(k: String) =
-        s"((2 * ($k // width)) // height * 2 + (2 * ($k % width)) // width)"
-      def cellFilter(m: Int) =
-        s"list_filter(range(0, CAST(width * height AS BIGINT)), k -> ${cellOf("k")} = $m)"
-      // per-cell channel sums (COALESCE: empty cells sum to 0) and counts
-      val cellSelect = (0 until 4).flatMap { m =>
-        (0 until 3).map { ch =>
-          s"  COALESCE(list_sum(list_transform(${cellFilter(m)},\n" +
-          s"    k -> ascii(substr(px, CAST(k * 3 + ${ch + 1} AS INTEGER), 1)))), 0) AS s${ch}_$m"
-        } :+ s"  len(${cellFilter(m)}) AS c_$m"
-      }.mkString(",\n")
-      val dhashExpr = operators.Multimodal.PpmDecoder.DhashPairs.zipWithIndex
-        .flatMap { case ((i, j), p) =>
-          (0 until 3).map { ch =>
-            val bit = 1L << (ch * 6 + p)
-            s"(CASE WHEN s${ch}_$i * c_$j > s${ch}_$j * c_$i THEN $bit ELSE 0 END)"
-          }
-        }.mkString(" + ")
-      s"""WITH raw AS (SELECT doc_id,
-         |    'P6' || chr(10) ||
-         |    CAST(2 + doc_id % 3 AS VARCHAR) || ' ' ||
-         |    CAST(1 + doc_id % 2 AS VARCHAR) || chr(10) || '255' || chr(10) ||
-         |    array_to_string(list_transform(
-         |      range(0, 3 * (2 + doc_id % 3) * (1 + doc_id % 2)),
-         |      j -> chr(CAST(32 + (doc_id * 31 + j * 7) % 64 AS INTEGER))), '')
-         |    || text AS s
-         |  FROM documents),
-         |d AS (SELECT doc_id, md5(s) AS pmd5,
-         |    CAST(regexp_extract(s, '^P6\n([0-9]+) ([0-9]+)\n([0-9]+)\n', 1)
-         |         AS INTEGER) AS width,
-         |    CAST(regexp_extract(s, '^P6\n([0-9]+) ([0-9]+)\n([0-9]+)\n', 2)
-         |         AS INTEGER) AS height,
-         |    substr(s, length(regexp_extract(
-         |      s, '^P6\n([0-9]+) ([0-9]+)\n([0-9]+)\n', 0)) + 1) AS px
-         |  FROM raw),
-         |f AS (SELECT doc_id, pmd5, width, height,
-         |  CAST(list_sum(list_transform(range(0, CAST(width * height AS BIGINT)),
-         |    k -> ascii(substr(px, CAST(k * 3 + 1 AS INTEGER), 1)))) AS BIGINT)
-         |    AS sum_r,
-         |  CAST(list_sum(list_transform(range(0, CAST(width * height AS BIGINT)),
-         |    k -> ascii(substr(px, CAST(k * 3 + 2 AS INTEGER), 1)))) AS BIGINT)
-         |    AS sum_g,
-         |  CAST(list_sum(list_transform(range(0, CAST(width * height AS BIGINT)),
-         |    k -> ascii(substr(px, CAST(k * 3 + 3 AS INTEGER), 1)))) AS BIGINT)
-         |    AS sum_b,
-         |$cellSelect
-         |  FROM d),
-         |g AS (SELECT *, CAST($dhashExpr AS BIGINT) AS dhash FROM f)
-         |SELECT width, height, dhash,
-         |  CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
-         |  CAST(count(*) AS BIGINT) AS n_copies,
-         |  CAST(count(DISTINCT pmd5) AS BIGINT) AS n_distinct_payloads,
-         |  CAST(count(DISTINCT (sum_r, sum_g, sum_b)) AS BIGINT) AS n_rasters
-         |FROM g GROUP BY 1, 2, 3
-         |ORDER BY keeper_doc_id""".stripMargin
-    },
+    "media_dedup" -> (mediaDhashCte +
+      """
+        |SELECT width, height, dhash,
+        |  CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(count(DISTINCT pmd5) AS BIGINT) AS n_distinct_payloads,
+        |  CAST(count(DISTINCT (sum_r, sum_g, sum_b)) AS BIGINT) AS n_rasters
+        |FROM g GROUP BY 1, 2, 3
+        |ORDER BY keeper_doc_id""".stripMargin),
+    // media_neardup_pairs: cluster representatives from the same dHash
+    // CTE, 3 six-bit bands (hamming <= 2 pigeonholes >= 1 exact band),
+    // verify with bit_count(xor) — the engine's banded join replayed
+    "media_neardup_pairs" -> (mediaDhashCte +
+      """,
+        |reps AS (SELECT width, height, dhash,
+        |           CAST(min(doc_id) AS BIGINT) AS keeper,
+        |           CAST(count(*) AS BIGINT) AS n
+        |         FROM g GROUP BY 1, 2, 3),
+        |bands AS (SELECT r.*, b AS bidx, (dhash >> (6 * b)) & 63 AS bval
+        |          FROM reps r, unnest([0, 1, 2]) AS t(b)),
+        |cand AS (SELECT DISTINCT x.width, x.height,
+        |           x.dhash AS dhash_a, y.dhash AS dhash_b,
+        |           x.keeper AS keeper_a, y.keeper AS keeper_b,
+        |           x.n AS n_a, y.n AS n_b
+        |         FROM bands x JOIN bands y
+        |           ON x.width = y.width AND x.height = y.height
+        |          AND x.bidx = y.bidx AND x.bval = y.bval
+        |          AND x.keeper < y.keeper)
+        |SELECT width, height, dhash_a, dhash_b, keeper_a, keeper_b, n_a, n_b,
+        |       CAST(bit_count(xor(dhash_a, dhash_b)) AS INTEGER) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(dhash_a, dhash_b)) BETWEEN 1 AND 2
+        |ORDER BY keeper_a, keeper_b""".stripMargin),
     "media_frame_sample" ->
       """WITH d AS (SELECT doc_id, text,
         |             CAST((length(text) + 99) // 100 AS INTEGER) AS n_frames

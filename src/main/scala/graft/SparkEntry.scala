@@ -266,6 +266,7 @@ object SparkEntry {
     "media_decode"         -> (Multimodal.mediaDecode(_, _)),
     "media_frame_sample"   -> (Multimodal.mediaFrameSample(_, _)),
     "media_dedup"          -> (Multimodal.mediaDedup(_, _)),
+    "media_neardup_pairs"  -> (Multimodal.mediaNeardupPairs(_, _)),
     "kmv_set_ops"          -> (Relational.kmvSetOps(_, _)),
     "autocorr_daily"       -> (Relational.autocorrDaily(_, _)),
     "markov_transitions"   -> (Relational.markovTransitions(_, _)),

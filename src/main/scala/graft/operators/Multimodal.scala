@@ -310,6 +310,54 @@ object Multimodal {
       .orderBy($"keeper_doc_id")
   }
 
+  /** NS: perceptual NEAR-dup pairs — the media twin of the simhash banded
+    * join: find pairs of perceptual clusters whose dHashes differ by 1–2
+    * bits (a near-identical raster: slight re-encode, tiny edit), which
+    * [[mediaDedup]]'s exact-signature grouping keeps apart. Two scale
+    * disciplines compose: (1) the search runs over cluster
+    * REPRESENTATIVES (distinct (width, height, dhash) triples — bounded
+    * by the signature space, never by the corpus), so the hamming-0 mass
+    * that media_dedup owns is excluded by construction; (2) the 18-bit
+    * hash splits into 3 six-bit bands — hamming ≤ 2 pigeonholes at least
+    * one band exact, so candidates only form inside per-(dims, band,
+    * value) blocks, the same lossless-banding argument as
+    * `DocDedup.SimhashBandLayouts`. Verification is one integer
+    * `bit_count(xor)` per candidate. */
+  def mediaNeardupPairs(spark: SparkSession, dir: String,
+      maxHamming: Int = 2): DataFrame = {
+    import spark.implicits._
+    val reps = ppmRecords(spark, dir).mapPartitions { it =>
+      it.map { r =>
+        val f = PpmDecoder.decode(r.doc_id, r.payload)
+        (f.doc_id, f.ok, f.width, f.height, PpmDecoder.dhash2x2(r.payload))
+      }
+    }.toDF("doc_id", "ok", "width", "height", "dhash")
+      .where($"ok")
+      .groupBy($"width", $"height", $"dhash")
+      .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+    val banded = reps.select($"width", $"height", $"dhash",
+      $"keeper_doc_id", $"n_copies",
+      explode(array((0 until 3).map(b => struct(
+        lit(b).as("bidx"),
+        shiftright($"dhash", 6 * b).bitwiseAND(lit(63L)).as("bval"))): _*))
+        .as("bd"))
+      .select($"width", $"height", $"dhash", $"keeper_doc_id", $"n_copies",
+        $"bd.bidx".as("bidx"), $"bd.bval".as("bval"))
+    val cand = banded.as("x").join(banded.as("y"),
+        $"x.width" === $"y.width" && $"x.height" === $"y.height" &&
+          $"x.bidx" === $"y.bidx" && $"x.bval" === $"y.bval" &&
+          $"x.keeper_doc_id" < $"y.keeper_doc_id")
+      .select($"x.width".as("width"), $"x.height".as("height"),
+        $"x.dhash".as("dhash_a"), $"y.dhash".as("dhash_b"),
+        $"x.keeper_doc_id".as("keeper_a"), $"y.keeper_doc_id".as("keeper_b"),
+        $"x.n_copies".as("n_a"), $"y.n_copies".as("n_b"))
+      .distinct() // a pair sharing several bands must emit once
+    cand
+      .withColumn("hamming", bit_count($"dhash_a".bitwiseXOR($"dhash_b")))
+      .where($"hamming" >= 1 && $"hamming" <= maxHamming)
+      .orderBy($"keeper_a", $"keeper_b")
+  }
+
   /** Frame sampling as REAL (non-stub) plumbing: the payload is windowed
     * into fixed-size frames and every stride-th frame is taken, stride
     * chosen so ~4 frames survive per document — the row-explosion shape

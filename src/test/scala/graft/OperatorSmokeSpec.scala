@@ -449,4 +449,32 @@ class OperatorSmokeSpec extends SparkSpecBase {
     // and the flip is exactly the (red, pair(0,1)) bit: layout ch*6 + p
     assert((PpmDecoder.dhash2x2(c) ^ PpmDecoder.dhash2x2(a)) === (1L << 0))
   }
+
+  test("media_neardup_pairs: banded join is lossless vs brute-force " +
+      "hamming over cluster representatives") {
+    val rows = Multimodal.mediaNeardupPairs(spark, Sf0001).collect()
+    assert(rows.nonEmpty, "fixture must contain near-dup signature pairs")
+    rows.foreach { r =>
+      val h = r.getAs[Int]("hamming")
+      assert(h >= 1 && h <= 2, s"hamming $h outside the declared radius")
+      assert(r.getAs[Long]("keeper_a") < r.getAs[Long]("keeper_b"))
+      assert(java.lang.Long.bitCount(
+        r.getAs[Long]("dhash_a") ^ r.getAs[Long]("dhash_b")) === h)
+    }
+    // brute force: every distinct (w, h, dhash) representative pair with
+    // hamming in [1, 2] — the 3x6-bit banding must find ALL of them
+    // (hamming <= 2 over 3 bands pigeonholes >= 1 band exact)
+    val reps = Multimodal.mediaDedup(spark, Sf0001).collect()
+      .map(r => (r.getAs[Int]("width"), r.getAs[Int]("height"),
+        r.getAs[Long]("dhash"), r.getAs[Long]("keeper_doc_id")))
+    val brute = for {
+      a <- reps; b <- reps
+      if a._1 == b._1 && a._2 == b._2 && a._4 < b._4
+      h = java.lang.Long.bitCount(a._3 ^ b._3)
+      if h >= 1 && h <= 2
+    } yield (a._4, b._4)
+    assert(rows.map(r => (r.getAs[Long]("keeper_a"),
+      r.getAs[Long]("keeper_b"))).toSet === brute.toSet,
+      "banded candidates must equal the brute-force hamming pairs")
+  }
 }
