@@ -242,8 +242,9 @@ object CorpusOps {
     val scored = lmFrame(spark, dir)
       .join(Tables.documents(spark, dir).select($"doc_id", $"lang"), "doc_id")
       .select($"doc_id", $"lang", $"n_bigrams", $"avg_logprob_u20")
-    val (ranked, _) = Scale.withGlobalRank(scored, "rk",
-      Seq($"lang", $"avg_logprob_u20".desc, $"doc_id"))
+    // single-plan rank: no checkpoint/collect round-trips (guide §1.2)
+    val ranked = Scale.withGlobalRankPlan(scored, "rk", "_n",
+      Seq($"lang", $"avg_logprob_u20".desc, $"doc_id")).drop("_n")
     val offs = ranked.groupBy($"lang")
       .agg(min($"rk").as("rk0"), count(lit(1)).as("n_lang"))
     ranked.join(broadcast(offs), "lang")
@@ -1169,10 +1170,11 @@ object CorpusOps {
       phases: Int = 8): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select($"doc_id", $"n_chars")
-    val (ranked, n) = Scale.withGlobalRank(docs, "rk",
+    // single-plan rank: no checkpoint/collect round-trips (guide §1.2)
+    val ranked = Scale.withGlobalRankPlan(docs, "rk", "_n",
       Seq($"n_chars", $"doc_id"))
     ranked
-      .withColumn("phase", Scale.ntileFromRank($"rk", n, phases))
+      .withColumn("phase", Scale.ntileFromRankCol($"rk", $"_n", phases))
       .groupBy($"phase")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
         min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))

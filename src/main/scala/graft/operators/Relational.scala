@@ -1700,7 +1700,7 @@ object Relational {
     val totals = ev.agg(
       sum(($"event_type" === "purchase").cast(LongType)).as("na"),
       sum(($"event_type" === "view").cast(LongType)).as("nb"))
-    Scale.withGlobalCumsum(perValue, Seq($"value"),
+    Scale.withGlobalCumsumPlan(perValue, Seq($"value"),
       Seq("ca" -> "cuma", "cb" -> "cumb"))
       .select($"value", $"cuma", $"cumb")
       .crossJoin(broadcast(totals))
@@ -2154,7 +2154,7 @@ object Relational {
     val delaysS = Seq(0L, 60L, 300L, 900L, 3600L)
     val ev = Tables.events(spark, dir)
       .select($"event_id", unix_micros($"ts").as("us"))
-    val late = Scale.withGlobalPrefixMax(ev, Seq($"event_id"), "us", "pm")
+    val late = Scale.withGlobalPrefixMaxPlan(ev, Seq($"event_id"), "us", "pm")
       // first arrival has an empty strict prefix (the MinValue identity)
       // and can never be late
       .select(when($"pm" === Long.MinValue, 0L)
@@ -2320,10 +2320,11 @@ object Relational {
     val perCust = Tables.orders(spark, dir)
       .groupBy($"o_custkey")
       .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("rev"))
-    val (ranked, nCust) =
-      Scale.withGlobalRank(perCust, "_rn", Seq($"rev".desc, $"o_custkey"))
+    // single-plan rank: no checkpoint/collect round-trips (guide §1.2)
+    val ranked = Scale.withGlobalRankPlan(perCust, "_rn", "_n",
+      Seq($"rev".desc, $"o_custkey"))
     val deciled = ranked
-      .withColumn("decile", Scale.ntileFromRank($"_rn", nCust, 10))
+      .withColumn("decile", Scale.ntileFromRankCol($"_rn", $"_n", 10))
       .groupBy($"decile")
       .agg(count(lit(1)).as("n_customers"), sum($"rev").as("dec_rev"))
     val total = deciled.agg(sum($"dec_rev").as("total_rev"))
@@ -2385,15 +2386,20 @@ object Relational {
     val anchor = per.agg(max($"last_day").as("anchor"))
     val base = per.crossJoin(broadcast(anchor))
       .withColumn("recency_days", $"anchor" - $"last_day")
-    val (r1, n) =
-      Scale.withGlobalRank(base, "_rrk", Seq($"recency_days", $"o_custkey"))
-    val (r2, _) = Scale.withGlobalRank(
-      r1.withColumn("r_score", Scale.ntileFromRank($"_rrk", n, 5)),
-      "_frk", Seq($"frequency".desc, $"o_custkey"))
-    val (r3, _) = Scale.withGlobalRank(
-      r2.withColumn("f_score", Scale.ntileFromRank($"_frk", n, 5)),
-      "_mrk", Seq($"monetary".desc, $"o_custkey"))
-    r3.withColumn("m_score", Scale.ntileFromRank($"_mrk", n, 5))
+    // single-plan ranks (guide §1.2/§2.4): the checkpoint+collect form
+    // paid 3×(materialize + collect) sequential driver round-trips; the
+    // rank-plan chain is ONE lazy plan whose shared exchanges AQE
+    // materializes once each, and the ntile total-count comes from the
+    // helper's n column instead of a driver literal
+    def score(df: DataFrame, rank: String, out: String,
+        sort: Seq[Column]): DataFrame =
+      Scale.withGlobalRankPlan(df, rank, "_n", sort)
+        .withColumn(out, Scale.ntileFromRankCol(col(rank), $"_n", 5))
+        .drop(rank, "_n")
+    val r1 = score(base, "_rrk", "r_score", Seq($"recency_days", $"o_custkey"))
+    val r2 = score(r1, "_frk", "f_score", Seq($"frequency".desc, $"o_custkey"))
+    val r3 = score(r2, "_mrk", "m_score", Seq($"monetary".desc, $"o_custkey"))
+    r3
       .groupBy($"r_score", $"f_score", $"m_score")
       .agg(count(lit(1)).as("n_customers"),
         sum($"monetary").cast(DoubleType).as("segment_revenue"))
@@ -2565,8 +2571,9 @@ object Relational {
       .agg(sum(($"o_totalprice".cast(DecimalType(18, 2)) * 100).cast(LongType))
         .as("cents"))
     val n1 = per.agg(count(lit(1)).as("n"), sum($"cents").as("total_cents"))
-    val (ranked, _) =
-      Scale.withGlobalRank(per, "i", Seq($"cents", $"o_custkey"))
+    // single-plan rank: no checkpoint/collect round-trips (guide §1.2)
+    val ranked = Scale.withGlobalRankPlan(per, "i", "_gn",
+      Seq($"cents", $"o_custkey")).drop("_gn")
     ranked
       .crossJoin(broadcast(n1))
       .agg(max($"n").as("n_customers"), max($"total_cents").as("total_cents"),
@@ -2712,22 +2719,34 @@ object Relational {
   private[graft] def exactMedianOfCents(
       spark: SparkSession, cents: DataFrame): DataFrame = {
     import spark.implicits._
-    val (ranked, n) = Scale.withGlobalRank(cents, "rk",
+    // single-plan rank (guide §1.2/§2.4): the old checkpoint+collect rank
+    // cost 2 extra sequential jobs plus a second full exchange of the
+    // 600k-row frame (the checkpoint boundary loses its partitioning, so
+    // the rank window re-shuffled by pid); the quartile target ranks are
+    // now COLUMN arithmetic over the rank plan's n column instead of
+    // driver literals
+    val ranked = Scale.withGlobalRankPlan(cents, "rk", "_n",
       Seq($"cents", $"l_orderkey", $"l_linenumber"))
-    val (r25, r50lo, r50hi, r75) =
-      ((n + 3) / 4, (n + 1) / 2, n / 2 + 1, (3 * n + 3) / 4)
+    val r25   = expr("(_n + 3) div 4")
+    val r50lo = expr("(_n + 1) div 2")
+    val r50hi = expr("_n div 2 + 1")
+    val r75   = expr("(3 * _n + 3) div 4")
     ranked
-      .where($"rk".isin(Seq(r25, r50lo, r50hi, r75).distinct: _*))
+      .where($"rk" === r25 || $"rk" === r50lo || $"rk" === r50hi ||
+        $"rk" === r75)
+      .select($"cents", $"rk", r25.as("_r25"), r50lo.as("_r50lo"),
+        r50hi.as("_r50hi"), r75.as("_r75"), $"_n")
       .agg(
-        max(when($"rk" === r25, $"cents")).as("p25_cents"),
-        (max(when($"rk" === r50lo, $"cents")) +
-          max(when($"rk" === r50hi, $"cents"))).as("median_x2_cents"),
-        max(when($"rk" === r75, $"cents")).as("p75_cents"))
-      .select(lit(n).as("n_rows"), $"p25_cents", $"median_x2_cents",
-        $"p75_cents")
+        max($"_n").as("n_rows"),
+        max(when($"rk" === $"_r25", $"cents")).as("p25_cents"),
+        (max(when($"rk" === $"_r50lo", $"cents")) +
+          max(when($"rk" === $"_r50hi", $"cents"))).as("median_x2_cents"),
+        max(when($"rk" === $"_r75", $"cents")).as("p75_cents"))
+      .select($"n_rows", $"p25_cents", $"median_x2_cents", $"p75_cents")
       // empty-input shape parity: the oracle's GROUP BY emits zero rows
-      // on an empty lineitem, where a global agg would emit one
-      .where(lit(n) > 0)
+      // on an empty lineitem, where a global agg would emit one (its
+      // n_rows max is NULL exactly when the input was empty)
+      .where($"n_rows".isNotNull)
   }
 
   /** NS: TPC-H Q22-shaped "global sales opportunity" — customers with an
@@ -2795,9 +2814,9 @@ object Relational {
     val totals = daily.agg(count(lit(1)).as("n_days"), sum($"x").as("total"))
     val drift = daily.crossJoin(broadcast(totals))
       .select($"day", $"x", ($"x" * $"n_days" - $"total").as("d"))
-    val cum = Scale.withGlobalCumsum(drift, Seq($"day"), Seq("d" -> "cum"))
+    val cum = Scale.withGlobalCumsumPlan(drift, Seq($"day"), Seq("d" -> "cum"))
       .withColumn("neg_cum", -$"cum")
-    val withPm = Scale.withGlobalPrefixMax(cum, Seq($"day"), "neg_cum", "pm")
+    val withPm = Scale.withGlobalPrefixMaxPlan(cum, Seq($"day"), "neg_cum", "pm")
     withPm
       // min(0, min_{j<t} cum_j) = −max(0, max_{j<t} −cum_j); the max
       // identity (Long.MinValue on the first day) clamps to 0 safely

@@ -520,16 +520,27 @@ object Scale {
     // window (the exact single-task failure this planner exists to
     // prevent); the rank pass costs one range exchange + a numParts-row
     // offset collect, and n falls out of the same pass.
-    val (ranked, n) = withGlobalRank(sample, "rk",
+    // single-plan rank (guide §1.2): the boundary RANKS are column
+    // predicates over the rank plan's n column, so the whole boundary
+    // extraction is ONE collect job (vs checkpoint + counts collect +
+    // boundary collect before); n itself rides along on the collected
+    // boundary rows.
+    val ranked = withGlobalRankPlan(sample, "rk", "_n",
       Seq($"l_orderkey", $"l_linenumber"))
     // rank of boundary i (1-based): ceil(i*n/parts) — integer arithmetic.
     // One boundary PER i (duplicates kept when the sample has n < parts
     // rows and two boundary ranks coincide) — mirroring the oracle's
     // range-join exactly, so degenerate samples bucket identically.
+    val isBoundary = (1 until parts)
+      .map(i => $"rk" === expr(s"($i * _n + $parts - 1) div $parts"))
+      .reduce(_ || _)
+    val boundaryRows = ranked.where(isBoundary)
+      .select($"rk", $"l_orderkey", $"_n")
+      .as[(Long, Long, Long)].collect()
+    val n = boundaryRows.headOption.map(_._3).getOrElse(0L)
     val ranks = (1 until parts).map(i => (i * n + parts - 1) / parts)
-    val byRank: Map[Long, Long] = ranked
-      .where($"rk".isin(ranks.distinct: _*))
-      .select($"rk", $"l_orderkey").as[(Long, Long)].collect().toMap
+    val byRank: Map[Long, Long] =
+      boundaryRows.map(r => (r._1, r._2)).toMap
     val bounds: Array[Long] = ranks.collect {
       case r if byRank.contains(r) => byRank(r)
     }.toArray
@@ -669,6 +680,150 @@ object Scale {
       .drop("_gm_pid")
   }
 
+  /** Single-plan [[withGlobalRank]] — same global rank, ZERO driver
+    * round-trips (guide §1.2/§2.4: the checkpoint+collect form pays two
+    * extra sequential jobs and materializes the whole frame, then loses
+    * its partitioning at the checkpoint boundary so the rank window
+    * re-shuffles everything by pid a second time). Here everything is
+    * one lazy plan:
+    *
+    *  - range-repartition on the sort key (REPARTITION_BY_NUM origin —
+    *    AQE never coalesces or skew-splits it, so partition ids are
+    *    stable across both consumers);
+    *  - branch A: per-partition row counts (a ≤numParts-row frame —
+    *    bounded by CONFIG, not data), exclusive-prefix-summed into
+    *    per-partition rank offsets plus the total count by a bounded
+    *    unpartitioned window, then BROADCAST;
+    *  - branch B: partition-local sort, then `monotonically_increasing_id`
+    *    — (pid << 33) | row-offset-within-partition by construction —
+    *    taken AFTER the sort, so `mid & (2^33−1)` is the 0-based
+    *    within-partition rank with no window and no pid re-shuffle;
+    *  - broadcast-join A onto B on `mid >> 33 = pid`:
+    *    rank = offset(pid) + (mid & mask) + 1.
+    *
+    * Both branches read ONE eagerly-materialized range exchange (see the
+    * in-body note on why a checkpoint beats relying on ReuseExchange
+    * here). Requires `sortCols` to be a total
+    * order (callers tie-break on a key), which makes the rank independent
+    * of where the range boundaries fall — the same invariant
+    * [[withGlobalRank]] documents. Partitions must stay under 2^33 rows
+    * (the mid packing), which numParts sizing already guarantees at any
+    * realistic scale. Output: df's columns + `rankCol` (1-based LongType)
+    * + `nCol` (total row count on every row — the column form of the
+    * old API's returned `n`, for [[ntileFromRankCol]]). */
+  def withGlobalRankPlan(df: DataFrame, rankCol: String, nCol: String,
+      sortCols: Seq[Column], numParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // The checkpoint (not a pure two-branch plan) is deliberate: the
+    // counts branch needs NO data columns, so column pruning would
+    // specialize its copy of the range exchange to an empty projection —
+    // the two exchanges then stop canonicalizing equal, ReuseExchange
+    // can't fire, and the whole input is computed twice (measured: the
+    // chained rfm_segments ranks went 1.4x SLOWER that way). One eager
+    // materialization pins the partition ids for both consumers and
+    // keeps the upstream computed exactly once — and unlike the old
+    // collect form, everything downstream is still one lazy plan.
+    // (Swap for `checkpoint()` on a real cluster.)
+    val parted = df.repartitionByRange(numParts, sortCols: _*)
+      .localCheckpoint()
+    val wOff = Window.orderBy(col("_gr_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.orderBy(col("_gr_pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offs = parted
+      .groupBy(spark_partition_id().as("_gr_pid"))
+      .agg(count(lit(1)).as("_gr_c"))
+      .select(col("_gr_pid").cast(LongType).as("_gr_pid"),
+        coalesce(sum(col("_gr_c")).over(wOff), lit(0L)).as("_gr_off"),
+        sum(col("_gr_c")).over(wTot).as(nCol))
+    val mask = (1L << 33) - 1
+    val local = parted.sortWithinPartitions(sortCols: _*)
+      .withColumn("_gr_mid", monotonically_increasing_id())
+    local
+      .join(broadcast(offs), shiftright(col("_gr_mid"), 33) === col("_gr_pid"))
+      .withColumn(rankCol,
+        col("_gr_mid").bitwiseAND(lit(mask)) + lit(1L) + col("_gr_off"))
+      .select(df.columns.map(col) ++ Seq(col(rankCol), col(nCol)): _*)
+  }
+
+  /** Single-plan [[withGlobalCumsum]] — identical cumulative sums, zero
+    * driver round-trips: per-partition totals are exclusive-prefix-summed
+    * by a bounded ≤numParts-row window and broadcast-joined back instead
+    * of collected into CASE literals, and the shared range exchange
+    * replaces the localCheckpoint (ReuseExchange materializes it once
+    * for both the totals branch and the running-sum branch). The
+    * within-partition running sum still needs its window clustered by
+    * pid — that exchange carries only the (already aggregated) grid
+    * rows, same as before. */
+  def withGlobalCumsumPlan(df: DataFrame, sortCols: Seq[Column],
+      sumCols: Seq[(String, String)], numParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parted0 = df.repartitionByRange(numParts, sortCols: _*)
+    val parted = parted0.withColumn("_gc_pid", spark_partition_id())
+    val wOff = Window.orderBy(col("_gc_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totAggs = sumCols.map { case (in, _) => sum(col(in)).as(s"_gc_t_$in") }
+    // group by the partition id EXPRESSION (references-empty grouping —
+    // bounded by the partition count, which the broadcast pin's
+    // boundedPlan walk recognizes structurally)
+    val offs = parted0.groupBy(spark_partition_id().as("_gc_pid"))
+      .agg(totAggs.head, totAggs.tail: _*)
+      .select(col("_gc_pid") +: sumCols.map { case (in, _) =>
+        coalesce(sum(col(s"_gc_t_$in")).over(wOff), lit(0L))
+          .as(s"_gc_off_$in") }: _*)
+    val w = Window.partitionBy(col("_gc_pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = parted.join(broadcast(offs), "_gc_pid")
+    val withCums = sumCols.foldLeft(joined) { case (acc, (in, out)) =>
+      acc.withColumn(out, sum(col(in)).over(w) + col(s"_gc_off_$in"))
+    }
+    withCums.select(df.columns.map(col) ++
+      sumCols.map { case (_, out) => col(out) }: _*)
+  }
+
+  /** Single-plan [[withGlobalPrefixMax]] — identical strict-prefix max,
+    * zero driver round-trips (same construction as
+    * [[withGlobalCumsumPlan]], specialized to max with the
+    * Long.MinValue identity for the first partition / first row). */
+  def withGlobalPrefixMaxPlan(df: DataFrame, sortCols: Seq[Column],
+      maxCol: String, outCol: String, numParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parted0 = df.repartitionByRange(numParts, sortCols: _*)
+    val parted = parted0.withColumn("_gm_pid", spark_partition_id())
+    val wOff = Window.orderBy(col("_gm_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = parted0.groupBy(spark_partition_id().as("_gm_pid"))
+      .agg(max(col(maxCol)).as("_gm_m"))
+      .select(col("_gm_pid"),
+        coalesce(max(col("_gm_m")).over(wOff), lit(Long.MinValue))
+          .as("_gm_off"))
+    val w = Window.partitionBy(col("_gm_pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted.join(broadcast(offs), "_gm_pid")
+      .withColumn(outCol,
+        greatest(coalesce(max(col(maxCol)).over(w), lit(Long.MinValue)),
+          col("_gm_off")))
+      .select(df.columns.map(col) :+ col(outCol): _*)
+  }
+
+  /** [[ntileFromRank]] with the total count as a COLUMN (the
+    * [[withGlobalRankPlan]] `nCol` output) instead of a driver literal —
+    * same SQL-standard bucket arithmetic, fully lazy. */
+  def ntileFromRankCol(rank: Column, n: Column, k: Int): Column = {
+    val base   = idivc(n, lit(k.toLong))
+    val rem    = n - base * k
+    val bigCut = rem * (base + 1L)
+    val r0     = rank - 1L
+    when(r0 < bigCut, idivc(r0, base + 1L) + 1L)
+      .otherwise(rem + idivc(r0 - bigCut, greatest(base, lit(1L))) + 1L)
+      .cast(IntegerType)
+  }
+
+  /** Integer division for Column divisors (Column `/` is double
+    * division); both operands must be non-negative longs here. */
+  private def idivc(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast(LongType)
+
   /** NS: distributed 2-D skyline (pareto frontier) — the parts no other
     * part beats on BOTH axes (lower `p_retailprice`, higher `p_size`):
     * q dominates p iff q.price <= p.price AND q.size >= p.size with at
@@ -692,7 +847,7 @@ object Scale {
     // (any smaller size at the same price is dominated by it)
     val grid = p.groupBy($"p_retailprice")
       .agg(max($"p_size".cast(LongType)).as("g_size"))
-    val swept = withGlobalPrefixMax(grid, Seq($"p_retailprice"), "g_size", "pmax")
+    val swept = withGlobalPrefixMaxPlan(grid, Seq($"p_retailprice"), "g_size", "pmax")
     val frontier = swept.where($"g_size" > $"pmax")
       .select($"p_retailprice".as("f_price"), $"g_size")
     p.join(frontier,

@@ -72,7 +72,25 @@ class PlanSpec extends SparkSpecBase {
     import org.apache.spark.sql.catalyst.plans.logical._
     p match {
       case a: Aggregate =>
+        // references-empty grouping (spark_partition_id(), literals): the
+        // group count is bounded by the child's PARTITION COUNT — a
+        // config bound, not a data bound (the withGlobal*Plan helpers'
+        // per-partition offset frames, ≤numParts rows at any SF). The
+        // analyzer pulls nondeterministic grouping expressions into a
+        // child Project (`PullOutNondeterministic`), so look one Project
+        // level through the grouping attribute to its defining alias.
+        def refFree(e: org.apache.spark.sql.catalyst.expressions.Expression)
+            : Boolean =
+          e.references.isEmpty || (a.child match {
+            case p: Project => e.references.forall(r => p.projectList.exists {
+              case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+                al.exprId == r.exprId && al.child.references.isEmpty
+              case _ => false
+            })
+            case _ => false
+          })
         a.groupingExpressions.isEmpty ||
+          a.groupingExpressions.forall(refFree) ||
           (cols.nonEmpty && a.groupingExpressions
             .flatMap(_.references.map(_.name)).toSet.subsetOf(cols)) ||
           boundedPlan(a.child, cols)
@@ -284,13 +302,27 @@ class PlanSpec extends SparkSpecBase {
       s"negative mining lost its bounded map-side top-k:\n$p")
     assert(!p.contains("Window"), s"negative mining fell back to a window:\n$p")
     val m = physical(graft.operators.Relational.exactMedian(spark, Sf0001))
-    // the rank window must be partitioned (by the range-partition id)
+    // round 13: the rank is now windowLESS over the data (local sort +
+    // monotonically_increasing_id packing); the only window allowed is
+    // the helper's bounded ≤numParts-row offsets frame, which sits above
+    // an aggregate grouped solely by the partition id
     val unpart = graft.operators.Relational.exactMedian(spark, Sf0001)
       .queryExecution.executedPlan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec
             if w.partitionSpec.isEmpty => w
       }
-    assert(unpart.isEmpty, s"exact_median sorts in a single task:\n$m")
+    unpart.foreach { w =>
+      val aggs = w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(aggs.nonEmpty && aggs.forall(_.groupingExpressions.forall(g =>
+        g.name == "_gr_pid" || g.references.forall(_.name == "_gr_pid"))),
+        s"exact_median's unpartitioned window is not the bounded " +
+          s"per-partition offsets frame:\n$m")
+    }
+    // and the DATA-sized path must carry no window at all: every window
+    // input must be the pid-count frame, never the cents rows
+    assert(unpart.size <= 1, s"exact_median grew extra global windows:\n$m")
   }
 
   test("grouped_topk returns exactly ranking_window's rows") {
@@ -571,6 +603,10 @@ class PlanSpec extends SparkSpecBase {
     // {A,N,R}, o_orderpriority 5 values, yr is 2 years by the filter.
     val allowBoundedGroupAgg: Map[String, (Set[String], String)] = Map(
       "lang_drift" -> (Set("lang", "source"), "lang/source generator enums"),
+      // round 13: the per-lang rank-offset frame (min rank + count per
+      // lang) was previously hidden behind withGlobalRank's checkpoint
+      // leaf; the single-plan rank exposes the full lineage to this walk
+      "perplexity_buckets" -> (Set("lang"), "lang generator enum"),
       "distinct_users_approx" -> (Set("event_type"), "5-value event enum"),
       "anomaly_zscore" -> (Set("event_type"), "5-value event enum"),
       "burst_detection" -> (Set("event_type"), "5-value event enum"),
@@ -733,10 +769,28 @@ class PlanSpec extends SparkSpecBase {
       "ann_ndcg",         // 8 probes × top-5
       "zipf_slope",       // top-1024 vocabulary head (orderBy.limit)
       "autocorr_daily")   // |days| rows (7 lead lags over the day series)
+    // Structural exemption (round 13): the withGlobal*Plan helpers'
+    // per-partition offset windows run unpartitioned over a frame the
+    // helper itself aggregated down to ≤numParts rows — grouped ONLY by
+    // the helper-owned partition-id column (spark_partition_id aliased
+    // to _gr_pid/_gc_pid/_gm_pid), so the window input is bounded by the
+    // PARTITION COUNT (config), never by row count. The check is
+    // structural: every aggregate below the window must group only by
+    // those helper-owned pid columns.
+    val helperPids = Set("_gr_pid", "_gc_pid", "_gm_pid")
+    def isHelperOffsetWindow(
+        w: org.apache.spark.sql.execution.window.WindowExec): Boolean = {
+      val aggs = w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      aggs.nonEmpty && aggs.forall(_.groupingExpressions.forall(g =>
+        helperPids(g.name) ||
+          g.references.forall(r => helperPids(r.name))))
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       val unpart = fn(spark, Sf0001).queryExecution.executedPlan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec
-            if w.partitionSpec.isEmpty => w
+            if w.partitionSpec.isEmpty && !isHelperOffsetWindow(w) => w
       }
       if (!allowBounded(name))
         assert(unpart.isEmpty,

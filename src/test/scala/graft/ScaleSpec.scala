@@ -323,6 +323,75 @@ class ScaleSpec extends SparkSpecBase {
     }
   }
 
+  test("withGlobalRankPlan == withGlobalRank (single-plan twin): same " +
+    "rank and n for any partition count; ntileFromRankCol == ntileFromRank") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(0x5EED)
+    val data = (0L until 97L).map(id => (rnd.nextInt(12).toLong, id))
+    val expect = data.sortBy { case (v, id) => (v, id) }
+      .zipWithIndex.map { case ((v, id), i) => (v, id, i + 1L, 97L) }
+    for (parts <- Seq(1, 3, 8, 200)) { // 200 > n: some partitions empty
+      val got = graft.operators.Scale.withGlobalRankPlan(
+        data.toDF("v", "id"), "rk", "n", Seq(col("v"), col("id")), parts)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2))
+      assert(got.toSeq === expect, s"rank diverged at numParts=$parts")
+    }
+    // empty input: zero rows out (the old API's n=0 contract, column form)
+    assert(graft.operators.Scale.withGlobalRankPlan(
+      Seq.empty[(Long, Long)].toDF("v", "id"), "rk", "n",
+      Seq(col("v"), col("id")), 4).count() === 0L)
+    // ntileFromRankCol: column-n twin agrees with the literal-n form
+    for (n <- Seq(1L, 4L, 5L, 7L, 97L); k <- Seq(3, 5, 10)) {
+      val got = spark.range(1, n + 1)
+        .select(graft.operators.Scale.ntileFromRankCol(
+          col("id"), org.apache.spark.sql.functions.lit(n), k).as("t"))
+        .collect().map(_.getInt(0))
+      val want = spark.range(1, n + 1)
+        .select(graft.operators.Scale.ntileFromRank(col("id"), n, k).as("t"))
+        .collect().map(_.getInt(0))
+      assert(got.toSeq === want.toSeq, s"ntileFromRankCol($k) over n=$n")
+    }
+  }
+
+  test("withGlobalCumsumPlan / withGlobalPrefixMaxPlan == their " +
+    "collect-based twins for any partition count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(0xCADA)
+    val data = rnd.shuffle((0L until 83L).toList)
+      .map(k => (k, rnd.nextInt(100).toLong, rnd.nextInt(7).toLong - 3L))
+    val sorted = data.sortBy(_._1)
+    val expA = sorted.map(_._2).scanLeft(0L)(_ + _).tail
+    val expB = sorted.map(_._3).scanLeft(0L)(_ + _).tail
+    val expect = sorted.lazyZip(expA).lazyZip(expB)
+      .map { case ((k, a, b), ca, cb) => (k, a, b, ca, cb) }
+    for (parts <- Seq(1, 3, 8, 200)) {
+      val got = graft.operators.Scale.withGlobalCumsumPlan(
+        data.toDF("k", "a", "b"), Seq(col("k")),
+        Seq("a" -> "cum_a", "b" -> "cum_b"), parts)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .sortBy(_._1)
+      assert(got.toSeq === expect, s"cumsumPlan diverged at numParts=$parts")
+    }
+    val pmData = rnd.shuffle((0L until 71L).toList)
+      .map(k => (k, rnd.nextLong() % 1000L))
+    val pmSorted = pmData.sortBy(_._1)
+    val pmExpect = pmSorted.map(_._2).scanLeft(Long.MinValue)(math.max)
+      .init.zip(pmSorted).map { case (pm, (k, v)) => (k, v, pm) }
+    for (parts <- Seq(1, 3, 8, 200)) {
+      val got = graft.operators.Scale.withGlobalPrefixMaxPlan(
+        pmData.toDF("k", "v"), Seq(col("k")), "v", "pmax", parts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      assert(got.toSeq === pmExpect, s"prefixMaxPlan diverged at numParts=$parts")
+    }
+  }
+
   test("withGlobalCumsum == unpartitioned running sum for any partition " +
     "count (incl. empty range partitions), multi-column") {
     import spark.implicits._
