@@ -1460,18 +1460,32 @@ object Relational {
   def madOutliers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir).select($"event_type", $"event_id", $"value")
+    // Grid median (round 13, guide §2.3 "aggregate before you shuffle"):
+    // the old form ranked EVERY event row inside a window partitioned by
+    // the 5-value event_type enum — a full per-type sort whose partition
+    // is the entire type at any scale (the one-task-per-enum-value
+    // shape). The median of a multiset only depends on per-VALUE counts:
+    // aggregate to the (type, value) grid first (map-side combined),
+    // cumulative-count along the value order, and the median is the
+    // value whose rank interval (prev_cum, cum] contains
+    // r = floor((n+1)/2) — identical output, and the per-type sort now
+    // runs over the distinct-value grid instead of the raw rows.
     def medianOf(df: DataFrame, valueCol: String, out: String): DataFrame = {
-      val w = Window.partitionBy($"event_type").orderBy(col(valueCol), $"event_id")
-      val n = Window.partitionBy($"event_type")
-      df.withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(n))
-        .where($"rn" === floor(($"n" + 1) / 2))
+      val counts = df.groupBy($"event_type", col(valueCol))
+        .agg(count(lit(1)).as("_c"))
+      val wc = Window.partitionBy($"event_type").orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy($"event_type")
+      counts
+        .withColumn("_cum", sum($"_c").over(wc))
+        .withColumn("_r", floor((sum($"_c").over(wn) + 1) / 2))
+        .where($"_cum" - $"_c" < $"_r" && $"_r" <= $"_cum")
         .select($"event_type", col(valueCol).as(out))
     }
     val med = medianOf(ev, "value", "med")
     val dev = ev.join(med, "event_type")
       .withColumn("dev", abs($"value" - $"med"))
-    val mad = medianOf(dev.select($"event_type", $"event_id", $"dev"), "dev", "mad")
+    val mad = medianOf(dev.select($"event_type", $"dev"), "dev", "mad")
     dev.join(mad, "event_type")
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
