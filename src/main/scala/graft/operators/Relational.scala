@@ -1502,11 +1502,19 @@ object Relational {
     * keep the same rows). */
   def dedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+    // argmin AGGREGATE, not a window (round 13, guide §2.3 "aggregate
+    // before you shuffle"): the keeper is min(struct(ts, event_id)) per
+    // (user, type) — lexicographic struct min over a total order picks
+    // the same row the old row_number()=1 window did, but it PARTIAL-
+    // aggregates map-side, so the shuffle carries one row per group
+    // instead of every event, and the per-group sort disappears.
+    // (The round-12 sf2 scaling watch flagged this query at 2.31x; the
+    // window's full-row shuffle + sort was the non-linear part.)
     Tables.events(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"user_id", $"event_type", $"event_id", unix_micros($"ts").as("ts_us"))
+      .groupBy($"user_id", $"event_type")
+      .agg(min(struct(unix_micros($"ts").as("ts_us"), $"event_id")).as("f"))
+      .select($"user_id", $"event_type", $"f.event_id".as("event_id"),
+        $"f.ts_us".as("ts_us"))
       .orderBy($"user_id", $"event_type")
   }
 

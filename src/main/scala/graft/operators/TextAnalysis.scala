@@ -297,12 +297,17 @@ object TextAnalysis {
         $"len_score" * 0.4 + ($"ttr" * 0.3 + (lit(1.0) - $"stop_ratio") * 0.3))
       .withColumn("fingerprint",
         array_min(transform(shingles($"text", 5), g => md5Long60(g))))
-    val w = Window.partitionBy($"fingerprint").orderBy($"doc_id")
+    // argmin AGGREGATE, not a window (round 13, guide §2.3): the keeper
+    // per fingerprint is the min doc_id; min(struct(doc_id, ...)) picks
+    // it (doc_id unique ⇒ total order) while carrying its fields, and it
+    // partial-aggregates map-side where the row_number()=1 window
+    // shuffled and sorted every surviving doc per fingerprint group.
     scored
       .where($"quality" > 0.5 && predLang($"toks") === "en")
-      .withColumn("rn", row_number().over(w))
-      .where($"rn" === 1)
-      .select($"doc_id", $"n_tokens", $"quality", $"fingerprint")
+      .groupBy($"fingerprint")
+      .agg(min(struct($"doc_id", $"n_tokens", $"quality")).as("f"))
+      .select($"f.doc_id".as("doc_id"), $"f.n_tokens".as("n_tokens"),
+        $"f.quality".as("quality"), $"fingerprint")
       .orderBy($"doc_id")
   }
 
