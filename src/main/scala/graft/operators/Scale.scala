@@ -714,18 +714,21 @@ object Scale {
   def withGlobalRankPlan(df: DataFrame, rankCol: String, nCol: String,
       sortCols: Seq[Column], numParts: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // The checkpoint (not a pure two-branch plan) is deliberate: the
-    // counts branch needs NO data columns, so column pruning would
-    // specialize its copy of the range exchange to an empty projection —
-    // the two exchanges then stop canonicalizing equal, ReuseExchange
-    // can't fire, and the whole input is computed twice (measured: the
-    // chained rfm_segments ranks went 1.4x SLOWER that way). One eager
-    // materialization pins the partition ids for both consumers and
-    // keeps the upstream computed exactly once — and unlike the old
-    // collect form, everything downstream is still one lazy plan.
-    // (Swap for `checkpoint()` on a real cluster.)
+    // The checkpoint (not a pure two-branch plan) is LOAD-BEARING for
+    // correctness, not just speed: a range exchange samples its
+    // partition boundaries with a seed derived from its RDD id, so two
+    // independent exchange instances over the same input can draw
+    // DIFFERENT boundaries whenever ReuseExchange fails to dedupe them —
+    // and it does fail here, because the counts branch needs no data
+    // columns and column pruning de-canonicalizes its copy (also
+    // measured 1.4x slower from the double compute). With different
+    // boundaries, branch A's offsets describe different pids than
+    // branch B's rows — silently wrong ranks (caught by the gate's
+    // AQE-off sweep on the cumsum sibling). The lazy checkpoint creates
+    // ONE shuffled RDD whose boundaries are sampled exactly once; both
+    // branches read its blocks. (Swap for `checkpoint()` on a cluster.)
     val parted = df.repartitionByRange(numParts, sortCols: _*)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val wOff = Window.orderBy(col("_gr_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wTot = Window.orderBy(col("_gr_pid"))
@@ -758,14 +761,18 @@ object Scale {
   def withGlobalCumsumPlan(df: DataFrame, sortCols: Seq[Column],
       sumCols: Seq[(String, String)], numParts: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // lazy checkpoint: pins ONE sampled set of range boundaries for both
+    // branches — without it the totals branch and the running-sum branch
+    // each own a range exchange whose boundary sampling is seeded by its
+    // RDD id, and when ReuseExchange doesn't dedupe them (AQE off) the
+    // two pid spaces diverge and the joined offsets are silently wrong
+    // (ks_drift failed the sf0.1 AQE-off oracle sweep exactly this way).
     val parted0 = df.repartitionByRange(numParts, sortCols: _*)
+      .localCheckpoint(eager = false)
     val parted = parted0.withColumn("_gc_pid", spark_partition_id())
     val wOff = Window.orderBy(col("_gc_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val totAggs = sumCols.map { case (in, _) => sum(col(in)).as(s"_gc_t_$in") }
-    // group by the partition id EXPRESSION (references-empty grouping —
-    // bounded by the partition count, which the broadcast pin's
-    // boundedPlan walk recognizes structurally)
     val offs = parted0.groupBy(spark_partition_id().as("_gc_pid"))
       .agg(totAggs.head, totAggs.tail: _*)
       .select(col("_gc_pid") +: sumCols.map { case (in, _) =>
@@ -788,7 +795,10 @@ object Scale {
   def withGlobalPrefixMaxPlan(df: DataFrame, sortCols: Seq[Column],
       maxCol: String, outCol: String, numParts: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // lazy checkpoint — same boundary-pinning argument as
+    // [[withGlobalCumsumPlan]] (one sampled pid space for both branches)
     val parted0 = df.repartitionByRange(numParts, sortCols: _*)
+      .localCheckpoint(eager = false)
     val parted = parted0.withColumn("_gm_pid", spark_partition_id())
     val wOff = Window.orderBy(col("_gm_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)

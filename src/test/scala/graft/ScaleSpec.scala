@@ -392,6 +392,40 @@ class ScaleSpec extends SparkSpecBase {
     }
   }
 
+  test("withGlobalCumsumPlan boundary pinning: correct when the range " +
+    "sampler SUBSAMPLES (large input, AQE off — the gate's sf0.1 sweep " +
+    "shape that caught the unpinned two-exchange form)") {
+    // A range exchange samples boundaries with an RDD-id-derived seed; two
+    // unshared exchange instances can draw different boundaries when the
+    // input is large enough that sampling actually subsamples (~100 rows
+    // per output partition). 20k distinct keys >> capacity at numParts=8,
+    // and AQE off removes the stage-reuse masking. The helper's lazy
+    // checkpoint must pin ONE boundary set for both branches.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val rnd = new scala.util.Random(0xB04D)
+      val data = rnd.shuffle((0L until 20000L).toList).map(k => (k, k % 17))
+      val expect = data.sortBy(_._1).map(_._2).scanLeft(0L)(_ + _).tail
+      val got = graft.operators.Scale.withGlobalCumsumPlan(
+        data.toDF("k", "v"), Seq(col("k")), Seq("v" -> "cum"), 8)
+        .orderBy(col("k")).select(col("cum"))
+        .collect().map(_.getLong(0))
+      assert(got.toSeq === expect,
+        "cumsumPlan diverged under subsampled range boundaries")
+      val gotPm = graft.operators.Scale.withGlobalPrefixMaxPlan(
+        data.toDF("k", "v"), Seq(col("k")), "v", "pm", 8)
+        .orderBy(col("k")).select(col("pm"))
+        .collect().map(_.getLong(0))
+      val expPm = data.sortBy(_._1).map(_._2)
+        .scanLeft(Long.MinValue)(math.max).init
+      assert(gotPm.toSeq === expPm,
+        "prefixMaxPlan diverged under subsampled range boundaries")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("withGlobalCumsum == unpartitioned running sum for any partition " +
     "count (incl. empty range partitions), multi-column") {
     import spark.implicits._
