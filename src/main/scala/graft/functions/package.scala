@@ -104,4 +104,48 @@ package object functions {
     * built-in). */
   def unicode_normalize(c: Column, form: String = "NFC"): Column =
     toCol(UnicodeNormalize(ex(c), form))
+
+  /** Exact integer cents of a 2-decimal "money" double, as a long —
+    * the cheap twin of `cast(c AS DECIMAL(18,2)) * 100` (round 14,
+    * guide §1.2 "per-task work").
+    *
+    * Why it is exact, and why it is fast:
+    *  - every money column in this suite is 2-decimal BY CONSTRUCTION
+    *    (DataGen emits `round(x, 2)` / `k / 100.0` doubles), i.e. each
+    *    value is the double NEAREST k/100 for an integer k with
+    *    |k| < 2^40. Then fl(v·100) = k·(1+δ), |δ| ≤ 3·2^-53, so
+    *    |fl(v·100) − k| < 0.5 and `floor(v·100 + 0.5)` returns k for
+    *    any sign (FLOOR, not a long cast, so negative balances round
+    *    half-up too, matching Cast's HALF_UP);
+    *  - `Cast(double → decimal)` goes through `Double.toString` +
+    *    `java.math.BigDecimal` + `setScale(HALF_UP)` PER VALUE (the
+    *    shortest-decimal string of the double nearest k/100 is k/100
+    *    itself, so the cast also returns k cents — same value, ~50x
+    *    the cycles). In a single-row-group parquet scan stage that
+    *    per-row cost is serial wall-clock time at every scale.
+    *
+    * ONLY valid for 2-decimal inputs: a 3-decimal value would round
+    * half-to-odd differently than the decimal cast. ExactMoneySpec pins
+    * the equivalence over the DataGen value shapes (negatives, nulls,
+    * quartile .25/.75 fractions, full c_acctbal/l_extendedprice ranges). */
+  def money_cents(c: Column): Column =
+    org.apache.spark.sql.functions.floor(
+      c * org.apache.spark.sql.functions.lit(100d) +
+        org.apache.spark.sql.functions.lit(0.5d))
+
+  /** DECIMAL(p, s) built from its UNSCALED long (Spark's own
+    * `MakeDecimal`, the partial-sum internal): long-backed for any
+    * |unscaled| < 10^18, so downstream decimal sums take the long-add
+    * fast path instead of per-row BigDecimal allocation. Null on
+    * overflow — the same non-ANSI semantics as the Cast it replaces. */
+  def unscaled_decimal(unscaled: Column, precision: Int, scale: Int): Column =
+    toCol(org.apache.spark.sql.catalyst.expressions.MakeDecimal(
+      ex(unscaled), precision, scale, nullOnOverflow = true))
+
+  /** `cast(c AS DECIMAL(18,2))` for 2-decimal money doubles without the
+    * per-row Double.toString/BigDecimal cost — see [[money_cents]] for
+    * the exactness argument. Identical type, value and null behavior on
+    * the suite's money columns. */
+  def money_dec2(c: Column): Column =
+    unscaled_decimal(money_cents(c), 18, 2)
 }

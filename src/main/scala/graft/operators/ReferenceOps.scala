@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.functions.{fnv1a32, wire_decode, wire_encode}
+import graft.functions.{fnv1a32, money_dec2, wire_decode, wire_encode}
 
 /** Queries derived from the reference's own operator surface (SURVEY.md §2
   * Part A). Each is a plain `Column`-expression plan so Catalyst gets full
@@ -14,13 +14,17 @@ import graft.functions.{fnv1a32, wire_decode, wire_encode}
   */
 object ReferenceOps {
 
-  /** Sum money-typed doubles exactly: per-value cast to DECIMAL(18,2) (the
-    * data is 2-decimal), exact decimal accumulation (order-insensitive),
-    * then back to double — bit-identical across engines and partitionings.
-    * At 100 TB this matters doubly: double-sum results would differ run to
-    * run with shuffle order, breaking retries/audits.
-    */
-  def moneySum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+  /** Sum money-typed doubles exactly: per-value conversion to
+    * DECIMAL(18,2) (the data is 2-decimal), exact decimal accumulation
+    * (order-insensitive), then back to double — bit-identical across
+    * engines and partitionings. At 100 TB this matters doubly: double-sum
+    * results would differ run to run with shuffle order, breaking
+    * retries/audits. The per-value conversion is
+    * [[graft.functions.money_dec2]] (round 14): same decimal value and
+    * type as `cast(c AS DECIMAL(18,2))` on 2-decimal data, without the
+    * per-row Double.toString/BigDecimal cost that serializes the scan
+    * stage. */
+  def moneySum(c: Column): Column = sum(money_dec2(c)).cast(DoubleType)
 
   /** A1+A11+A16: the sales pipeline as one query — purchases only,
     * per-customer revenue (reference: golang/chapter_4/sales/

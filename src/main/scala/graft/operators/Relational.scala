@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.functions.{money_cents, money_dec2, unscaled_decimal}
 import graft.operators.ReferenceOps.moneySum
 
 /** Relational capability closure (SURVEY.md §2 Part B): joins, window
@@ -17,10 +18,16 @@ object Relational {
 
   /** Exact revenue Σ extendedprice·(1−discount): both factors go through
     * DECIMAL(18,2) so the product and sum are exact decimals (order- and
-    * partitioning-insensitive), then one cast back to double. */
+    * partitioning-insensitive), then one cast back to double. Round 14:
+    * the product is built from unscaled cents — one long multiply per
+    * row where `(18,2) × (19,2)` multiplied java.math.BigDecimals — with
+    * the same DECIMAL(38,4) type and values (cents·(100−disc_cents) <
+    * 2^63 is a per-row DOMAIN bound — prices don't grow with the corpus,
+    * so the fast path is safe at 100 TB too; overflow would null, as the
+    * old cast did). */
   def revenueExact(price: Column, discount: Column): Column =
-    sum(price.cast(DecimalType(18, 2)) *
-      (lit(1).cast(DecimalType(18, 2)) - discount.cast(DecimalType(18, 2))))
+    sum(unscaled_decimal(
+      money_cents(price) * (lit(100L) - money_cents(discount)), 38, 4))
       .cast(DoubleType)
 
   /** NS: the KStream–KTable equi-join. Fact-fact shuffle join on the key —
@@ -244,7 +251,7 @@ object Relational {
     * aggregation itself. */
   def unpivotMetrics(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def dsum(c: Column) = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+    def dsum(c: Column) = sum(money_dec2(c)).cast(DoubleType)
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n"),
@@ -274,7 +281,7 @@ object Relational {
       .filter($"event_type" === "purchase")
       .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"), $"value")
       .select($"event_id", $"user_id", $"ts_us",
-        sum($"value".cast(DecimalType(18, 2))).over(w)
+        sum(money_dec2($"value")).over(w)
           .cast(DoubleType).as("trail_value"),
         count(lit(1)).over(w).as("trail_n"))
       .orderBy($"event_id")
@@ -312,8 +319,8 @@ object Relational {
       .select(
         coalesce($"c_custkey", $"k").as("c_custkey"),
         coalesce($"new_name", $"c_name").as("c_name"),
-        (coalesce($"c_acctbal".cast(DecimalType(18, 2)), lit(0).cast(DecimalType(18, 2)))
-          + coalesce($"delta".cast(DecimalType(18, 2)), lit(0).cast(DecimalType(18, 2))))
+        (coalesce(money_dec2($"c_acctbal"), lit(0).cast(DecimalType(18, 2)))
+          + coalesce(money_dec2($"delta"), lit(0).cast(DecimalType(18, 2))))
           .cast(DoubleType).as("c_acctbal"),
         when($"op".isNull, "kept").when($"op" === "U", "updated")
           .otherwise("inserted").as("status"))
@@ -341,7 +348,7 @@ object Relational {
     val oldSnap = cur.where($"c_custkey" % 97 =!= 0)
       .select($"c_custkey".as("k"),
         when($"c_custkey" % 13 === 0,
-          ($"c_acctbal".cast(DecimalType(18, 2)) + lit(100).cast(DecimalType(18, 2)))
+          (money_dec2($"c_acctbal") + lit(100).cast(DecimalType(18, 2)))
             .cast(DoubleType))
           .otherwise($"c_acctbal").as("old_bal"),
         $"c_mktsegment".as("old_seg"))
@@ -379,7 +386,9 @@ object Relational {
         count(lit(1)).as("n"),
         sum(when($"l_quantity" < $"q1" || $"l_quantity" > $"q3", 1L)
           .otherwise(0L)).as("n_clipped"),
-        sum(clipped.cast(DecimalType(18, 2))).cast(DoubleType).as("sum_clipped"))
+        // quartiles of integer quantities land on .00/.25/.50/.75 —
+        // still exactly-2-decimal doubles, so the cents fast path holds
+        sum(money_dec2(clipped)).cast(DoubleType).as("sum_clipped"))
       .orderBy($"l_returnflag")
   }
 
@@ -464,7 +473,7 @@ object Relational {
     import spark.implicits._
     val per = Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
-      .agg(sum($"l_extendedprice".cast(DecimalType(18, 2))).as("rd"))
+      .agg(sum(money_dec2($"l_extendedprice")).as("rd"))
     val tot = per.agg(sum($"rd").as("td"))
     per.crossJoin(broadcast(tot))
       .select($"l_returnflag",
@@ -661,14 +670,14 @@ object Relational {
     * join stays a hash join (never a nested loop over the predicate). */
   def bracketRevenue(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // decimal-first revenue (the promo_revenue discipline): cast the
-    // FACTORS to DECIMAL(18,2) before multiplying, so the product is
+    // decimal-first revenue (the promo_revenue discipline): exact cents
+    // FACTORS multiplied as longs into the same DECIMAL(38,4) product
+    // the old (18,2)×(19,2) decimal multiply produced, so the product is
     // exact and both engines sum identical values
-    val dec = (c: Column) => c.cast(DecimalType(18, 2))
     val joined = Tables.lineitem(spark, dir)
       .select($"l_partkey", $"l_quantity",
-        (dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) -
-          dec($"l_discount"))).as("rev"))
+        unscaled_decimal(money_cents($"l_extendedprice") *
+          (lit(100L) - money_cents($"l_discount")), 38, 4).as("rev"))
       .join(Tables.part(spark, dir)
         .select($"p_partkey", $"p_brand", $"p_size"),
         $"l_partkey" === $"p_partkey")
@@ -939,12 +948,14 @@ object Relational {
   def anomalyZscore(spark: SparkSession, dir: String,
       threshold: Double = 3.0): DataFrame = {
     import spark.implicits._
-    val v = $"value".cast(DecimalType(18, 2))
+    val vc = money_cents($"value")
     val stats = Tables.events(spark, dir)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
-        sum(v).cast(DoubleType).as("sv"),
-        sum((v * v).cast(DecimalType(30, 4))).cast(DoubleType).as("svv"))
+        sum(money_dec2($"value")).cast(DoubleType).as("sv"),
+        // the (18,2)×(18,2) square as one long multiply of exact cents —
+        // same DECIMAL(30,4) sum input (value < $10^7 ⇒ cents² < 2^63)
+        sum(unscaled_decimal(vc * vc, 30, 4)).cast(DoubleType).as("svv"))
       .select($"event_type",
         ($"sv" / $"n".cast(DoubleType)).as("mean"),
         sqrt(($"svv" - $"sv" * $"sv" / $"n".cast(DoubleType)) /
@@ -1128,7 +1139,7 @@ object Relational {
     Tables.events(spark, dir)
       .filter($"event_type" === "purchase")
       .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
-        sum($"value".cast(DecimalType(18, 2))).over(w).cast(DoubleType)
+        sum(money_dec2($"value")).over(w).cast(DoubleType)
           .as("running_revenue"))
       .orderBy($"event_id")
   }
@@ -1202,16 +1213,20 @@ object Relational {
     * engine-/order-dependent — useless for audited reruns at 100 TB. */
   def corrReport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val x = $"l_quantity".cast(DecimalType(18, 2))
-    val y = $"l_extendedprice".cast(DecimalType(18, 2))
+    // moments from exact cents: one long multiply per cross term where
+    // the old (18,2)×(18,2) path multiplied BigDecimals per row — same
+    // DECIMAL(30,4) sum inputs, same values (qty·price cents products
+    // < 2^63 by the columns' value domains at any SF)
+    val xc = money_cents($"l_quantity")
+    val yc = money_cents($"l_extendedprice")
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n"),
-        sum(x).cast(DoubleType).as("sx"),
-        sum(y).cast(DoubleType).as("sy"),
-        sum((x * y).cast(DecimalType(30, 4))).cast(DoubleType).as("sxy"),
-        sum((x * x).cast(DecimalType(30, 4))).cast(DoubleType).as("sxx"),
-        sum((y * y).cast(DecimalType(30, 4))).cast(DoubleType).as("syy"))
+        sum(money_dec2($"l_quantity")).cast(DoubleType).as("sx"),
+        sum(money_dec2($"l_extendedprice")).cast(DoubleType).as("sy"),
+        sum(unscaled_decimal(xc * yc, 30, 4)).cast(DoubleType).as("sxy"),
+        sum(unscaled_decimal(xc * xc, 30, 4)).cast(DoubleType).as("sxx"),
+        sum(unscaled_decimal(yc * yc, 30, 4)).cast(DoubleType).as("syy"))
       .select($"l_returnflag", $"n",
         (($"n".cast(DoubleType) * $"sxy" - $"sx" * $"sy") /
           (sqrt($"n".cast(DoubleType) * $"sxx" - $"sx" * $"sx") *
@@ -1235,14 +1250,23 @@ object Relational {
     import spark.implicits._
     val ms = Seq("qty" -> $"l_quantity", "price" -> $"l_extendedprice",
       "disc" -> $"l_discount", "tax" -> $"l_tax")
-    def dec(c: Column) = c.cast(DecimalType(18, 2))
-    val sums = ms.map { case (n, c) => sum(dec(c)).cast(DoubleType).as(s"s_$n") }
+    // all 15 moments from exact cents (round 14): the old path paid 4
+    // Double.toString decimal casts + 10 BigDecimal multiplies PER ROW
+    // inside a single-row-group scan stage; the cents form is one
+    // floor+multiply per factor and a long multiply per moment, with
+    // identical DECIMAL(30,4)/(18,2) sum inputs (cents products < 2^63
+    // by the measures' value domains at any SF)
+    val cents = ms.map { case (n, c) => n -> money_cents(c) }.toMap
+    val sums = ms.map { case (n, c) =>
+      sum(money_dec2(c)).cast(DoubleType).as(s"s_$n") }
     val pairs = ms.combinations(2).toSeq.map { case Seq((na, a), (nb, b)) => (na, nb) }
-    val crosses = ms.combinations(2).toSeq.map { case Seq((na, a), (nb, b)) =>
-      sum((dec(a) * dec(b)).cast(DecimalType(30, 4))).cast(DoubleType).as(s"x_${na}_$nb")
+    val crosses = pairs.map { case (na, nb) =>
+      sum(unscaled_decimal(cents(na) * cents(nb), 30, 4))
+        .cast(DoubleType).as(s"x_${na}_$nb")
     }
-    val squares = ms.map { case (n, c) =>
-      sum((dec(c) * dec(c)).cast(DecimalType(30, 4))).cast(DoubleType).as(s"q_$n")
+    val squares = ms.map { case (n, _) =>
+      sum(unscaled_decimal(cents(n) * cents(n), 30, 4))
+        .cast(DoubleType).as(s"q_$n")
     }
     val aggs = (count(lit(1)).as("n") +: (sums ++ squares ++ crosses))
     val nD = $"n".cast(DoubleType)
@@ -1289,7 +1313,7 @@ object Relational {
         "ts", "t_ts", joinType = "left_outer")
       .groupBy(coalesce($"t_type", lit("none")).as("touch"))
       .agg(count(lit(1)).as("n_purchases"),
-        sum($"value".cast(DecimalType(18, 2))).cast(DoubleType).as("revenue"))
+        sum(money_dec2($"value")).cast(DoubleType).as("revenue"))
       .orderBy($"touch")
   }
 
@@ -1316,7 +1340,7 @@ object Relational {
     val p = ev.filter($"event_type" === "purchase")
       .select($"event_id".as("p_id"), $"user_id",
         unix_micros($"ts").as("p_us"),
-        ($"value".cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+        money_cents($"value").as("cents"))
       // CONTRACT ENFORCEMENT (see comment below): fail loudly on a
       // refunds-bearing feed instead of silently diverging from the
       // oracle on truncate-vs-floor division of negative credits.
@@ -1372,8 +1396,8 @@ object Relational {
     import spark.implicits._
     val detail = Tables.lineitem(spark, dir)
       .groupBy($"l_orderkey")
-      .agg(sum($"l_extendedprice".cast(DecimalType(18, 2))).as("detail_total"))
-    val h = $"o_totalprice".cast(DecimalType(18, 2))
+      .agg(sum(money_dec2($"l_extendedprice")).as("detail_total"))
+    val h = money_dec2($"o_totalprice")
     val diff = abs(h - coalesce($"detail_total", lit(0).cast(DecimalType(18, 2))))
     Tables.orders(spark, dir)
       .join(detail, $"o_orderkey" === $"l_orderkey", "left_outer")
@@ -1527,25 +1551,33 @@ object Relational {
     * division of an exact decimal sum by an exact count each. */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val dec = (c: Column) => c.cast(DecimalType(18, 2))
-    val one = lit(1).cast(DecimalType(18, 2))
     // pin the disc-price intermediate to DECIMAL(18,4) (values < 10^7, so
     // exact) BEFORE the tax multiply: the raw (37,4)×(18,2) product would
-    // exceed precision 38 and each engine rounds the overflow differently
-    val discPrice =
-      (dec($"l_extendedprice") * (one - dec($"l_discount"))).cast(DecimalType(18, 4))
+    // exceed precision 38 and each engine rounds the overflow differently.
+    // Round 14: both products are built from exact cents with long
+    // multiplies (price·(100−disc) < 2^63, ·(100+tax) still < 2^63 —
+    // per-row DOMAIN bounds) into the identical DECIMAL(18,4)/(37,6)
+    // sum inputs the decimal-multiply chain produced; the old path paid
+    // 4 Double.toString casts + 2 BigDecimal multiplies per scanned row.
+    val ec = money_cents($"l_extendedprice")
+    val discCentsSq = ec * (lit(100L) - money_cents($"l_discount"))
+    val discPrice = unscaled_decimal(discCentsSq, 18, 4)
+    val charge = unscaled_decimal(
+      discCentsSq * (lit(100L) + money_cents($"l_tax")), 38, 6)
     Tables.lineitem(spark, dir)
       .filter($"l_shipdate" <= lit("2001-09-01").cast(TimestampType))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sum(dec($"l_quantity")).cast(DoubleType).as("sum_qty"),
-        sum(dec($"l_extendedprice")).cast(DoubleType).as("sum_base_price"),
+        sum(money_dec2($"l_quantity")).cast(DoubleType).as("sum_qty"),
+        sum(money_dec2($"l_extendedprice")).cast(DoubleType).as("sum_base_price"),
         sum(discPrice).cast(DoubleType).as("sum_disc_price"),
-        sum(discPrice * (one + dec($"l_tax"))).cast(DoubleType).as("sum_charge"),
-        (sum(dec($"l_quantity")).cast(DoubleType) / count(lit(1))).as("avg_qty"),
-        (sum(dec($"l_extendedprice")).cast(DoubleType) / count(lit(1)))
+        sum(charge).cast(DoubleType).as("sum_charge"),
+        (sum(money_dec2($"l_quantity")).cast(DoubleType) / count(lit(1)))
+          .as("avg_qty"),
+        (sum(money_dec2($"l_extendedprice")).cast(DoubleType) / count(lit(1)))
           .as("avg_price"),
-        (sum(dec($"l_discount")).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+        (sum(money_dec2($"l_discount")).cast(DoubleType) / count(lit(1)))
+          .as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -1562,8 +1594,8 @@ object Relational {
         $"l_shipdate" < lit("1998-01-01").cast(TimestampType) &&
         $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
       .agg(
-        sum($"l_extendedprice".cast(DecimalType(18, 2)) *
-          $"l_discount".cast(DecimalType(18, 2))).cast(DoubleType)
+        sum(unscaled_decimal(money_cents($"l_extendedprice") *
+          money_cents($"l_discount"), 37, 4)).cast(DoubleType)
           .as("forecast_revenue"),
         count(lit(1)).as("n_lineitems"))
   }
@@ -1679,7 +1711,7 @@ object Relational {
     import spark.implicits._
     val c = Tables.customer(spark, dir)
     val avgBal = c.filter($"c_acctbal" > 0.0)
-      .agg((sum($"c_acctbal".cast(DecimalType(18, 2))).cast(DoubleType) /
+      .agg((sum(money_dec2($"c_acctbal")).cast(DoubleType) /
         count(lit(1))).as("avg_bal"))
     val recent = Tables.orders(spark, dir)
       .filter($"o_orderdate" >= lit("2000-01-01").cast(TimestampType))
@@ -1688,7 +1720,7 @@ object Relational {
       .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_customers"),
-        sum($"c_acctbal".cast(DecimalType(18, 2))).cast(DoubleType)
+        sum(money_dec2($"c_acctbal")).cast(DoubleType)
           .as("total_balance"))
       .orderBy($"c_mktsegment")
   }
@@ -1881,8 +1913,8 @@ object Relational {
     val l = Tables.lineitem(spark, dir)
       .filter($"l_shipdate" >= lit("1997-01-01").cast(TimestampType) &&
         $"l_shipdate" < lit("1997-04-01").cast(TimestampType))
-    val rev = $"l_extendedprice".cast(DecimalType(18, 2)) *
-      (lit(1).cast(DecimalType(18, 2)) - $"l_discount".cast(DecimalType(18, 2)))
+    val rev = unscaled_decimal(money_cents($"l_extendedprice") *
+      (lit(100L) - money_cents($"l_discount")), 38, 4)
     l.join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
       .agg(
         sum(when($"p_type" === "PROMO", rev)).cast(DoubleType).as("promo_revenue"),
@@ -1902,7 +1934,7 @@ object Relational {
     import spark.implicits._
     val spend = Tables.orders(spark, dir)
       .groupBy($"o_custkey")
-      .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("spend_dec"),
+      .agg(sum(money_dec2($"o_totalprice")).as("spend_dec"),
         count(lit(1)).as("n_orders"),
         max($"o_totalprice").as("max_order"))
       .filter($"spend_dec" > lit(4000000).cast(DecimalType(18, 2)))
@@ -2051,8 +2083,8 @@ object Relational {
     val suppFlag = Tables.supplier(spark, dir)
       .join(broadcast(asia), $"s_nationkey" === $"asia_key", "left_outer")
       .select($"s_suppkey", $"asia_key".isNotNull.as("intra"))
-    val dec = (c: Column) => c.cast(DecimalType(18, 2))
-    val rev = dec($"l_extendedprice") * (dec(lit(1)) - dec($"l_discount"))
+    val rev = unscaled_decimal(money_cents($"l_extendedprice") *
+      (lit(100L) - money_cents($"l_discount")), 38, 4)
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
       .join(custAsia, $"o_custkey" === $"c_custkey", "left_semi")
@@ -2060,8 +2092,8 @@ object Relational {
       .join(suppFlag, $"l_suppkey" === $"s_suppkey")
       .groupBy(year($"o_orderdate").as("yr"))
       .agg(
-        sum(when($"intra", rev).otherwise(dec(lit(0)))).cast(DoubleType)
-          .as("intra_revenue"),
+        sum(when($"intra", rev).otherwise(lit(0).cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("intra_revenue"),
         sum(rev).cast(DoubleType).as("total_revenue"),
         count(lit(1)).as("n_lineitems"))
       .withColumn("intra_share", $"intra_revenue" / $"total_revenue")
@@ -2273,7 +2305,7 @@ object Relational {
     val purchases = Tables.events(spark, dir)
       .filter($"event_type" === "purchase")
       .select(expr("unix_micros(ts) div 86400000000").as("day"),
-        $"value".cast(DecimalType(18, 2)).as("v"))
+        money_dec2($"value").as("v"))
     val daily = purchases.groupBy($"day")
       .agg(sum($"v").as("day_rev"), count(lit(1)).as("n_purchases"))
     val bounds = purchases.agg(min($"day").as("lo"), max($"day").as("hi"))
@@ -2309,9 +2341,9 @@ object Relational {
       .groupBy($"o_custkey")
       .agg(
         coalesce(sum(when($"o_orderdate" < lit("1998-01-01").cast(TimestampType),
-          $"o_totalprice".cast(DecimalType(18, 2)))), dec0).as("r1"),
+          money_dec2($"o_totalprice"))), dec0).as("r1"),
         coalesce(sum(when($"o_orderdate" >= lit("1998-01-01").cast(TimestampType),
-          $"o_totalprice".cast(DecimalType(18, 2)))), dec0).as("r2"))
+          money_dec2($"o_totalprice"))), dec0).as("r2"))
     perCust
       .withColumn("bucket",
         when($"r1" === dec0, "new")
@@ -2341,7 +2373,7 @@ object Relational {
     import spark.implicits._
     val perCust = Tables.orders(spark, dir)
       .groupBy($"o_custkey")
-      .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("rev"))
+      .agg(sum(money_dec2($"o_totalprice")).as("rev"))
     // single-plan rank: no checkpoint/collect round-trips (guide §1.2)
     val ranked = Scale.withGlobalRankPlan(perCust, "_rn", "_n",
       Seq($"rev".desc, $"o_custkey"))
@@ -2375,7 +2407,7 @@ object Relational {
     import spark.implicits._
     Tables.orders(spark, dir)
       .select($"o_custkey", $"o_orderkey",
-        $"o_totalprice".cast(DecimalType(18, 2)).as("amount"),
+        money_dec2($"o_totalprice").as("amount"),
         expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
           .as("day"))
       .groupBy($"o_custkey", $"day")
@@ -2404,7 +2436,7 @@ object Relational {
     val per = Tables.orders(spark, dir)
       .groupBy($"o_custkey")
       .agg(max(day).as("last_day"), count(lit(1)).as("frequency"),
-        sum($"o_totalprice".cast(DecimalType(18, 2))).as("monetary"))
+        sum(money_dec2($"o_totalprice")).as("monetary"))
     val anchor = per.agg(max($"last_day").as("anchor"))
     val base = per.crossJoin(broadcast(anchor))
       .withColumn("recency_days", $"anchor" - $"last_day")
@@ -2442,14 +2474,18 @@ object Relational {
     val p = Tables.events(spark, dir)
       .filter($"event_type" === "purchase")
       .select(($"user_id" % 2 === 1).as("arm_b"),
-        $"value".cast(DecimalType(18, 2)).as("v"))
+        money_dec2($"value").as("v"),
+        // the (18,2)² square as one long multiply of exact cents — the
+        // same DECIMAL(37,4) the decimal multiply produced
+        unscaled_decimal(money_cents($"value") * money_cents($"value"),
+          37, 4).as("vv"))
     val m = p.agg(
       sum((!$"arm_b").cast(LongType)).as("na"),
       sum($"arm_b".cast(LongType)).as("nb"),
       sum(when(!$"arm_b", $"v")).as("sa"),
       sum(when($"arm_b", $"v")).as("sb"),
-      sum(when(!$"arm_b", $"v" * $"v")).as("qa"),
-      sum(when($"arm_b", $"v" * $"v")).as("qb"))
+      sum(when(!$"arm_b", $"vv")).as("qa"),
+      sum(when($"arm_b", $"vv")).as("qb"))
     val d = (c: Column) => c.cast(DoubleType)
     m.select($"na", $"nb",
         (d($"sa") / d($"na")).as("mean_a"),
@@ -2513,7 +2549,7 @@ object Relational {
     val per = Tables.events(spark, dir)
       .filter($"event_type" === "purchase")
       .select(expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"),
-        ($"value".cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+        money_cents($"value").as("cents"))
       .groupBy($"dow")
       .agg(count(lit(1)).as("n_purchases"), sum($"cents").as("cents"))
     val total = per.agg(sum($"cents").as("total_cents"))
@@ -2590,8 +2626,7 @@ object Relational {
     import spark.implicits._
     val per = Tables.orders(spark, dir)
       .groupBy($"o_custkey")
-      .agg(sum(($"o_totalprice".cast(DecimalType(18, 2)) * 100).cast(LongType))
-        .as("cents"))
+      .agg(sum(money_cents($"o_totalprice")).as("cents"))
     val n1 = per.agg(count(lit(1)).as("n"), sum($"cents").as("total_cents"))
     // single-plan rank: no checkpoint/collect round-trips (guide §1.2)
     val ranked = Scale.withGlobalRankPlan(per, "i", "_gn",
@@ -2632,14 +2667,14 @@ object Relational {
       .join(p, $"l_partkey" === $"p_partkey")
     val w = Window.partitionBy($"l_partkey")
     li.withColumn("sum_q",
-        sum(($"l_quantity".cast(DecimalType(18, 2)) * 100).cast(LongType)).over(w))
+        sum(money_cents($"l_quantity")).over(w))
       .withColumn("n_q", count(lit(1)).over(w))
       // qty < 0.5 * avg  ⇔  2·qty·n < Σqty, all in integer centi-units
-      .filter(($"l_quantity".cast(DecimalType(18, 2)) * 100).cast(LongType) *
+      .filter(money_cents($"l_quantity") *
         $"n_q" * 2 < $"sum_q")
       .groupBy($"p_brand")
       .agg(
-        (sum($"l_extendedprice".cast(DecimalType(18, 2)))
+        (sum(money_dec2($"l_extendedprice"))
           .cast(DoubleType) / 7.0).as("avg_yearly"),
         count(lit(1)).as("n_small_lots"),
         countDistinct($"l_partkey").as("n_parts"))
@@ -2657,8 +2692,7 @@ object Relational {
     import spark.implicits._
     val big = Tables.lineitem(spark, dir)
       .groupBy($"l_orderkey")
-      .agg(sum(($"l_quantity".cast(DecimalType(18, 2)) * 100).cast(LongType))
-        .as("qty_cents"))
+      .agg(sum(money_cents($"l_quantity")).as("qty_cents"))
       .filter($"qty_cents" > 250 * 100L)
     big.join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
       .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
@@ -2732,8 +2766,8 @@ object Relational {
   def exactMedian(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     exactMedianOfCents(spark, Tables.lineitem(spark, dir)
-      .select(($"l_extendedprice".cast(DecimalType(18, 2)) * 100)
-        .cast(LongType).as("cents"), $"l_orderkey", $"l_linenumber"))
+      .select(money_cents($"l_extendedprice").as("cents"),
+        $"l_orderkey", $"l_linenumber"))
   }
 
   /** [[exactMedian]] over an explicit (cents, l_orderkey, l_linenumber)
@@ -2786,7 +2820,7 @@ object Relational {
     * bounded nation dim broadcast — linear at 100 TB. */
   def idleRichCustomers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cents = ($"c_acctbal".cast(DecimalType(18, 2)) * 100).cast(LongType)
+    val cents = money_cents($"c_acctbal")
     val c = Tables.customer(spark, dir).withColumn("cents", cents)
     val tot = c.where($"c_acctbal" > 0)
       .agg(sum($"cents").as("total_cents"), count(lit(1)).as("n_pos"))
