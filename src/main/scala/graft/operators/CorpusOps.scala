@@ -35,6 +35,10 @@ object CorpusOps {
     * keeps engine and oracle bit-identical. */
   def tfidfTopk(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import spark.implicits._
+    // docTokens is FrameMemo-checkpointed: tf, df and N all read the ONE
+    // materialized tokenized frame (0 parquet scans in the plan), so no
+    // further sharing exists to extract here (round-14 re-audit; an extra
+    // per-call checkpoint of the projection measured as pure overhead).
     val toksF = TextAnalysis.docTokens(spark, dir)
     val tf = toksF
       .select($"doc_id", explode($"toks").as("term"))

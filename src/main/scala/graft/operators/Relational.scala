@@ -1802,22 +1802,35 @@ object Relational {
     * expression both engines evaluate identically). */
   def basketPairs(spark: SparkSession, dir: String, minPairN: Long = 20): DataFrame = {
     import spark.implicits._
-    // localCheckpoint: the distinct (order, brand) frame feeds FOUR
-    // consumers (the 1-row order-total aggregate, the brand marginals,
-    // both self-join sides) — materialize once (cluster: checkpoint())
-    // part is SF-scaled — no broadcast hint; stats/AQE choose the strategy
-    val items = Tables.lineitem(spark, dir)
+    // Round 14 (guide §2.4 "remove shuffles outright"): the round-13 plan
+    // materialized the distinct (order, brand) frame and SELF-JOINED it
+    // on okey — a distinct exchange plus a join exchange of the full
+    // frame. The per-order brand set is bounded (≤|brands| = 25
+    // elements), so ONE okey-keyed collect_set aggregate (map-side
+    // partial — lineitem arrives order-clustered, so partials collapse
+    // hard) replaces both: pairs explode IN-ROW from the sorted set
+    // (a<b via index slicing — same pair set, same string order as the
+    // old a.brand < b.brand join condition), and the totals/marginals
+    // derive from the same per-order frame. Bounded per-group state at
+    // any SF; the checkpoint (cluster: checkpoint()) feeds 3 consumers.
+    // part is SF-scaled — no broadcast hint; stats/AQE choose.
+    val orderSets = Tables.lineitem(spark, dir)
       .join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
-      .select($"l_orderkey".as("okey"), $"p_brand".as("brand"))
-      .distinct()
+      .groupBy($"l_orderkey".as("okey"))
+      .agg(array_sort(collect_set($"p_brand")).as("brands"))
       .localCheckpoint(false)
     // 1-row totals frame folded into the plan (no separate count action)
-    val totals = items.agg(countDistinct($"okey").as("n_orders_total"))
-    val brandN = items.groupBy($"brand").agg(count(lit(1)).as("bn"))
-    val pairs = items.as("a")
-      .join(items.as("b"),
-        col("a.okey") === col("b.okey") && col("a.brand") < col("b.brand"))
-      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+    val totals = orderSets.agg(count(lit(1)).as("n_orders_total"))
+    val brandN = orderSets
+      .select(explode($"brands").as("brand"))
+      .groupBy($"brand").agg(count(lit(1)).as("bn"))
+    val pairs = orderSets
+      .select(explode(expr(
+        // all i<j pairs of the ascending-sorted set, flattened
+        "flatten(transform(brands, (x, i) -> " +
+          "transform(slice(brands, i + 2, size(brands)), y -> " +
+          "struct(x AS brand_a, y AS brand_b))))")).as("p"))
+      .groupBy($"p.brand_a".as("brand_a"), $"p.brand_b".as("brand_b"))
       .agg(count(lit(1)).as("pair_n"))
       .where($"pair_n" >= minPairN)
     pairs

@@ -531,9 +531,12 @@ object Scale {
     // One boundary PER i (duplicates kept when the sample has n < parts
     // rows and two boundary ranks coincide) — mirroring the oracle's
     // range-join exactly, so degenerate samples bucket identically.
+    // reduceOption: parts == 1 means "no interior boundaries" — an empty
+    // disjunction is `false` (the old isin(empty) behavior), not an
+    // UnsupportedOperationException (ADVICE r13)
     val isBoundary = (1 until parts)
       .map(i => $"rk" === expr(s"($i * _n + $parts - 1) div $parts"))
-      .reduce(_ || _)
+      .reduceOption(_ || _).getOrElse(lit(false))
     val boundaryRows = ranked.where(isBoundary)
       .select($"rk", $"l_orderkey", $"_n")
       .as[(Long, Long, Long)].collect()
@@ -727,6 +730,7 @@ object Scale {
     // AQE-off sweep on the cumsum sibling). The lazy checkpoint creates
     // ONE shuffled RDD whose boundaries are sampled exactly once; both
     // branches read its blocks. (Swap for `checkpoint()` on a cluster.)
+    requireFreshCols(df, Seq(rankCol, nCol, "_gr_pid", "_gr_mid"))
     val parted = df.repartitionByRange(numParts, sortCols: _*)
       .localCheckpoint(eager = false)
     val wOff = Window.orderBy(col("_gr_pid"))
@@ -735,7 +739,15 @@ object Scale {
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offs = parted
       .groupBy(spark_partition_id().as("_gr_pid"))
-      .agg(count(lit(1)).as("_gr_c"))
+      // mid-packing overflow guard (ADVICE r13): rank correctness needs
+      // every partition under 2^33 rows ((pid << 33) | position). The
+      // counts are already on hand in this bounded frame, so the check
+      // is free — a violating partition fails loudly instead of
+      // silently corrupting ranks.
+      .agg(when(count(lit(1)) < (1L << 33), count(lit(1)))
+        .otherwise(raise_error(concat(
+          lit("withGlobalRankPlan: partition exceeds 2^33 rows ("),
+          count(lit(1)), lit(") — raise numParts")))).as("_gr_c"))
       .select(col("_gr_pid").cast(LongType).as("_gr_pid"),
         coalesce(sum(col("_gr_c")).over(wOff), lit(0L)).as("_gr_off"),
         sum(col("_gr_c")).over(wTot).as(nCol))
@@ -761,6 +773,8 @@ object Scale {
   def withGlobalCumsumPlan(df: DataFrame, sortCols: Seq[Column],
       sumCols: Seq[(String, String)], numParts: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireFreshCols(df, "_gc_pid" +:
+      sumCols.flatMap { case (in, out) => Seq(out, s"_gc_off_$in") })
     // lazy checkpoint: pins ONE sampled set of range boundaries for both
     // branches — without it the totals branch and the running-sum branch
     // each own a range exchange whose boundary sampling is seeded by its
@@ -795,6 +809,7 @@ object Scale {
   def withGlobalPrefixMaxPlan(df: DataFrame, sortCols: Seq[Column],
       maxCol: String, outCol: String, numParts: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireFreshCols(df, Seq("_gm_pid", "_gm_off", outCol))
     // lazy checkpoint — same boundary-pinning argument as
     // [[withGlobalCumsumPlan]] (one sampled pid space for both branches)
     val parted0 = df.repartitionByRange(numParts, sortCols: _*)
@@ -833,6 +848,16 @@ object Scale {
     * division); both operands must be non-negative longs here. */
   private def idivc(a: Column, b: Column): Column =
     ((a - pmod(a, b)) / b).cast(LongType)
+
+  /** Entry guard for the plan helpers' internal/output column names
+    * (ADVICE r13): a caller frame already carrying one of these would be
+    * silently clobbered by withColumn — fail loudly instead. */
+  private def requireFreshCols(df: DataFrame, names: Seq[String]): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"global-order helper: input frame already has column(s) " +
+        s"${clash.mkString(", ")} (helper-owned names)")
+  }
 
   /** NS: distributed 2-D skyline (pareto frontier) — the parts no other
     * part beats on BOTH axes (lower `p_retailprice`, higher `p_size`):

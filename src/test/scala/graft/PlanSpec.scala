@@ -780,12 +780,32 @@ class PlanSpec extends SparkSpecBase {
     val helperPids = Set("_gr_pid", "_gc_pid", "_gm_pid")
     def isHelperOffsetWindow(
         w: org.apache.spark.sql.execution.window.WindowExec): Boolean = {
+      import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, ExprId, SparkPartitionID}
       val aggs = w.child.collect {
         case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
       }
-      aggs.nonEmpty && aggs.forall(_.groupingExpressions.forall(g =>
-        helperPids(g.name) ||
-          g.references.forall(r => helperPids(r.name))))
+      // ADVICE r13: a matching NAME is not enough — a future query
+      // aliasing a data-sized column to _g?_pid would silently bypass
+      // this sweep. Require the grouping attribute to resolve to a
+      // spark_partition_id() alias somewhere below the window (the
+      // analyzer's PullOutNondeterministic project), so the group count
+      // is provably the child's partition count.
+      def definesPid(id: ExprId): Boolean =
+        w.child.collect { case node => node.expressions }.flatten.exists(
+          _.collect {
+            case al: Alias if al.exprId == id =>
+              (al.child match {
+                case c: Cast => c.child
+                case o => o
+              }).isInstanceOf[SparkPartitionID]
+          }.contains(true))
+      aggs.nonEmpty && aggs.forall(_.groupingExpressions.forall { g =>
+        val refs = g.references.toSeq
+        (helperPids(g.name) || refs.forall(r => helperPids(r.name))) &&
+          refs.forall(r => definesPid(r.exprId)) &&
+          (refs.nonEmpty || g.collectFirst {
+            case _: SparkPartitionID => true }.nonEmpty)
+      })
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       val unpart = fn(spark, Sf0001).queryExecution.executedPlan.collect {
