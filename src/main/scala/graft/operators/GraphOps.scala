@@ -292,7 +292,11 @@ object GraphOps {
     var round = if (nKilled > 0) 1 else 0
     var converged = nKilled == 0
     while (!converged && round < maxRounds) {
-      alive = Checkpoints.cut(alive.where($"deg" >= k))
+      // no cut on the filter: it has ONE consumer (the join below, whose
+      // result IS cut), and its lineage is a single predicate over the
+      // previous round's cached blocks — checkpointing it only added a
+      // per-round materialization (round 14)
+      alive = alive.where($"deg" >= k)
       val dec = byDst
         .join(killed.select($"doc_id".as("dst")), "dst", "left_semi")
         .groupBy($"src".as("doc_id")).agg(count(lit(1)).as("dec"))
